@@ -1,0 +1,140 @@
+"""Per-domain politeness: deterministic slot assignment, budgets, backoff.
+
+Reference semantics (crawl4ai/async_dispatcher.py:30-87):
+  - per-domain delay drawn uniform(1,3) s on first contact (:62-63) — we pin
+    the draw per host via seeded hash (gen_politeness) so parity runs share
+    one schedule (north_rule: "same politeness budget");
+  - request i on a host waits delay after request i-1 → request i's virtual
+    send slot is i * delay within the superstep;
+  - 429/503 → fail_count++, give up past max_retries(3), delay =
+    min(delay × 2 × jitter(0.75..1.25), 60) (:67-80);
+  - success → delay = max(uniform(base), delay × 0.75), fail_count = 0
+    (:81-86).
+
+Set-oriented shape: one ``Window.partitionBy(host)`` ranks each host's rows
+(politeness order = frontier priority order), pure column arithmetic turns
+rank into a virtual time slot, and the optional per-superstep *budget*
+(= floor(superstep_window / delay)) defers overflow rows to the next
+superstep instead of sleeping — the scale-correct translation of "sleep
+until slot".  Backoff state is a per-host aggregate with seeded jitter.
+All JVM-side except nothing — there is no Python here at all.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_BASE_DELAY = (1.0, 3.0)  # async_dispatcher.py:33
+MAX_DELAY = 60.0  # :34
+MAX_RETRIES = 3  # :35
+RATE_LIMIT_CODES = (429, 503)  # :36
+
+
+def with_host_slots(df: DataFrame, politeness: DataFrame | None,
+                    order_cols: list[str], host_col: str = "host",
+                    default_delay: float = 2.0) -> DataFrame:
+    """Add ``host_rank`` (0-based fetch order within host) and ``send_at_s``
+    (virtual send slot = host_rank × delay_s).  ``politeness`` is the small
+    (host, delay_s, ...) dimension — broadcast joined."""
+    if politeness is not None:
+        df = df.join(F.broadcast(politeness.select(host_col, "delay_s")), host_col, "left")
+        delay = F.coalesce(F.col("delay_s"), F.lit(default_delay))
+    else:
+        delay = F.lit(default_delay)
+    w = Window.partitionBy(host_col).orderBy(*order_cols)
+    df = df.withColumn("host_rank", F.row_number().over(w) - 1)
+    return df.withColumn("send_at_s", F.col("host_rank") * delay).drop(
+        *( ["delay_s"] if politeness is not None else [] )
+    )
+
+
+def apply_host_budget(df: DataFrame, budget: int | None,
+                      host_col: str = "host") -> tuple[DataFrame, DataFrame]:
+    """Split (within_budget, deferred) on ``host_rank`` < budget.
+
+    Budget = max fetches per host per superstep =
+    floor(superstep_window / delay) in production; a constant here so tests
+    can assert the invariant directly. Requires with_host_slots first.
+    """
+    if budget is None:
+        return df, df.limit(0)
+    within = df.filter(F.col("host_rank") < budget)
+    deferred = df.filter(F.col("host_rank") >= budget)
+    return within, deferred
+
+
+def makespan_metrics(df: DataFrame, host_col: str = "host") -> DataFrame:
+    """Per-superstep politeness metrics: per-host request count and virtual
+    makespan (max send slot) — the straggler signal that drives salting."""
+    return df.groupBy(host_col).agg(
+        F.count("*").alias("requests"),
+        F.max("send_at_s").alias("makespan_s"),
+    )
+
+
+def update_domain_state(domain_state: pd.DataFrame, results_pdf: pd.DataFrame,
+                        seed: int = 42, superstep: int = 0,
+                        base_delay: tuple[float, float] = DEFAULT_BASE_DELAY,
+                        max_delay: float = MAX_DELAY,
+                        max_retries: int = MAX_RETRIES) -> pd.DataFrame:
+    """Driver-side domain-state fold (the state is O(#hosts), a dimension):
+    reference RateLimiter.update_delay (async_dispatcher.py:67-87) applied
+    per host over a superstep's results, with deterministic jitter
+    hash(host, superstep)-seeded.
+
+    domain_state columns: host, current_delay, fail_count, give_up(bool).
+    """
+    from ..hashing import xxh64
+
+    state = {
+        r.host: {"current_delay": r.current_delay, "fail_count": int(r.fail_count),
+                 "give_up": bool(r.give_up)}
+        for r in domain_state.itertuples()
+    }
+    for r in results_pdf.sort_values("seq").itertuples():
+        host = r.host
+        st = state.setdefault(
+            host, {"current_delay": 0.0, "fail_count": 0, "give_up": False}
+        )
+        if st["current_delay"] == 0.0:
+            u = xxh64(f"base|{seed}|{host}".encode()) / 2**64
+            st["current_delay"] = base_delay[0] + (base_delay[1] - base_delay[0]) * u
+        if r.status_code in RATE_LIMIT_CODES:
+            st["fail_count"] += 1
+            if st["fail_count"] > max_retries:
+                st["give_up"] = True
+                continue
+            j = xxh64(f"jit|{seed}|{host}|{superstep}|{st['fail_count']}".encode()) / 2**64
+            jitter = 0.75 + 0.5 * j
+            st["current_delay"] = min(st["current_delay"] * 2 * jitter, max_delay)
+        else:
+            u = xxh64(f"succ|{seed}|{host}|{superstep}".encode()) / 2**64
+            base = base_delay[0] + (base_delay[1] - base_delay[0]) * u
+            st["current_delay"] = max(base, st["current_delay"] * 0.75)
+            st["fail_count"] = 0
+    return pd.DataFrame(
+        [
+            {"host": h, "current_delay": s["current_delay"],
+             "fail_count": s["fail_count"], "give_up": s["give_up"]}
+            for h, s in sorted(state.items())
+        ]
+    )
+
+
+def salt_hot_hosts(df: DataFrame, hot_hosts: list[str], buckets: int,
+                   url_col: str = "url", host_col: str = "host") -> DataFrame:
+    """D7 skew salting: partition-key column ``host_part`` = host, except
+    hot hosts fan out to `buckets` salted sub-keys via pmod(xxhash64(url), S).
+    Politeness budgets are computed per *host* before salting, so
+    correctness is unaffected; this only breaks up hot-host stragglers."""
+    if not hot_hosts or buckets <= 1:
+        return df.withColumn("host_part", F.col(host_col))
+    salt = F.pmod(F.xxhash64(F.col(url_col)), F.lit(buckets)).cast("string")
+    return df.withColumn(
+        "host_part",
+        F.when(
+            F.col(host_col).isin(hot_hosts), F.concat_ws("#", F.col(host_col), salt)
+        ).otherwise(F.col(host_col)),
+    )

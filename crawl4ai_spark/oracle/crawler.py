@@ -1,0 +1,272 @@
+"""In-memory oracle crawler: the reference deep-crawl algorithms verbatim.
+
+Re-implements, line-for-line in plain Python over the synthetic graph:
+  - BFS batch loop          crawl4ai/deep_crawling/bfs_strategy.py:141-187
+  - BFS link_discovery      bfs_strategy.py:68-139
+  - DFS batch loop          dfs_strategy.py:15-62
+  - Best-first loop         bff_strategy.py:127-199 (BATCH_SIZE=10 :18)
+  - BF link_discovery       bff_strategy.py:76-125 (raw hrefs, no canonicalization)
+  - can_process_url         bfs_strategy.py:46-66 / bff_strategy.py:54-74
+
+This is FIXTURES.md §6's expected-output generator: the Spark engine must
+reproduce its URL-seen set exactly and its crawl ordering (per-level set +
+deterministic intra-level order for BFS; exact sequence for DFS/BF), per
+north_rule "same seed list + politeness budget ⇒ same ordering and URL-seen
+set".  Result-stream completion order is pinned to batch input order (the
+reference's asyncio completion order is nondeterministic; we define the
+deterministic schedule both sides reproduce).
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass, field
+from math import inf
+
+from ..functions.canonical import normalize_url_for_deep_crawl
+from ..functions.filters import FilterSpec, py_chain_apply, py_url_validity
+from ..functions.scorers import ScorerSpec
+
+
+@dataclass
+class OraclePage:
+    url: str  # canonical
+    success: bool
+    status_code: int
+    links: list[tuple[str, bool]]  # ordered (raw href, is_internal)
+
+
+@dataclass
+class OracleResult:
+    seq: int
+    url: str
+    depth: int
+    parent: str | None
+    score: float
+    success: bool
+    status_code: int
+
+
+@dataclass
+class CrawlSpec:
+    strategy: str = "bfs"  # bfs | dfs | best_first
+    max_depth: int = 2
+    max_pages: float = inf
+    score_threshold: float = -inf  # BFS/DFS only (bfs_strategy.py:116-119)
+    include_external: bool = False
+    filters: list[FilterSpec] = field(default_factory=list)
+    scorer: ScorerSpec | None = None
+    batch_size: int = 10  # bff_strategy.py:18
+
+
+class OracleGraph:
+    """Synthetic-fetch semantics: any raw URL resolves to its C2-canonical
+    page (fragment/tracking/case noise collapses, like HTTP would)."""
+
+    def __init__(self, pages: dict[str, OraclePage]):
+        self.pages = pages
+
+    @classmethod
+    def from_frames(cls, pages_pdf, links_pdf) -> "OracleGraph":
+        links_by_src: dict[str, list[tuple[str, bool]]] = {}
+        for r in links_pdf.sort_values(["src_url", "pos"]).itertuples():
+            links_by_src.setdefault(r.src_url, []).append((r.href, bool(r.is_internal)))
+        pages = {}
+        for r in pages_pdf.itertuples():
+            pages[r.url] = OraclePage(
+                url=r.url,
+                success=bool(r.success),
+                status_code=int(r.status_code),
+                links=links_by_src.get(r.url, []),
+            )
+        return cls(pages)
+
+    def fetch(self, url: str) -> OraclePage:
+        canon = normalize_url_for_deep_crawl(url, url)
+        page = self.pages.get(canon)
+        if page is None:
+            return OraclePage(url=url, success=False, status_code=0, links=[])
+        return page
+
+
+def _can_process(url: str, depth: int, spec: CrawlSpec) -> bool:
+    # bfs_strategy.py:46-66: validity, then filter chain unless depth 0.
+    if not py_url_validity(url):
+        return False
+    if depth != 0 and not py_chain_apply(url, spec.filters):
+        return False
+    return True
+
+
+def _split_links(page: OraclePage, spec: CrawlSpec) -> list[str]:
+    # content scraping splits internal/external; link_discovery takes
+    # internal then appends external when include_external
+    # (bfs_strategy.py:93-96).
+    internal = [h for h, is_int in page.links if is_int]
+    external = [h for h, is_int in page.links if not is_int]
+    return internal + (external if spec.include_external else [])
+
+
+def crawl_bfs(graph: OracleGraph, start_url: str, spec: CrawlSpec):
+    """bfs_strategy.py:141-187 verbatim (batch mode)."""
+    visited: set[str] = set()
+    current_level: list[tuple[str, str | None]] = [(start_url, None)]
+    depths: dict[str, int] = {start_url: 0}
+    results: list[OracleResult] = []
+    pages_crawled = 0
+    seq = 0
+
+    while current_level:
+        next_level: list[tuple[str, str | None]] = []
+        urls = [u for u, _ in current_level]
+        visited.update(urls)  # :161 — marked before fetch, failures included
+
+        batch = [graph.fetch(u) for u in urls]
+        pages_crawled += sum(1 for r in batch if r.success)  # :167-169
+
+        for url, page in zip(urls, batch):
+            depth = depths.get(url, 0)
+            parent = next((par for (u, par) in current_level if u == url), None)
+            results.append(
+                OracleResult(seq, url, depth, parent, 0.0, page.success, page.status_code)
+            )
+            seq += 1
+            if page.success:
+                _bfs_link_discovery(
+                    graph, page, url, depth, visited, next_level, depths, spec,
+                    pages_crawled,
+                )
+        current_level = next_level
+    return results, visited
+
+
+def _bfs_link_discovery(graph, page, source_url, current_depth, visited,
+                        next_level, depths, spec, pages_crawled):
+    """bfs_strategy.py:68-139 verbatim."""
+    next_depth = current_depth + 1
+    if next_depth > spec.max_depth:
+        return
+    remaining = spec.max_pages - pages_crawled
+    if remaining <= 0:
+        return
+    valid_links: list[tuple[str, float]] = []
+    for href in _split_links(page, spec):
+        base_url = normalize_url_for_deep_crawl(href, source_url)
+        if base_url in visited:
+            continue
+        if not _can_process(href, next_depth, spec):  # raw href, :109
+            continue
+        score = spec.scorer.py_score(base_url) if spec.scorer else 0
+        if score < spec.score_threshold:
+            continue
+        valid_links.append((base_url, score))
+    if len(valid_links) > remaining:
+        if spec.scorer:
+            valid_links.sort(key=lambda x: x[1], reverse=True)  # stable, :125-127
+        valid_links = valid_links[: int(remaining)]
+    for url, _score in valid_links:
+        next_level.append((url, source_url))
+        depths[url] = next_depth
+
+
+def crawl_dfs(graph: OracleGraph, start_url: str, spec: CrawlSpec):
+    """dfs_strategy.py:15-62 verbatim (stack; children pushed reversed)."""
+    visited: set[str] = set()
+    stack: list[tuple[str, str | None, int]] = [(start_url, None, 0)]
+    depths: dict[str, int] = {start_url: 0}
+    results: list[OracleResult] = []
+    pages_crawled = 0
+    seq = 0
+
+    while stack:
+        url, parent, depth = stack.pop()
+        if url in visited or depth > spec.max_depth:
+            continue
+        visited.add(url)
+        page = graph.fetch(url)
+        score = spec.scorer.py_score(url) if spec.scorer else 0.0
+        results.append(OracleResult(seq, url, depth, parent, score, page.success, page.status_code))
+        seq += 1
+        if page.success:
+            pages_crawled += 1
+            next_links: list[tuple[str, str | None]] = []
+            _bfs_link_discovery(
+                graph, page, url, depth, visited, next_links, depths, spec, pages_crawled
+            )
+            for new_url, new_parent in reversed(next_links):
+                stack.append((new_url, new_parent, depths.get(new_url, depth + 1)))
+    return results, visited
+
+
+def crawl_best_first(graph: OracleGraph, start_url: str, spec: CrawlSpec):
+    """bff_strategy.py:127-199 verbatim: heap of (score, depth, url, parent),
+    pop ≤ BATCH_SIZE consuming slots for visited dups, raw-href URL space."""
+    heap: list[tuple[float, int, str, tuple]] = []
+    # parent embedded as sortable tuple to avoid None-vs-str compares the
+    # reference would crash on; (is_none, value) keeps a total order.
+    heapq.heappush(heap, (0, 0, start_url, (True, "")))
+    visited: set[str] = set()
+    depths: dict[str, int] = {start_url: 0}
+    results: list[OracleResult] = []
+    pages_crawled = 0
+    seq = 0
+
+    while heap:
+        if pages_crawled >= spec.max_pages:  # :146-149
+            break
+        batch: list[tuple[float, int, str, tuple]] = []
+        for _ in range(spec.batch_size):  # visited pops consume slots, :153-160
+            if not heap:
+                break
+            item = heapq.heappop(heap)
+            if item[2] in visited:
+                continue
+            visited.add(item[2])
+            batch.append(item)
+        if not batch:
+            continue
+        for score, depth, url, parent_t in batch:  # stream pinned to batch order
+            page = graph.fetch(url)
+            parent = None if parent_t[0] else parent_t[1]
+            results.append(OracleResult(seq, url, depth, parent, score, page.success, page.status_code))
+            seq += 1
+            if page.success:
+                pages_crawled += 1
+                new_links: list[tuple[str, str | None]] = []
+                _bff_link_discovery(
+                    graph, page, url, depth, visited, new_links, depths, spec, pages_crawled
+                )
+                for new_url, new_parent in new_links:
+                    new_depth = depths.get(new_url, depth + 1)
+                    new_score = spec.scorer.py_score(new_url) if spec.scorer else 0
+                    heapq.heappush(heap, (new_score, new_depth, new_url, (False, new_parent)))
+    return results, visited
+
+
+def _bff_link_discovery(graph, page, source_url, current_depth, visited,
+                        next_links, depths, spec, pages_crawled):
+    """bff_strategy.py:76-125 verbatim — NO canonicalization, unsorted
+    capacity truncation."""
+    new_depth = current_depth + 1
+    if new_depth > spec.max_depth:
+        return
+    remaining = spec.max_pages - pages_crawled
+    if remaining <= 0:
+        return
+    valid_links: list[str] = []
+    for href in _split_links(page, spec):
+        if href in visited:
+            continue
+        if not _can_process(href, new_depth, spec):
+            continue
+        valid_links.append(href)
+    if len(valid_links) > remaining:
+        valid_links = valid_links[: int(remaining)]
+    for url in valid_links:
+        depths[url] = new_depth
+        next_links.append((url, source_url))
+
+
+def crawl(graph: OracleGraph, start_url: str, spec: CrawlSpec):
+    fn = {"bfs": crawl_bfs, "dfs": crawl_dfs, "best_first": crawl_best_first}[spec.strategy]
+    return fn(graph, start_url, spec)

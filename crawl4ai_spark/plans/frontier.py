@@ -1,0 +1,516 @@
+"""The deep-crawl engine: traversal loops as DataFrame supersteps.
+
+Each reference traversal loop (SURVEY §2.5) becomes a driver-side loop whose
+body is ONE declarative DataFrame DAG per superstep:
+
+  BFS  (bfs_strategy.py:141-187) — superstep = one level: mark-seen →
+       fetch → append results → link_discovery dataflow → next level.
+  BF   (bff_strategy.py:127-199) — superstep = one priority-queue pop of
+       ``batch_size`` (10 in parity mode, millions at scale): TakeOrdered
+       pop → anti-join visited → fetch → cumulative-capacity discovery →
+       push.
+  DFS  (dfs_strategy.py:15-62) — inherently sequential (one URL per pop);
+       implemented for parity completeness, not a scale target.
+
+Link discovery (bfs_strategy.py:68-139 / bff_strategy.py:76-125) is the
+same dataflow both ways:
+
+  explode links → canonicalize (Arrow UDF; BFS family only — best-first
+  operates on RAW hrefs, a faithful reference quirk) → validity + filter
+  chain (Catalyst conjunction on the raw href) → score (Catalyst) →
+  anti-join seen → per-parent capacity truncation (windows reproducing the
+  reference's conditional sort-then-truncate) → dense global sequence.
+
+Scale notes (the 100 TB design):
+  - every per-level global ordering uses ``with_global_seq`` (range
+    partition + offset assign), never a single-partition window;
+  - the seen table is append-only and anti-joined on the canonical URL
+    (hash-partitioned); a PartitionedBloom sidecar can prefilter the probe
+    side (operators/seen.py);
+  - the queue pop is ``orderBy(...).limit(B)`` = distributed TakeOrdered,
+    and queue subtraction is an anti-join on ``push_seq`` (multiset-exact);
+  - fetch joins are hash joins on the canonical fetch key; the pages/links
+    tables would be Iceberg-bucketed by that key in production so the join
+    co-locates without shuffle;
+  - politeness slots/budgets and hot-host salting plug in around the fetch
+    join (operators/politeness.py) without changing crawl semantics.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from math import inf
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..dist import with_global_seq
+from ..functions.canonical import canonical_col
+from ..functions.filters import FilterSpec, chain_column, url_validity
+from ..functions.scorers import ScorerSpec
+from ..functions.urlparts import host_of
+from ..operators.politeness import apply_host_budget, with_host_slots
+from ..operators.robots import robots_gate
+from .checkpoint import SnapshotStore
+
+_BIG = 1 << 62  # stands in for math.inf page budgets in long arithmetic
+
+
+@dataclass
+class CrawlConfig:
+    strategy: str = "bfs"  # bfs | dfs | best_first
+    max_depth: int = 2
+    max_pages: int | None = None  # None = unbounded (math.inf in reference)
+    score_threshold: float = -inf  # BFS/DFS only (bfs_strategy.py:116-119)
+    include_external: bool = False
+    filters: list[FilterSpec] = field(default_factory=list)
+    scorer: ScorerSpec | None = None
+    batch_size: int = 10  # best-first pop size (bff_strategy.py:18)
+    check_robots_txt: bool = False  # async_configs.py:713 default False
+    politeness_budget: int | None = None  # per-host per-superstep cap
+    max_supersteps: int = 10_000
+    user_agent: str = "*"
+
+    @property
+    def page_budget(self) -> int:
+        return _BIG if self.max_pages is None else int(self.max_pages)
+
+
+@dataclass
+class CrawlRun:
+    results: DataFrame  # seq,url,depth,parent,score,success,status_code,...
+    seen: DataFrame  # url
+    metrics: list[dict[str, Any]]
+    pages_crawled: int
+
+
+RESULT_COLS = [
+    "superstep", "seq", "url", "fetch_key", "host", "depth", "parent",
+    "score", "success", "status_code", "image_id",
+]
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        links: DataFrame,
+        config: CrawlConfig,
+        robots_pdf=None,
+        politeness: DataFrame | None = None,
+        store: SnapshotStore | None = None,
+    ):
+        self.spark = spark
+        self.cfg = config
+        self.robots_pdf = robots_pdf
+        self.politeness = politeness
+        self.store = store
+        self.metrics: list[dict[str, Any]] = []
+        # page lookup keyed by canonical URL; only the columns the engine
+        # touches (column pruning reaches the parquet scan).
+        self.pages_kv = pages.select(
+            F.col("url").alias("page_url"),
+            F.col("success").alias("page_success"),
+            F.col("status_code").alias("page_status"),
+            F.col("image_id"),
+        )
+        self.links = links  # src_url, pos, href, is_internal
+
+    # ------------------------------------------------------------ fetch
+    def _fetch(self, frontier: DataFrame) -> DataFrame:
+        """S2/P8/D1: robots gate → politeness slots → synthetic fetch join.
+
+        The synthetic fetch resolves any raw URL to its canonical page
+        (HTTP's fragment-dropping + case-folding stand-in), mirroring the
+        oracle's OracleGraph.fetch.
+        """
+        f = frontier.withColumn(
+            "fetch_key", canonical_col(F.col("url"), F.col("url"))
+        ).withColumn("host", F.lower(host_of(F.col("fetch_key"))))
+        f = robots_gate(
+            f,
+            self.robots_pdf if self.cfg.check_robots_txt else None,
+            url_col="fetch_key",
+            host_col="host",
+            user_agent=self.cfg.user_agent,
+        )
+        if self.politeness is not None:
+            f = with_host_slots(f, self.politeness, order_cols=["seq"])
+        joined = f.join(
+            self.pages_kv, f["fetch_key"] == self.pages_kv["page_url"], "left"
+        ).drop("page_url")
+        return joined.withColumn(
+            "success",
+            F.col("robots_allowed") & F.coalesce(F.col("page_success"), F.lit(False)),
+        ).withColumn(
+            "status_code",
+            F.when(~F.col("robots_allowed"), F.lit(403))  # async_webcrawler.py:361-370
+            .otherwise(F.coalesce(F.col("page_status"), F.lit(0))),
+        ).drop("page_success", "page_status")
+
+    # -------------------------------------------------------- discovery
+    def _discover(
+        self,
+        fetched: DataFrame,
+        seen: DataFrame,
+        remaining_expr,
+        next_depth_expr,
+        canonicalize: bool,
+        base_seq: int,
+        seq_col: str = "seq",
+    ) -> DataFrame:
+        """link_discovery as a dataflow (bfs_strategy.py:68-139 with
+        canonicalize=True; bff_strategy.py:76-125 with canonicalize=False).
+
+        ``remaining_expr`` is the per-parent remaining-capacity column
+        (constant per level for BFS, cumulative within batch for BF).
+        ``next_depth_expr`` is parent depth + 1.
+        """
+        cfg = self.cfg
+        src = fetched.filter(F.col("success")).select(
+            F.col(seq_col).alias("parent_seq"),
+            F.col("url").alias("parent_url"),
+            F.col("fetch_key").alias("parent_key"),
+            next_depth_expr.alias("link_depth"),
+            remaining_expr.alias("remaining"),
+        )
+        src = src.filter(F.col("link_depth") <= F.lit(cfg.max_depth))  # :88-90
+        cand = src.join(self.links, src["parent_key"] == self.links["src_url"])
+        if not cfg.include_external:
+            cand = cand.filter(F.col("is_internal"))
+        # reference iterates internal links first, then external (:93-96)
+        cand = cand.withColumn(
+            "link_block", F.when(F.col("is_internal"), 0).otherwise(1)
+        )
+        if canonicalize:
+            cand = cand.withColumn(
+                "target", canonical_col(F.col("href"), F.col("parent_url"))
+            )
+        else:
+            cand = cand.withColumn("target", F.col("href"))
+        # P1 validity + P2 filter chain — on the RAW href (bfs :109)
+        cand = cand.filter(url_validity(F.col("href")))
+        if cfg.filters:
+            cand = cand.filter(chain_column(F.col("href"), cfg.filters))
+        if cfg.scorer is not None:
+            cand = cand.withColumn("score", cfg.scorer.column(F.col("target")).cast("double"))
+        else:
+            cand = cand.withColumn("score", F.lit(0.0))
+        if cfg.score_threshold != -inf and canonicalize:
+            # score_threshold lives in the BFS-family discovery only
+            # (bfs_strategy.py:116-119; applies even with no scorer, score=0)
+            cand = cand.filter(F.col("score") >= F.lit(cfg.score_threshold))
+        # URL-seen anti-join (T6): seen state as of superstep start
+        cand = cand.join(
+            seen.select(F.col("url").alias("target")), on="target", how="left_anti"
+        )
+        # capacity truncation (bfs :123-129 / bff :117-120): sort by score
+        # desc ONLY when a scorer exists AND the parent overflows (BFS);
+        # best-first truncates unsorted.
+        wp = Window.partitionBy("parent_seq")
+        cand = cand.withColumn("n_valid", F.count("*").over(wp))
+        overflow = F.col("n_valid") > F.col("remaining")
+        if cfg.scorer is not None and canonicalize:
+            sort_key = F.when(overflow, -F.col("score")).otherwise(F.lit(0.0))
+        else:
+            sort_key = F.lit(0.0)
+        rn = F.row_number().over(
+            wp.orderBy(sort_key, F.col("link_block"), F.col("pos"))
+        )
+        cand = cand.withColumn("rn", rn).filter(F.col("rn") <= F.col("remaining"))
+        out = cand.select(
+            F.col("target").alias("url"),
+            F.col("parent_url").alias("parent"),
+            F.col("link_depth").alias("depth"),
+            F.col("score"),
+            F.col("parent_seq"),
+            F.col("rn"),
+        )
+        return with_global_seq(out, ["parent_seq", "rn"], out_col="seq", start=base_seq).drop(
+            "parent_seq", "rn"
+        )
+
+    # ------------------------------------------------------------- BFS
+    def run_bfs(self, seeds: list[str]) -> CrawlRun:
+        cfg = self.cfg
+        spark = self.spark
+        frontier = spark.createDataFrame(
+            [(u, None, 0, i, 0.0) for i, u in enumerate(seeds)],
+            "url string, parent string, depth int, seq long, score double",
+        )
+        seen = spark.createDataFrame([], "url string")
+        pages_crawled = 0
+        superstep = 0
+        result_parts: list[DataFrame] = []
+        while superstep < cfg.max_supersteps:
+            n_frontier = frontier.count()
+            if n_frontier == 0:
+                break
+            t0 = time.time()
+            # T6: mark visited BEFORE fetch (bfs_strategy.py:161) — the
+            # URL-seen set includes failed fetches.
+            seen = seen.unionByName(frontier.select("url")).localCheckpoint(eager=True)
+            fetched = self._fetch(frontier)
+            # duplicate-URL quirk (bfs_strategy.py:174): every result of a
+            # URL that appears twice in a level reports the parent of the
+            # FIRST level entry for that URL.
+            wfirst = Window.partitionBy("url").orderBy("seq")
+            fetched = fetched.withColumn("parent", F.first("parent").over(wfirst))
+            fetched = fetched.persist(StorageLevel.MEMORY_AND_DISK)
+            n_success = fetched.filter(F.col("success")).count()
+            pages_crawled += n_success
+            results_s = fetched.withColumn("superstep", F.lit(superstep)).select(RESULT_COLS)
+            result_parts.append(self._persist_results(results_s, superstep))
+            remaining = cfg.page_budget - pages_crawled
+            if superstep + 1 <= cfg.max_depth and remaining > 0:
+                nxt = self._discover(
+                    fetched,
+                    seen,
+                    remaining_expr=F.lit(remaining),
+                    next_depth_expr=F.lit(superstep + 1),
+                    canonicalize=True,
+                    base_seq=0,
+                ).localCheckpoint(eager=True)
+            else:
+                nxt = frontier.limit(0)
+            n_next = nxt.count()
+            self._log(
+                superstep=superstep, popped=n_frontier, successes=n_success,
+                pages_crawled=pages_crawled, frontier_out=n_next,
+                wall_ms=int((time.time() - t0) * 1000),
+            )
+            self._commit(superstep, frontier=nxt, seen=seen,
+                         counters={"pages_crawled": pages_crawled})
+            fetched.unpersist()
+            frontier = nxt
+            superstep += 1
+        return self._finish(result_parts, seen, pages_crawled, order=["superstep", "seq"])
+
+    # ------------------------------------------------------------- BF
+    def run_best_first(self, seeds: list[str]) -> CrawlRun:
+        cfg = self.cfg
+        spark = self.spark
+        queue = spark.createDataFrame(
+            [(0.0, 0, u, None, i) for i, u in enumerate(seeds)],
+            "score double, depth int, url string, parent string, push_seq long",
+        ).localCheckpoint(eager=True)
+        seen = spark.createDataFrame([], "url string")
+        pages_crawled = 0
+        push_seq_base = len(seeds)
+        result_seq_base = 0
+        superstep = 0
+        result_parts: list[DataFrame] = []
+        heap_order = [
+            F.col("score").asc(), F.col("depth").asc(), F.col("url").asc(),
+            F.col("parent").asc_nulls_first(), F.col("push_seq").asc(),
+        ]
+        while superstep < cfg.max_supersteps:
+            if pages_crawled >= cfg.page_budget:  # bff :146-149
+                break
+            if not queue.take(1):
+                break
+            t0 = time.time()
+            popped = queue.orderBy(*heap_order).limit(cfg.batch_size).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            rest = queue.join(popped.select("push_seq"), "push_seq", "left_anti")
+            # visited check at pop consumes batch slots (bff :153-160):
+            # drop already-visited, then first-in-heap-order per duplicate URL
+            batch = popped.join(seen, "url", "left_anti")
+            wdup = Window.partitionBy("url").orderBy(
+                F.col("score"), F.col("depth"), F.col("parent").asc_nulls_first(),
+                F.col("push_seq"),
+            )
+            batch = batch.withColumn("__r", F.row_number().over(wdup)).filter(
+                F.col("__r") == 1
+            ).drop("__r")
+            batch = with_global_seq(
+                batch,
+                ["score", "depth", "url", F.col("parent").asc_nulls_first(), "push_seq"],
+                out_col="seq",
+                start=result_seq_base,
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            if not batch.take(1):
+                queue = rest.localCheckpoint(eager=True)
+                popped.unpersist()
+                superstep += 1
+                continue
+            seen = seen.unionByName(batch.select("url")).localCheckpoint(eager=True)
+            fetched = self._fetch(batch).persist(StorageLevel.MEMORY_AND_DISK)
+            n_success = fetched.filter(F.col("success")).count()
+            n_batch = fetched.count()
+            # cumulative successes in batch order → per-result remaining
+            wcum = Window.orderBy("seq").rowsBetween(Window.unboundedPreceding, 0)
+            fetched_c = fetched.withColumn(
+                "cum_succ", F.sum(F.col("success").cast("long")).over(wcum)
+            )
+            remaining = (
+                F.lit(cfg.page_budget) - (F.lit(pages_crawled) + F.col("cum_succ"))
+            )
+            pushes = self._discover(
+                fetched_c,
+                seen,
+                remaining_expr=remaining,
+                next_depth_expr=F.col("depth") + 1,
+                canonicalize=False,
+                base_seq=push_seq_base,
+            ).withColumnRenamed("seq", "push_seq").select(
+                "score", "depth", "url", "parent", "push_seq"
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            n_pushed = pushes.count()
+            queue = rest.unionByName(pushes).localCheckpoint(eager=True)
+            pushes.unpersist()
+            results_s = fetched.withColumn("superstep", F.lit(superstep)).select(RESULT_COLS)
+            result_parts.append(self._persist_results(results_s, superstep))
+            pages_crawled += n_success
+            push_seq_base += n_pushed
+            result_seq_base += n_batch
+            self._log(
+                superstep=superstep, popped=n_batch, successes=n_success,
+                pages_crawled=pages_crawled, pushed=n_pushed,
+                wall_ms=int((time.time() - t0) * 1000),
+            )
+            self._commit(superstep, frontier=queue, seen=seen,
+                         counters={"pages_crawled": pages_crawled,
+                                   "push_seq_base": push_seq_base,
+                                   "result_seq_base": result_seq_base})
+            popped.unpersist()
+            fetched.unpersist()
+            batch.unpersist()
+            superstep += 1
+        return self._finish(result_parts, seen, pages_crawled, order=["seq"])
+
+    # ------------------------------------------------------------- DFS
+    def run_dfs(self, seeds: list[str]) -> CrawlRun:
+        """Sequential by nature (SURVEY §2.5 T2) — parity mode only."""
+        cfg = self.cfg
+        spark = self.spark
+        stack = spark.createDataFrame(
+            [(u, None, 0, i) for i, u in enumerate(seeds)],
+            "url string, parent string, depth int, stack_seq long",
+        ).localCheckpoint(eager=True)
+        seen = spark.createDataFrame([], "url string")
+        visited_driver: set[str] = set()
+        pages_crawled = 0
+        stack_seq_base = len(seeds)
+        seq = 0
+        superstep = 0
+        result_parts: list[DataFrame] = []
+        while superstep < cfg.max_supersteps:
+            top_rows = stack.orderBy(F.col("stack_seq").desc()).limit(1).collect()
+            if not top_rows:
+                break
+            top = top_rows[0]
+            stack = stack.filter(F.col("stack_seq") != top["stack_seq"])
+            if top["url"] in visited_driver or top["depth"] > cfg.max_depth:
+                continue
+            visited_driver.add(top["url"])
+            seen = seen.unionByName(
+                spark.createDataFrame([(top["url"],)], "url string")
+            ).localCheckpoint(eager=True)
+            one = spark.createDataFrame(
+                [(top["url"], top["parent"], top["depth"], seq, 0.0)],
+                "url string, parent string, depth int, seq long, score double",
+            )
+            fetched = self._fetch(one)
+            if cfg.scorer is not None:
+                fetched = fetched.withColumn(
+                    "score", cfg.scorer.column(F.col("url")).cast("double")
+                )
+            fetched = fetched.persist(StorageLevel.MEMORY_AND_DISK)
+            is_success = fetched.filter(F.col("success")).count() > 0
+            results_s = fetched.withColumn("superstep", F.lit(superstep)).select(RESULT_COLS)
+            result_parts.append(self._persist_results(results_s, superstep))
+            seq += 1
+            if is_success:
+                pages_crawled += 1
+                remaining = cfg.page_budget - pages_crawled
+                if top["depth"] + 1 <= cfg.max_depth and remaining > 0:
+                    links = self._discover(
+                        fetched, seen,
+                        remaining_expr=F.lit(remaining),
+                        next_depth_expr=F.lit(top["depth"] + 1),
+                        canonicalize=True,
+                        base_seq=0,
+                    )
+                    # push reversed (dfs_strategy.py:57-60): first-discovered
+                    # gets the HIGHEST stack_seq so it pops next.
+                    n_links = links.count()
+                    if n_links:
+                        pushes = links.select(
+                            "url", "parent", "depth",
+                            (F.lit(stack_seq_base + n_links - 1) - F.col("seq")).alias("stack_seq"),
+                        )
+                        stack = stack.unionByName(pushes)
+                        stack_seq_base += n_links
+            stack = stack.localCheckpoint(eager=True)
+            fetched.unpersist()
+            superstep += 1
+        return self._finish(result_parts, seen, pages_crawled, order=["seq"])
+
+    # ---------------------------------------------------------- helpers
+    def run(self, seeds: list[str]) -> CrawlRun:
+        fn = {
+            "bfs": self.run_bfs,
+            "dfs": self.run_dfs,
+            "best_first": self.run_best_first,
+        }[self.cfg.strategy]
+        return fn(seeds)
+
+    def _persist_results(self, results_s: DataFrame, superstep: int) -> DataFrame:
+        if self.store is not None:
+            self.store.write("results", results_s, superstep)
+            return self.store.read_one(self.spark, "results", superstep)
+        return results_s.localCheckpoint(eager=True)
+
+    def _commit(self, superstep: int, frontier: DataFrame, seen: DataFrame,
+                counters: dict) -> None:
+        if self.store is None:
+            return
+        self.store.write("frontier", frontier, superstep)
+        self.store.write("seen_delta", seen, superstep)  # full set, cheap at parity
+        self.store.commit(superstep, counters)
+
+    def _log(self, **kw) -> None:
+        self.metrics.append(kw)
+
+    def _finish(self, parts: list[DataFrame], seen: DataFrame,
+                pages_crawled: int, order: list[str]) -> CrawlRun:
+        if parts:
+            results = parts[0]
+            for p in parts[1:]:
+                results = results.unionByName(p)
+        else:
+            results = self.spark.createDataFrame(
+                [], "superstep int, seq long, url string, fetch_key string, host string, "
+                    "depth int, parent string, score double, success boolean, "
+                    "status_code int, image_id string",
+            )
+        return CrawlRun(
+            results=results.orderBy(*order),
+            seen=seen,
+            metrics=self.metrics,
+            pages_crawled=pages_crawled,
+        )
+
+
+def deep_crawl(
+    spark: SparkSession,
+    seeds: list[str],
+    pages: DataFrame,
+    links: DataFrame,
+    config: CrawlConfig,
+    robots_pdf=None,
+    politeness: DataFrame | None = None,
+    store: SnapshotStore | None = None,
+) -> CrawlRun:
+    """Entry point (reference: strategy.arun via DeepCrawlDecorator,
+    deep_crawling/base_strategy.py:10-43)."""
+    return CrawlEngine(
+        spark, pages, links, config, robots_pdf=robots_pdf,
+        politeness=politeness, store=store,
+    ).run(seeds)
