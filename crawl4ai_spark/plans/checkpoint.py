@@ -69,6 +69,12 @@ class SnapshotStore:
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(self.root, self.MANIFEST))
 
+    def write_json(self, table: str, superstep: int, obj: Any) -> None:
+        path = self._dir(table, superstep)
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "data.json"), "w") as f:
+            json.dump(obj, f)
+
     def last_commit(self) -> dict[str, Any] | None:
         path = os.path.join(self.root, self.MANIFEST)
         if not os.path.exists(path):

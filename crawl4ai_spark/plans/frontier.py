@@ -234,18 +234,51 @@ class CrawlEngine:
             "parent_seq", "rn"
         )
 
+    # ----------------------------------------------------------- resume
+    def _restore(self):
+        """Load the last committed snapshot (north_rule checkpoint/resume):
+        manifest → superstep + counters; orphan dirs from a crashed
+        superstep are deleted; returns None when nothing was committed."""
+        if self.store is None:
+            return None
+        mf = self.store.last_commit()
+        if mf is None:
+            return None
+        s = mf["superstep"]
+        self.store.clean_orphans(s)
+        frontier = self.store.read_one(self.spark, "frontier", s)
+        seen = self.store.read_one(self.spark, "seen", s)
+        parts = [
+            self.store.read_one(self.spark, "results", i) for i in range(s + 1)
+        ]
+        return {
+            "superstep": s + 1,
+            "frontier": frontier,
+            "seen": seen,
+            "result_parts": [p for p in parts if p is not None],
+            "counters": mf["counters"],
+        }
+
     # ------------------------------------------------------------- BFS
-    def run_bfs(self, seeds: list[str]) -> CrawlRun:
+    def run_bfs(self, seeds: list[str], resume: bool = False) -> CrawlRun:
         cfg = self.cfg
         spark = self.spark
-        frontier = spark.createDataFrame(
-            [(u, None, 0, i, 0.0) for i, u in enumerate(seeds)],
-            "url string, parent string, depth int, seq long, score double",
-        )
-        seen = spark.createDataFrame([], "url string")
-        pages_crawled = 0
-        superstep = 0
-        result_parts: list[DataFrame] = []
+        state = self._restore() if resume else None
+        if state is not None:
+            frontier = state["frontier"]
+            seen = state["seen"]
+            pages_crawled = state["counters"]["pages_crawled"]
+            superstep = state["superstep"]
+            result_parts = state["result_parts"]
+        else:
+            frontier = spark.createDataFrame(
+                [(u, None, 0, i, 0.0) for i, u in enumerate(seeds)],
+                "url string, parent string, depth int, seq long, score double",
+            )
+            seen = spark.createDataFrame([], "url string")
+            pages_crawled = 0
+            superstep = 0
+            result_parts = []
         while superstep < cfg.max_supersteps:
             n_frontier = frontier.count()
             if n_frontier == 0:
@@ -291,19 +324,29 @@ class CrawlEngine:
         return self._finish(result_parts, seen, pages_crawled, order=["superstep", "seq"])
 
     # ------------------------------------------------------------- BF
-    def run_best_first(self, seeds: list[str]) -> CrawlRun:
+    def run_best_first(self, seeds: list[str], resume: bool = False) -> CrawlRun:
         cfg = self.cfg
         spark = self.spark
-        queue = spark.createDataFrame(
-            [(0.0, 0, u, None, i) for i, u in enumerate(seeds)],
-            "score double, depth int, url string, parent string, push_seq long",
-        ).localCheckpoint(eager=True)
-        seen = spark.createDataFrame([], "url string")
-        pages_crawled = 0
-        push_seq_base = len(seeds)
-        result_seq_base = 0
-        superstep = 0
-        result_parts: list[DataFrame] = []
+        state = self._restore() if resume else None
+        if state is not None:
+            queue = state["frontier"].localCheckpoint(eager=True)
+            seen = state["seen"]
+            pages_crawled = state["counters"]["pages_crawled"]
+            push_seq_base = state["counters"]["push_seq_base"]
+            result_seq_base = state["counters"]["result_seq_base"]
+            superstep = state["superstep"]
+            result_parts = state["result_parts"]
+        else:
+            queue = spark.createDataFrame(
+                [(0.0, 0, u, None, i) for i, u in enumerate(seeds)],
+                "score double, depth int, url string, parent string, push_seq long",
+            ).localCheckpoint(eager=True)
+            seen = spark.createDataFrame([], "url string")
+            pages_crawled = 0
+            push_seq_base = len(seeds)
+            result_seq_base = 0
+            superstep = 0
+            result_parts = []
         heap_order = [
             F.col("score").asc(), F.col("depth").asc(), F.col("url").asc(),
             F.col("parent").asc_nulls_first(), F.col("push_seq").asc(),
@@ -453,13 +496,14 @@ class CrawlEngine:
         return self._finish(result_parts, seen, pages_crawled, order=["seq"])
 
     # ---------------------------------------------------------- helpers
-    def run(self, seeds: list[str]) -> CrawlRun:
-        fn = {
-            "bfs": self.run_bfs,
-            "dfs": self.run_dfs,
-            "best_first": self.run_best_first,
-        }[self.cfg.strategy]
-        return fn(seeds)
+    def run(self, seeds: list[str], resume: bool = False) -> CrawlRun:
+        if self.cfg.strategy == "bfs":
+            return self.run_bfs(seeds, resume=resume)
+        if self.cfg.strategy == "best_first":
+            return self.run_best_first(seeds, resume=resume)
+        if self.cfg.strategy == "dfs":
+            return self.run_dfs(seeds)
+        raise ValueError(f"unknown strategy {self.cfg.strategy!r}")
 
     def _persist_results(self, results_s: DataFrame, superstep: int) -> DataFrame:
         if self.store is not None:
@@ -472,7 +516,10 @@ class CrawlEngine:
         if self.store is None:
             return
         self.store.write("frontier", frontier, superstep)
-        self.store.write("seen_delta", seen, superstep)  # full set, cheap at parity
+        self.store.write("seen", seen, superstep)
+        if self.metrics:
+            # per-superstep fetch/dedup metrics + partition lineage
+            self.store.write_json("metrics", superstep, self.metrics[-1])
         self.store.commit(superstep, counters)
 
     def _log(self, **kw) -> None:

@@ -1,0 +1,84 @@
+"""Checkpoint/resume (north_rule): a crawl killed mid-run resumes from the
+last committed snapshot and produces byte-identical results to an
+uninterrupted run; orphan dirs from uncommitted supersteps are cleaned."""
+
+import os
+
+import pytest
+
+from crawl4ai_spark.plans.checkpoint import SnapshotStore
+from crawl4ai_spark.plans.frontier import CrawlConfig, CrawlEngine
+from crawl4ai_spark.sources.synth import GraphParams, synth_local, url_of
+
+PARAMS = GraphParams(n_pages=50, n_domains=4, mean_degree=5)
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    pages, links, _ = synth_local(PARAMS)
+    return spark.createDataFrame(pages).cache(), spark.createDataFrame(links).cache()
+
+
+def _rows(run):
+    return [
+        (r["superstep"], r["url"], r["depth"], r["parent"], r["success"])
+        for r in run.results.collect()
+    ]
+
+
+def test_bfs_kill_resume(spark, tables, tmp_path):
+    pages_df, links_df = tables
+    seeds = [url_of(0, PARAMS)]
+    cfg_full = CrawlConfig(strategy="bfs", max_depth=3)
+
+    # ground truth: uninterrupted run
+    want = _rows(CrawlEngine(spark, pages_df, links_df, cfg_full).run(seeds))
+
+    # interrupted: stop after 2 supersteps (simulated kill)
+    store = SnapshotStore(str(tmp_path / "ckpt"))
+    cfg_part = CrawlConfig(strategy="bfs", max_depth=3, max_supersteps=2)
+    CrawlEngine(spark, pages_df, links_df, cfg_part, store=store).run(seeds)
+    assert store.last_commit()["superstep"] == 1
+
+    # resume to completion against the same store
+    resumed = CrawlEngine(spark, pages_df, links_df, cfg_full, store=store).run(
+        seeds, resume=True
+    )
+    assert _rows(resumed) == want
+    # metrics snapshots exist per committed superstep
+    assert os.path.isdir(str(tmp_path / "ckpt" / "metrics" / "000000"))
+
+
+def test_best_first_kill_resume(spark, tables, tmp_path):
+    pages_df, links_df = tables
+    seeds = [url_of(0, PARAMS)]
+    cfg_full = CrawlConfig(strategy="best_first", max_depth=2, max_pages=12)
+
+    want = _rows(CrawlEngine(spark, pages_df, links_df, cfg_full).run(seeds))
+
+    store = SnapshotStore(str(tmp_path / "ckpt_bf"))
+    cfg_part = CrawlConfig(strategy="best_first", max_depth=2, max_pages=12,
+                           max_supersteps=1)
+    CrawlEngine(spark, pages_df, links_df, cfg_part, store=store).run(seeds)
+    resumed = CrawlEngine(spark, pages_df, links_df, cfg_full, store=store).run(
+        seeds, resume=True
+    )
+    assert _rows(resumed) == want
+
+
+def test_orphan_cleanup(spark, tables, tmp_path):
+    pages_df, links_df = tables
+    store = SnapshotStore(str(tmp_path / "ckpt2"))
+    cfg = CrawlConfig(strategy="bfs", max_depth=2, max_supersteps=2)
+    CrawlEngine(spark, pages_df, links_df, cfg, store=store).run(
+        [url_of(0, PARAMS)]
+    )
+    committed = store.last_commit()["superstep"]
+    # simulate a crash that wrote data for superstep committed+1 but died
+    # before the manifest commit
+    orphan = tmp_path / "ckpt2" / "frontier" / f"{committed + 1:06d}"
+    orphan.mkdir(parents=True)
+    (orphan / "part-junk.parquet").write_bytes(b"junk")
+    removed = store.clean_orphans(committed)
+    assert f"frontier/{committed + 1:06d}" in removed
+    assert not orphan.exists()

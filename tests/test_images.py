@@ -1,0 +1,108 @@
+"""Codec round-trips, per-row invariants (north_rule: exact for lossless,
+PSNR ≥ 40 dB for the lossy path, captions byte-equal end-to-end), and the
+G4 image-score golden table (content_scraping_strategy.py:320-362)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark import codecs
+from crawl4ai_spark.functions.images import (
+    decode_stage,
+    fetch_payload,
+    image_keep,
+    image_score,
+)
+from crawl4ai_spark.sources.synth import GraphParams, image_pixels, synth_local
+
+
+def test_codec_roundtrip_lossless():
+    px = image_pixels("img_x", 33, 17, 42)
+    for fmt in ("raw", "ppm", "png"):
+        data = codecs.encode(px, fmt)
+        back = codecs.decode(data, fmt, 33, 17)
+        assert (back == px).all(), fmt
+
+
+def test_codec_qlossy_psnr():
+    px = image_pixels("img_y", 64, 48, 42)
+    back = codecs.decode(codecs.encode(px, "qlossy"), "qlossy", 64, 48)
+    p = codecs.psnr(px, back)
+    assert 40.0 <= p < 45.0, p  # genuinely lossy AND within budget
+
+
+def test_phash_deterministic_and_sensitive():
+    px = image_pixels("img_z", 32, 32, 42)
+    h1 = codecs.phash64(px)
+    assert h1 == codecs.phash64(px.copy())
+    other = image_pixels("img_other", 32, 32, 42)
+    assert h1 != codecs.phash64(other)
+
+
+def test_decode_stage_invariants(spark):
+    p = GraphParams(n_pages=40, n_domains=4)
+    _, _, images_pdf = synth_local(p, images=True)
+    assert set(images_pdf["fmt"]) == {"raw", "ppm", "png", "qlossy"}
+    df = spark.createDataFrame(images_pdf)
+    out = decode_stage(df, seed=p.seed).collect()
+    assert len(out) == 40
+    for r in out:
+        assert r["decoded_w"] == r["w"] and r["decoded_h"] == r["h"]
+        assert r["phash_match"], r["image_id"]
+        if r["fmt"] == "qlossy":
+            assert r["psnr"] >= 40.0, (r["image_id"], r["psnr"])
+            assert not r["pixel_exact"]
+        else:
+            assert r["pixel_exact"], (r["image_id"], r["fmt"])
+    # captions byte-equal through the Spark round-trip
+    got = {r["image_id"]: r["caption"] for r in out}
+    want = dict(zip(images_pdf["image_id"], images_pdf["caption"]))
+    assert got == want
+
+
+def test_payload_join_caption_passthrough(spark):
+    from crawl4ai_spark.plans.frontier import CrawlConfig, deep_crawl
+    from crawl4ai_spark.sources.synth import url_of
+
+    p = GraphParams(n_pages=40, n_domains=4)
+    pages_pdf, links_pdf, images_pdf = synth_local(p, images=True)
+    pages_df = spark.createDataFrame(pages_pdf)
+    links_df = spark.createDataFrame(links_pdf)
+    images_df = spark.createDataFrame(images_pdf)
+    run = deep_crawl(spark, [url_of(0, p)], pages_df, links_df,
+                     CrawlConfig(strategy="bfs", max_depth=2))
+    payload = fetch_payload(run.results, images_df)
+    rows = payload.select("image_id", "caption").collect()
+    assert rows, "payload join produced no rows"
+    want = dict(zip(images_pdf["image_id"], images_pdf["caption"]))
+    for r in rows:
+        assert r["caption"] == want[r["image_id"]]
+
+
+# G4 golden table: (w,h,alt,index,total,src,data_src,srcset,data_srcset,in_picture) -> score
+G4_CASES = [
+    ((200, 200, "desc", 0, 10, "a.jpg", "", "", "", False), 5),  # w,h,alt,early,fmt
+    ((100, 100, "", 9, 10, "a.bin", "", "", "", False), 0),
+    ((151, 150, "x", 4, 10, "a.png", "", "b.png 2x", "", True), 7 - 1),  # h not >150
+    ((None, None, "", 0, 2, "", "", "", "", False), 1),  # only early-position
+    ((200, 200, "alt", 5, 10, "photo.webp", "", "", "", False), 4),
+]
+
+
+def test_image_score_golden(spark):
+    rows = [tuple(c[0]) for c in G4_CASES]
+    df = spark.createDataFrame(
+        rows,
+        "w int, h int, alt string, idx int, total int, src string, data_src string, "
+        "srcset string, data_srcset string, in_picture boolean",
+    )
+    col = image_score(
+        F.col("w"), F.col("h"), F.col("alt"), F.col("idx"), F.col("total"),
+        F.col("src"), F.col("data_src"), F.col("srcset"), F.col("data_srcset"),
+        F.col("in_picture"),
+    )
+    got = [r["s"] for r in df.select(col.alias("s")).collect()]
+    want = [c[1] for c in G4_CASES]
+    assert got == want
+    kept = [r["k"] for r in df.select(image_keep(col).alias("k")).collect()]
+    assert kept == [s > 2 for s in want]

@@ -1,0 +1,118 @@
+"""Politeness slots/budget/backoff invariants (async_dispatcher.py:30-87
+semantics) and URL-seen bloom/anti-join correctness."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.operators.politeness import (
+    apply_host_budget,
+    makespan_metrics,
+    salt_hot_hosts,
+    update_domain_state,
+    with_host_slots,
+)
+from crawl4ai_spark.operators.seen import PartitionedBloom, anti_join_seen, bloom_params
+
+
+def _frontier(spark, n=60):
+    def host(i):
+        return ("hot.test", "a.test", "b.test")[i % 3] if i % 2 else "hot.test"
+
+    rows = [(f"https://{host(i)}/p{i}", host(i), i) for i in range(n)]
+    return spark.createDataFrame(rows, "url string, host string, seq long")
+
+
+def test_slots_and_budget(spark):
+    politeness = spark.createDataFrame(
+        [("a.test", 2.0), ("b.test", 1.0), ("hot.test", 0.5)], "host string, delay_s double"
+    )
+    df = with_host_slots(_frontier(spark), politeness, order_cols=["seq"])
+    rows = df.collect()
+    # slot = rank * delay within host, rank follows seq order
+    by_host = {}
+    for r in sorted(rows, key=lambda r: r["seq"]):
+        k = by_host.setdefault(r["host"], [])
+        assert r["host_rank"] == len(k)
+        k.append(r)
+    for h, delay in [("a.test", 2.0), ("b.test", 1.0), ("hot.test", 0.5)]:
+        for r in by_host[h]:
+            assert r["send_at_s"] == pytest.approx(r["host_rank"] * delay)
+    within, deferred = apply_host_budget(df, budget=5)
+    w, d = within.count(), deferred.count()
+    assert w + d == len(rows)
+    assert within.groupBy("host").count().agg(F.max("count")).collect()[0][0] <= 5
+    # makespan metric reflects the per-host straggler
+    mk = {r["host"]: r["makespan_s"] for r in makespan_metrics(df).collect()}
+    assert mk["hot.test"] == pytest.approx((len(by_host["hot.test"]) - 1) * 0.5)
+
+
+def test_backoff_semantics():
+    state = pd.DataFrame(columns=["host", "current_delay", "fail_count", "give_up"])
+    results = pd.DataFrame(
+        [
+            {"seq": 0, "host": "a.test", "status_code": 200},
+            {"seq": 1, "host": "a.test", "status_code": 429},
+            {"seq": 2, "host": "a.test", "status_code": 429},
+            {"seq": 3, "host": "b.test", "status_code": 200},
+        ]
+    )
+    out = update_domain_state(state, results, seed=42, superstep=0)
+    a = out[out.host == "a.test"].iloc[0]
+    assert a.fail_count == 2 and not a.give_up
+    assert 1.0 <= a.current_delay <= 60.0
+    # four rate-limit hits in a row → give up (max_retries=3)
+    results2 = pd.DataFrame(
+        [{"seq": i, "host": "a.test", "status_code": 429} for i in range(4)]
+    )
+    out2 = update_domain_state(out, results2, seed=42, superstep=1)
+    assert bool(out2[out2.host == "a.test"].iloc[0].give_up)
+    # success resets fail_count and decays delay toward base
+    results3 = pd.DataFrame([{"seq": 0, "host": "b.test", "status_code": 200}])
+    out3 = update_domain_state(out2, results3, seed=42, superstep=2)
+    b = out3[out3.host == "b.test"].iloc[0]
+    assert b.fail_count == 0 and 1.0 <= b.current_delay <= 3.0
+    # determinism: same inputs → same outputs
+    again = update_domain_state(out2, results3, seed=42, superstep=2)
+    pd.testing.assert_frame_equal(out3, again)
+
+
+def test_salting_splits_hot_host(spark):
+    df = _frontier(spark, n=90)
+    salted = salt_hot_hosts(df, hot_hosts=["hot.test"], buckets=4)
+    parts = {r["host_part"] for r in salted.collect()}
+    hot_parts = {p for p in parts if p.startswith("hot.test#")}
+    assert len(hot_parts) > 1  # hot host fans out
+    assert "a.test" in parts and "b.test" in parts  # cold hosts untouched
+
+
+def test_bloom_no_false_negatives_and_prefilter(spark):
+    seen_urls = [(f"https://s.test/{i}",) for i in range(500)]
+    seen = spark.createDataFrame(seen_urls, "url string").withColumn(
+        "url_hash", F.xxhash64("url")
+    )
+    bloom = PartitionedBloom.build(seen, capacity=500, n_buckets=8)
+    # no false negatives: every seen hash must report maybe_seen
+    hashes = np.array([r["url_hash"] for r in seen.collect()], dtype=np.int64)
+    assert bloom.might_contain_np(hashes).all()
+    # candidates: 300 dups + 300 new → anti-join equals exact result
+    cand = spark.createDataFrame(
+        [(f"https://s.test/{i}",) for i in range(200, 800)], "url string"
+    )
+    exact = {r["url"] for r in anti_join_seen(cand, seen).collect()}
+    with_bloom = {r["url"] for r in anti_join_seen(cand, seen, bloom=bloom).collect()}
+    assert with_bloom == exact == {f"https://s.test/{i}" for i in range(500, 800)}
+    # FP rate sane on fresh keys
+    fresh = np.array(
+        [hash(f"x{i}") % (1 << 63) for i in range(2000)], dtype=np.int64
+    )
+    fp = bloom.might_contain_np(fresh).mean()
+    assert fp < 0.05, fp
+
+
+def test_bloom_sizing_formula():
+    m, k = bloom_params(1_000_000, 0.01)
+    # crazy.py:112-120: n=1e6, p=0.01 → m ≈ 9.585e6 bits, k ≈ 7
+    assert abs(m - 9_585_059) < 8
+    assert k == 7

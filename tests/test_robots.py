@@ -1,0 +1,89 @@
+"""Robots semantics truth table, ported from the reference's parser cases
+(tests/20241401/test_robot_parser.py:52-124 + RobotsParser.can_fetch
+utils.py:276-328): allow /public, deny /private, malformed/empty/missing/
+fetch-error → allow; the engine turns a disallow into a 403 non-success
+result without fetching (async_webcrawler.py:361-370)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.operators.robots import allowed_for, robots_gate
+
+RULES = "User-agent: *\nAllow: /public/\nDisallow: /private/\n"
+
+
+def test_allowed_for_truth_table():
+    urls = [
+        "https://h.test/public/page.html",
+        "https://h.test/private/page.html",
+        "https://h.test/other",
+    ]
+    assert allowed_for(urls, RULES) == [True, False, True]
+    # empty / malformed / missing → allow everything
+    assert allowed_for(urls, "") == [True, True, True]
+    assert allowed_for(urls, "<<<malformed>>>") == [True, True, True]
+    assert allowed_for(urls, None) == [True, True, True]
+
+
+def test_giant_rules_allow_specific():
+    giant = "User-agent: *\n" + "\n".join(f"Disallow: /x{i}/" for i in range(10000))
+    assert allowed_for(["https://h.test/x55/a", "https://h.test/ok"], giant) == [False, True]
+
+
+def test_robots_gate_dataframe(spark):
+    robots_pdf = pd.DataFrame(
+        [
+            {"host": "a.test", "rules": RULES, "fetch_time": 1_700_000_000, "status": 200},
+            {"host": "b.test", "rules": "User-agent: *\nDisallow: /\n",
+             "fetch_time": 1_700_000_000, "status": 200},
+            {"host": "err.test", "rules": None, "fetch_time": 1_700_000_000, "status": 599},
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            ("https://a.test/public/x", "a.test"),
+            ("https://a.test/private/x", "a.test"),
+            ("https://b.test/anything", "b.test"),
+            ("https://err.test/x", "err.test"),
+            ("https://unknown.test/x", "unknown.test"),
+        ],
+        "fetch_key string, host string",
+    )
+    got = {
+        r["fetch_key"]: r["robots_allowed"]
+        for r in robots_gate(df, robots_pdf).collect()
+    }
+    assert got == {
+        "https://a.test/public/x": True,
+        "https://a.test/private/x": False,
+        "https://b.test/anything": False,
+        "https://err.test/x": True,   # fetch error → allow
+        "https://unknown.test/x": True,  # missing host → allow
+    }
+
+
+def test_engine_robots_403(spark):
+    """Disallowed URLs become success=False/status=403 results and still
+    enter the URL-seen set (visited-before-fetch), discovering no links."""
+    from crawl4ai_spark.plans.frontier import CrawlConfig, deep_crawl
+    from crawl4ai_spark.sources.synth import GraphParams, synth_local, url_of
+
+    p = GraphParams(n_pages=30, n_domains=3)
+    pages_pdf, links_pdf, _ = synth_local(p)
+    robots_pdf = pd.DataFrame(
+        [{"host": h, "rules": "User-agent: *\nDisallow: /\n",
+          "fetch_time": 1_700_000_000, "status": 200}
+         for h in ["ex1.test", "ex2.test"]]
+    )
+    run = deep_crawl(
+        spark, [url_of(0, p)],
+        spark.createDataFrame(pages_pdf), spark.createDataFrame(links_pdf),
+        CrawlConfig(strategy="bfs", max_depth=2, check_robots_txt=True),
+        robots_pdf=robots_pdf,
+    )
+    rows = run.results.collect()
+    blocked = [r for r in rows if r["host"] in ("ex1.test", "ex2.test")]
+    for r in blocked:
+        assert r["status_code"] == 403 and not r["success"]
+    allowed = [r for r in rows if r["host"] == "ex0.test"]
+    assert any(r["success"] for r in allowed)
