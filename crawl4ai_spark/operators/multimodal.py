@@ -1,0 +1,100 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with (fmt, w, h, …) metadata
+structs; every transform is an Arrow ``mapInPandas`` stage with a real
+schema, partitioning story and batch shape.  Codecs available in this
+sandbox (pure numpy/zlib: raw/ppm/png/qlossy) decode for real; formats that
+need external libs (jpeg/webp, audio, video) are STUBBED behind
+``NotImplementedError`` with the Spark-side plumbing fully real and tested
+— swap the stub body for PIL/ffmpeg on a real cluster.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .. import codecs
+
+STUB_FORMATS = {"jpg", "jpeg", "webp", "avif", "gif"}
+
+
+def decode_rgb(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    if fmt in codecs.FORMATS:
+        return codecs.decode(data, fmt, w, h)
+    if fmt in STUB_FORMATS:
+        # STUB: external image libs unavailable in this sandbox; a real
+        # deployment decodes via PIL/turbojpeg here.
+        raise NotImplementedError(f"codec for {fmt!r} requires PIL/libjpeg")
+    raise ValueError(f"unknown image format {fmt!r}")
+
+
+def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize, pure numpy."""
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return px[ys][:, xs]
+
+
+RESIZED_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
+
+
+def resize_stage(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """binary → decode → resize → re-encode (raw) → binary, batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples():
+                px = decode_rgb(r.bytes, r.fmt, int(r.w), int(r.h))
+                small = resize_nearest(px, out_w, out_h)
+                rows.append(
+                    {"image_id": r.image_id, "bytes": codecs.encode_raw(small),
+                     "w": out_w, "h": out_h, "fmt": "raw"}
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, RESIZED_SCHEMA
+    )
+
+
+FEATURES_SCHEMA = "image_id string, features array<float>"
+
+
+def feature_stage(images: DataFrame, grid: int = 4) -> DataFrame:
+    """Deterministic visual features: grid×grid per-channel block means →
+    array<float> of length grid²·3 (the embedding-extraction slot; swap the
+    body for a real vision encoder on a cluster with GPUs)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, feats = [], []
+            for r in b.itertuples():
+                px = decode_rgb(r.bytes, r.fmt, int(r.w), int(r.h)).astype(np.float32)
+                small = resize_nearest(px, grid, grid)
+                ids.append(r.image_id)
+                feats.append((small / 255.0).ravel().tolist())
+            yield pd.DataFrame({"image_id": ids, "features": feats})
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, FEATURES_SCHEMA
+    )
+
+
+def frame_sample_stage(videos: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame sampling plumbing. STUB: no ffmpeg in this sandbox — a
+    real deployment demuxes and decodes here. The schema and batch shape
+    are the real contract: (video_id, frame_idx, bytes, w, h, fmt)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError("video decode requires ffmpeg; plumbing only")
+        yield  # pragma: no cover
+
+    return videos.mapInPandas(
+        run, "video_id string, frame_idx int, bytes binary, w int, h int, fmt string"
+    )

@@ -1,0 +1,153 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+  - ``brute_force_topk`` — exact cosine top-k. The query side is a small
+    matrix broadcast into an Arrow stage; each batch does ONE numpy
+    matmul (batch_rows × dim × n_queries) — the right baseline shape even
+    at 10^9 rows because it's embarrassingly parallel with zero shuffle;
+    the global top-k is a TakeOrdered, not a full sort.
+  - ``lsh_ann_topk`` — sign-random-projection LSH: embeddings hash to
+    2^n_planes buckets; queries probe their own bucket (+ optional
+    multi-probe neighbors at Hamming distance 1). Candidates shrink by
+    ~bucket_count×, trading recall for shuffle volume — the scale path.
+
+Plus ``cosine_topk_sql_shape`` — the same exact computation expressed in
+pure Catalyst (aggregate/zip_with), used by the DuckDB-checked harness
+query so the oracle can verify the math.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_col(vec_col, qvec: list[float]):
+    """Exact cosine(vec, constant query) as a Catalyst expression."""
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    dot = F.aggregate(
+        F.zip_with(vec_col, q, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_v = F.sqrt(
+        F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+    qn = float(np.sqrt(np.dot(qvec, qvec)))
+    return dot / (norm_v * F.lit(qn))
+
+
+def brute_force_topk(embeddings: DataFrame, queries: np.ndarray, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, vec_id, cosine, rank)."""
+    spark = embeddings.sparkSession
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-30)
+    bc = spark.sparkContext.broadcast(qn.astype(np.float64))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q = bc.value  # (nq, dim)
+        for b in batches:
+            if not len(b):
+                continue
+            mat = np.stack(b[vec_col].to_numpy()).astype(np.float64)  # (n, dim)
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            sims = (mat / norms) @ q.T  # (n, nq)
+            n, nq = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(np.arange(nq), n),
+                    id_col: np.tile(b[id_col].to_numpy(), nq),
+                    "cosine": sims.T.ravel(),
+                }
+            )
+
+    scored = embeddings.select(id_col, vec_col).mapInPandas(
+        score, f"query_id int, {id_col} long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _plane_matrix(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((n_planes, dim))
+
+
+def srp_bucket_df(embeddings: DataFrame, n_planes: int = 8, seed: int = 42,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Add ``bucket`` (sign-random-projection hash, 0..2^n_planes-1)."""
+    spark = embeddings.sparkSession
+    sample = embeddings.select(vec_col).first()
+    dim = len(sample[0])
+    bc = spark.sparkContext.broadcast(_plane_matrix(dim, n_planes, seed))
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in embeddings.schema.fields)
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = bc.value
+        weights = 1 << np.arange(planes.shape[0], dtype=np.int64)
+        for b in batches:
+            if not len(b):
+                continue
+            mat = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            bits = (mat @ planes.T) > 0
+            b = b.copy()
+            b["bucket"] = bits @ weights
+            yield b
+
+    return embeddings.mapInPandas(bucketize, f"{fields}, bucket long")
+
+
+def lsh_ann_topk(embeddings: DataFrame, queries: np.ndarray, k: int = 10,
+                 n_planes: int = 8, seed: int = 42, multiprobe: bool = True,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: only same-bucket (±Hamming-1 probes) candidates
+    are scored. Returns (query_id, vec_id, cosine, rank)."""
+    spark = embeddings.sparkSession
+    bucketed = srp_bucket_df(embeddings, n_planes, seed, id_col, vec_col)
+    planes = _plane_matrix(queries.shape[1], n_planes, seed)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    qbits = (queries @ planes.T) > 0
+    qbuckets = qbits @ weights
+    probes = []
+    for qi, qb in enumerate(qbuckets):
+        probes.append((qi, int(qb)))
+        if multiprobe:
+            for p in range(n_planes):
+                probes.append((qi, int(qb) ^ (1 << p)))
+    probe_df = spark.createDataFrame(probes, "query_id int, bucket long")
+    cand = bucketed.join(F.broadcast(probe_df), "bucket").dropDuplicates(
+        ["query_id", id_col]
+    )
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-30)
+    bc = spark.sparkContext.broadcast(qn.astype(np.float64))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            mat = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            unit = mat / norms
+            qs = q[b["query_id"].to_numpy()]
+            b_out = pd.DataFrame(
+                {
+                    "query_id": b["query_id"].to_numpy(),
+                    id_col: b[id_col].to_numpy(),
+                    "cosine": np.einsum("ij,ij->i", unit, qs),
+                }
+            )
+            yield b_out
+
+    scored = cand.select("query_id", id_col, vec_col).mapInPandas(
+        score, f"query_id int, {id_col} long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

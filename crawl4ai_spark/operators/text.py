@@ -1,0 +1,97 @@
+"""Text analysis for training-data pipelines — all pure Catalyst columns.
+
+Language-ID (stopword n-gram heuristic), quality scoring (length / punct /
+stopword ratios), token counting (whitespace + BPE-ish subword estimate),
+and document fingerprinting. Everything stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small built-in stopword profiles (top function words per language).
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "a", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "una", "por", "con"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "von", "mit", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"],
+}
+
+
+def tokens_col(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_col(text))
+
+
+def subword_count(text: Column) -> Column:
+    """BPE-ish token estimate: alnum runs + punctuation marks each count
+    one, long words count ceil(len/6) pieces — a deterministic stand-in
+    for a real tokenizer's piece count."""
+    words = F.filter(F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: t != "")
+    pieces = F.aggregate(
+        words, F.lit(0), lambda acc, wd: acc + F.ceil(F.length(wd) / 6.0).cast("int")
+    )
+    punct = F.size(F.filter(F.split(text, ""), lambda c: c.rlike(r"[^\w\s]")))
+    return pieces + punct
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    toks = tokens_col(text)
+    words = LANG_PROFILES[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of stopword-profile hit counts; CJK
+    codepoint presence short-circuits to 'zh'; no hits → 'und'."""
+    has_cjk = text.rlike(r"[一-鿿]")
+    scores = [(lang, stopword_hits(text, lang)) for lang in LANG_PROFILES]
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang, s in scores:
+        is_better = s > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return F.when(has_cjk, F.lit("zh")).otherwise(best)
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] composite: length band + punctuation ratio + stopword ratio +
+    mean word length sanity — the usual cheap pretraining-quality gates."""
+    toks = tokens_col(text)
+    n_toks = F.size(toks)
+    n_chars = F.length(text)
+    s_len = (
+        F.when((n_toks >= 20) & (n_toks <= 5000), 1.0)
+        .when(n_toks >= 5, 0.5)
+        .otherwise(0.0)
+    )
+    punct = F.length(F.regexp_replace(text, r"[^.!?,;:]", ""))
+    punct_ratio = punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    s_punct = F.when((punct_ratio > 0.001) & (punct_ratio < 0.2), 1.0).otherwise(0.3)
+    stop_ratio = stopword_hits(text, "en").cast("double") / F.greatest(
+        n_toks, F.lit(1)
+    ).cast("double")
+    s_stop = F.when(stop_ratio > 0.05, 1.0).when(stop_ratio > 0.01, 0.6).otherwise(0.2)
+    mean_wlen = F.greatest(n_chars - n_toks + 1, F.lit(0)).cast("double") / F.greatest(
+        n_toks, F.lit(1)
+    ).cast("double")
+    s_wlen = F.when((mean_wlen >= 2.5) & (mean_wlen <= 12.0), 1.0).otherwise(0.4)
+    return (s_len * 0.4 + s_punct * 0.2 + s_stop * 0.2 + s_wlen * 0.2).cast("double")
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Stable content fingerprint: md5 of whitespace-normalized lowercase
+    text (md5 exists in both Spark and DuckDB → oracle-checkable)."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
+
+
+def fingerprint_xxh(text: Column) -> Column:
+    """64-bit rolling-style fingerprint (xxhash64) — the engine-internal
+    key (same family as the URL-seen key)."""
+    return F.xxhash64(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))

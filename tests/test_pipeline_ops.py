@@ -1,0 +1,167 @@
+"""Training-data pipeline operators over the driver testdata tables:
+dedup (exact / minhash-LSH / simhash / n-gram Jaccard), similarity search
+(brute-force vs LSH recall), text analysis, multimodal plumbing."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.operators import dedup, similarity, text
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_exact_dedup(spark, docs):
+    base = docs.limit(50)
+    dupes = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    union = base.unionByName(dupes)
+    out = dedup.exact_dedup(union)
+    assert out.count() == base.count()
+    # deterministic keeper: the lowest doc_id survives
+    assert out.agg(F.max("doc_id")).collect()[0][0] < 1_000_000
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    rows = docs.limit(30).collect()
+    mutated = []
+    for r in rows[:10]:
+        words = r["text"].split()
+        words[len(words) // 2] = "MUTATED"
+        mutated.append((r["doc_id"] + 10_000, " ".join(words)))
+    df = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows] + mutated, "doc_id long, text string"
+    )
+    pairs = dedup.minhash_lsh_pairs(df, threshold=0.5).collect()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    want = {(r["doc_id"], r["doc_id"] + 10_000) for r in rows[:10]}
+    hit = len(found & want) / len(want)
+    assert hit >= 0.8, (hit, found)
+
+
+def test_simhash_pairs(spark, docs):
+    rows = docs.limit(20).collect()
+    clones = [(r["doc_id"] + 10_000, r["text"]) for r in rows[:5]]
+    df = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows] + clones, "doc_id long, text string"
+    )
+    pairs = dedup.simhash_pairs(df, max_hamming=3).collect()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    want = {(r["doc_id"], r["doc_id"] + 10_000) for r in rows[:5]}
+    assert want <= found  # identical docs → hamming 0 → must all be found
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text with nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.3).collect()
+    found = {(p["id_a"], p["id_b"]): p["jaccard"] for p in pairs}
+    assert (1, 2) in found
+    # docs 1,2: 7 trigrams each, only the final trigram differs → J = 6/8
+    assert found[(1, 2)] == pytest.approx(6 / 8)
+    assert (1, 3) not in found and (2, 3) not in found
+
+
+def test_brute_force_topk_matches_numpy(spark, embeddings):
+    rows = embeddings.collect()
+    mat = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    queries = mat[:3].copy()
+    got = similarity.brute_force_topk(embeddings, queries, k=5).collect()
+    unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = unit @ qn.T
+    for qi in range(3):
+        order = sorted(zip(-sims[:, qi], ids))[:5]
+        want = [int(i) for _, i in order]
+        mine = [r["vec_id"] for r in sorted(
+            (r for r in got if r["query_id"] == qi), key=lambda r: r["rank"]
+        )]
+        assert mine == want, qi
+
+
+def test_lsh_ann_recall(spark):
+    # planted clusters: LSH recall is only meaningful when neighbors are
+    # actually closer than random (uniform-random vectors have none)
+    rng = np.random.Generator(np.random.PCG64(7))
+    centers = rng.standard_normal((5, 64))
+    vecs, rows = [], []
+    vid = 0
+    for c in centers:
+        for _ in range(30):
+            v = c + 0.05 * rng.standard_normal(64)
+            rows.append((vid, v.astype(np.float32).tolist()))
+            vecs.append(v)
+            vid += 1
+    embeddings = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = np.stack(centers)
+    exact = similarity.brute_force_topk(embeddings, queries, k=10).collect()
+    approx = similarity.lsh_ann_topk(embeddings, queries, k=10, n_planes=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert np.mean(recalls) >= 0.8, recalls  # clustered data, multiprobe LSH
+
+
+def test_text_analysis_columns(spark, docs):
+    out = docs.select(
+        "doc_id", "lang",
+        text.token_count(F.col("text")).alias("n_tok"),
+        text.subword_count(F.col("text")).alias("n_sub"),
+        text.quality_score(F.col("text")).alias("q"),
+        text.lang_id(F.col("text")).alias("lang_guess"),
+        text.fingerprint_md5(F.col("text")).alias("fp"),
+    ).collect()
+    for r in out:
+        assert r["n_tok"] > 0 and r["n_sub"] >= r["n_tok"] // 2
+        assert 0.0 <= r["q"] <= 1.0
+        assert len(r["fp"]) == 32
+    # the synthetic docs' text is drawn from an English-ish wordlist for
+    # every row; lang-id on the zh rows can't work without CJK chars, so
+    # just check the column is total and produces known labels
+    assert {r["lang_guess"] for r in out} <= set(text.LANG_PROFILES) | {"und", "zh"}
+
+
+def test_multimodal_stages(spark):
+    from crawl4ai_spark.operators.multimodal import (
+        decode_rgb, feature_stage, resize_stage,
+    )
+    from crawl4ai_spark.sources.synth import GraphParams, synth_local
+
+    _, _, images_pdf = synth_local(GraphParams(n_pages=12, n_domains=2), images=True)
+    df = spark.createDataFrame(images_pdf)
+    resized = resize_stage(df, 16, 16).collect()
+    assert len(resized) == 12
+    for r in resized:
+        assert r["w"] == 16 and r["h"] == 16 and len(r["bytes"]) == 16 * 16 * 3
+    feats = feature_stage(df, grid=4).collect()
+    for r in feats:
+        assert len(r["features"]) == 4 * 4 * 3
+        assert all(0.0 <= x <= 1.0 for x in r["features"])
+    # stubbed codec path is explicit, not silent
+    with pytest.raises(NotImplementedError):
+        decode_rgb(b"", "jpeg", 1, 1)
