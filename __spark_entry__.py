@@ -1,38 +1,698 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship deep-crawl; ``queries()`` exposes
+one probe per implemented operator family from SURVEY.md §2; ``oracle_sql()``
+gives the DuckDB-equivalent ANSI SQL for every SQL-expressible probe (the
+driver cross-checks row-count + schema + order-insensitive value-hash at
+sf=0.01).  Engine-native probes (superstep crawl loops, xxhash64-keyed
+minhash/simhash, Arrow decode stages) carry no oracle entry → rows-only check.
+
+Numeric-parity rules used throughout:
+  - aggregates over monetary columns go through DECIMAL(18,2) so the sum is
+    exact (order-independent) in both engines;
+  - doubles produced by identical scalar expression trees (CASE ladders,
+    single divisions) are compared un-rounded — both engines execute the
+    same IEEE ops;
+  - cosine similarities (different summation order between engines) are
+    rounded to 4 dp on both sides;
+  - float32 weight semantics (reference scorers store weights in
+    ctypes.c_float) are reproduced in SQL via CAST(... AS REAL)::DOUBLE and
+    by embedding repr(float(np.float32(w))) literals.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from crawl4ai_spark.functions.canonical import canonical_col
+from crawl4ai_spark.functions.filters import FilterSpec
+from crawl4ai_spark.functions.scorers import (
+    ScorerSpec,
+    composite_score,
+    content_type_score,
+    domain_authority_score,
+    freshness_score,
+    keyword_relevance,
+    path_depth_score,
+)
+from crawl4ai_spark.functions.images import decode_stage
+from crawl4ai_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from crawl4ai_spark.operators.politeness import apply_host_budget, with_host_slots
+from crawl4ai_spark.operators.similarity import brute_force_topk, cosine_col, lsh_ann_topk
+from crawl4ai_spark.operators.text import (
+    fingerprint_md5,
+    lang_id,
+    quality_score,
+    stopword_hits,
+    token_count,
+)
+from crawl4ai_spark.operators.multimodal import feature_stage
+from crawl4ai_spark.plans.frontier import CrawlConfig, deep_crawl
+from crawl4ai_spark.sources import synth
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _f32(x: float) -> str:
+    """SQL literal of the float32 rounding of x (scorer weight semantics)."""
+    return repr(float(np.float32(x)))
+
+
+# --------------------------------------------------------------------------
+# Shared probe inputs (identical construction Spark-side and SQL-side)
+# --------------------------------------------------------------------------
+
+_ANN_QUERY = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+_ANN_QNORM = float(np.sqrt(np.dot(_ANN_QUERY, _ANN_QUERY)))
+_KEYWORDS = ["blue", "widget", "rod"]
+
+_STOP_EN = ["the", "and", "of", "to", "in", "is", "a", "that", "it", "for"]
+_NORM_SQL = "lower(trim(regexp_replace({c}, '\\s+', ' ', 'g')))"
+
+
+def _freshness_url():
+    """orders → https://ex.test/blog/<1992..1998>/item.html"""
+    y = (F.col("o_orderkey") % 7 + F.lit(1992)).cast("string")
+    return F.concat(F.lit("https://ex.test/blog/"), y, F.lit("/item.html"))
+
+
+_FRESHNESS_URL_SQL = "'https://ex.test/blog/' || CAST(o_orderkey % 7 + 1992 AS VARCHAR) || '/item.html'"
+
+
+# --------------------------------------------------------------------------
+# Flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: deep BFS crawl (filters + scorer + robots + politeness) of
+    the deterministic synthetic image+caption web graph; also touches the
+    sf0.001 testdata to exercise the parquet ingestion path."""
+    _ = _t(spark, "/root/testdata/sf0.001", "documents").count()
+    p = synth.GraphParams(n_pages=240, n_domains=12, seed=42)
+    pages, links, _images = synth.synth_tables(spark, p)
+    pages, links = pages.cache(), links.cache()
+    cfg = CrawlConfig(
+        strategy="bfs",
+        max_depth=2,
+        max_pages=150,
+        check_robots_txt=True,
+        scorer=ScorerSpec(kind="freshness", current_year=2024, weight=1.0),
+    )
+    run = deep_crawl(
+        spark,
+        seeds=[synth.url_of(0, p)],
+        pages=pages,
+        links=links,
+        config=cfg,
+        robots_pdf=synth.gen_robots(p),
+        politeness=spark.createDataFrame(synth.gen_politeness(p)),
+    )
+    return run.results
 
+
+# --------------------------------------------------------------------------
+# queries()
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---------------- dedup / fingerprint family (SURVEY §2.8, pipeline ops)
+    def q_exact_dedup(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return exact_dedup(docs).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            fingerprint_md5(F.col("text")).alias("fp"),
+        )
+    q["exact_dedup"] = q_exact_dedup
 
+    def q_ngram_jaccard(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return ngram_jaccard_pairs(docs, n=3, threshold=0.1).select(
+            F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    q["ngram_jaccard"] = q_ngram_jaccard
+
+    def q_token_stats(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+            stopword_hits(F.col("text"), "en").cast("long").alias("n_stop_en"),
+            fingerprint_md5(F.col("text")).alias("fp"),
+        )
+    q["token_stats"] = q_token_stats
+
+    def q_lang_quality(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            lang_id(F.col("text")).alias("lang_pred"),
+            quality_score(F.col("text")).alias("quality"),
+        )
+    q["lang_quality"] = q_lang_quality
+
+    # --------------------------------- URL canonicalizer (C2, utils.py:2162)
+    def q_url_canonicalize(spark, sf):
+        o = _t(spark, sf, "orders")
+        base = F.concat(
+            F.lit("https://ex"), (F.col("o_orderkey") % 5).cast("string"),
+            F.lit(".test/shop/p"), F.col("o_orderkey").cast("string"), F.lit(".html"),
+        )
+        upper = F.concat(
+            F.lit("https://EX"), (F.col("o_orderkey") % 5).cast("string"),
+            F.lit(".TEST/shop/p"), F.col("o_orderkey").cast("string"), F.lit(".html"),
+        )
+        v = F.col("o_orderkey") % 4
+        raw = (
+            F.when(v == 1, F.concat(base, F.lit("#sec")))
+            .when(v == 2, F.concat(base, F.lit("?utm_source=feed&utm_campaign=x")))
+            .when(v == 3, upper)
+            .otherwise(base)
+        )
+        out = o.select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"), raw.alias("raw")
+        )
+        return out.select(
+            "o_orderkey", canonical_col(F.col("raw"), F.col("raw")).alias("canon")
+        )
+    q["url_canonicalize"] = q_url_canonicalize
+
+    # ------------------------------------------ scorers (K1-K6, SURVEY §2.4)
+    def q_keyword_score(spark, sf):
+        p = _t(spark, sf, "part")
+        url = F.concat(
+            F.lit("https://ex"), (F.col("p_partkey") % 7).cast("string"),
+            F.lit(".test/"), F.regexp_replace(F.lower(F.col("p_name")), " ", "-"),
+            F.lit(".html"),
+        )
+        return p.select(
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            keyword_relevance(url, _KEYWORDS, weight=1.0).alias("kw_score"),
+        )
+    q["keyword_score"] = q_keyword_score
+
+    def q_path_depth_score(spark, sf):
+        o = _t(spark, sf, "orders")
+        url = F.concat(
+            F.lit("https://ex.test/"), F.repeat(F.lit("s/"), (F.col("o_orderkey") % 6).cast("int"))
+        )
+        return o.select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            path_depth_score(url, optimal_depth=3, weight=1.0).alias("depth_score"),
+        )
+    q["path_depth_score"] = q_path_depth_score
+
+    def q_content_type_score(spark, sf):
+        o = _t(spark, sf, "orders")
+        ext = (
+            F.when(F.col("o_orderkey") % 4 == 0, ".html")
+            .when(F.col("o_orderkey") % 4 == 1, ".php")
+            .when(F.col("o_orderkey") % 4 == 2, ".pdf")
+            .otherwise("")
+        )
+        url = F.concat(F.lit("https://ex.test/p"), F.col("o_orderkey").cast("string"), ext)
+        return o.select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            content_type_score(
+                url, {".html$": 1.0, ".php$": 0.6, ".pdf$": 0.2}, weight=1.0
+            ).alias("ct_score"),
+        )
+    q["content_type_score"] = q_content_type_score
+
+    def q_freshness_score(spark, sf):
+        o = _t(spark, sf, "orders")
+        return o.select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            freshness_score(_freshness_url(), current_year=1998, weight=1.0).alias("fresh_score"),
+        )
+    q["freshness_score"] = q_freshness_score
+
+    def q_domain_authority(spark, sf):
+        c = _t(spark, sf, "customer")
+        url = F.concat(
+            F.lit("https://ex"), F.col("c_nationkey").cast("string"), F.lit(".test/")
+        )
+        return c.select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            domain_authority_score(
+                url, {"ex0.test": 0.9, "ex1.test": 0.8, "ex5.test": 0.3},
+                default_weight=0.5, weight=1.0,
+            ).alias("da_score"),
+        )
+    q["domain_authority"] = q_domain_authority
+
+    def q_composite_score(spark, sf):
+        o = _t(spark, sf, "orders")
+        url = _freshness_url()
+        children = [
+            path_depth_score(url, optimal_depth=3, weight=0.5),
+            freshness_score(url, current_year=1998, weight=0.7),
+        ]
+        return o.select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            composite_score(children, normalize=True).alias("comp_score"),
+        )
+    q["composite_score"] = q_composite_score
+
+    # ----------------- frontier mechanics as SQL-checkable probes (T3/T5/D1)
+    def q_topk_pop(spark, sf):
+        # priority-queue pop: ascending score, deterministic tiebreak
+        e = _t(spark, sf, "events")
+        return (
+            e.orderBy(F.col("value").asc(), F.col("event_id").asc())
+            .limit(100)
+            .select(F.col("event_id").cast("long"), F.col("value"))
+        )
+    q["topk_pop"] = q_topk_pop
+
+    def q_capacity_truncate(spark, sf):
+        # T5 capacity truncation: per-parent rank by score desc, keep ≤3
+        li = _t(spark, sf, "lineitem")
+        w = Window.partitionBy("l_orderkey").orderBy(
+            F.col("l_extendedprice").desc(), F.col("l_linenumber")
+        )
+        return (
+            li.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= 3)
+            .select(
+                F.col("l_orderkey").cast("long"),
+                F.col("l_linenumber").cast("long"),
+                "rnk",
+            )
+        )
+    q["capacity_truncate"] = q_capacity_truncate
+
+    def q_host_budget(spark, sf):
+        # D1 politeness: per-host rank → virtual slot; budget 5 per superstep
+        e = _t(spark, sf, "events")
+        df = e.withColumn("host", F.concat(F.lit("u"), (F.col("user_id") % 37).cast("string")))
+        df = with_host_slots(df, None, order_cols=["event_id"], default_delay=2.0)
+        within, _def = apply_host_budget(df, 5)
+        return within.select(
+            F.col("event_id").cast("long"),
+            F.col("host"),
+            F.col("host_rank").cast("long").alias("host_rank"),
+            F.col("send_at_s").cast("double").alias("send_at_s"),
+        )
+    q["host_budget"] = q_host_budget
+
+    def q_seen_antijoin(spark, sf):
+        # T6 URL-seen: candidates anti-joined against the seen set
+        e = _t(spark, sf, "events")
+        cand = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+        seen = e.filter(F.col("event_type") == "error").select("user_id").distinct()
+        return cand.join(seen, "user_id", "left_anti").select(
+            F.col("user_id").cast("long")
+        )
+    q["seen_antijoin"] = q_seen_antijoin
+
+    # -------------------------------------------------- similarity / ANN
+    def q_ann_cosine(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        cos = cosine_col(F.col("embedding"), _ANN_QUERY)
+        w = Window.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        return (
+            emb.select(F.col("vec_id").cast("long"), cos.alias("cos_raw"))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 10)
+            .select("vec_id", F.round("cos_raw", 4).alias("cosine"), "rank")
+        )
+    q["ann_cosine"] = q_ann_cosine
+
+    # ------------------------------- joins / aggregation (harness coverage)
+    def q_pricing_summary(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        dec = lambda c: F.col(c).cast("decimal(18,2)")
+        disc = F.lit(1).cast("decimal(18,2)") - dec("l_discount")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+                F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+                F.sum(dec("l_extendedprice") * disc).cast("double").alias("sum_disc_price"),
+                F.count("*").alias("count_order"),
+            )
+            .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+                    "sum_disc_price", "count_order")
+        )
+    q["pricing_summary"] = q_pricing_summary
+
+    def q_segment_revenue(spark, sf):
+        o = _t(spark, sf, "orders")
+        c = _t(spark, sf, "customer")
+        return (
+            o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+                F.count("*").alias("n_orders"),
+            )
+        )
+    q["segment_revenue"] = q_segment_revenue
+
+    def q_events_hourly(spark, sf):
+        e = _t(spark, sf, "events")
+        return (
+            e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+            .agg(
+                F.count("*").alias("n"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+        )
+    q["events_hourly"] = q_events_hourly
+
+    # ----------------------- engine-native probes (rows-only, no oracle SQL)
+    def q_minhash_lsh(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return minhash_lsh_pairs(docs, n_hashes=64, bands=16, threshold=0.5).select(
+            F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+            F.round("est_jaccard", 6).alias("est_jaccard"),
+        )
+    q["minhash_lsh"] = q_minhash_lsh
+
+    def q_simhash_pairs(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return simhash_pairs(docs, max_hamming=3).select(
+            F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+            F.col("hamming").cast("long").alias("hamming"),
+        )
+    q["simhash_pairs"] = q_simhash_pairs
+
+    def q_lsh_ann(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        qs = np.array([_ANN_QUERY, [-x for x in _ANN_QUERY]])
+        return lsh_ann_topk(emb, qs, k=10, n_planes=8).select(
+            F.col("query_id").cast("long"), F.col("vec_id").cast("long"),
+            F.round("cosine", 4).alias("cosine"), F.col("rank").cast("long"),
+        )
+    q["lsh_ann"] = q_lsh_ann
+
+    def _graph(n_pages=240):
+        return synth.GraphParams(n_pages=n_pages, n_domains=12, seed=42)
+
+    def q_bfs_crawl(spark, sf):
+        p = _graph()
+        pages, links, _ = synth.synth_tables(spark, p)
+        pages, links = pages.cache(), links.cache()
+        cfg = CrawlConfig(strategy="bfs", max_depth=2, max_pages=150,
+                          scorer=ScorerSpec(kind="freshness", current_year=2024))
+        run = deep_crawl(spark, [synth.url_of(0, p)], pages, links, cfg)
+        return run.results.select(
+            "superstep", "seq", "url", "depth", "parent",
+            F.round("score", 6).alias("score"), "success", "status_code",
+        )
+    q["bfs_crawl"] = q_bfs_crawl
+
+    def q_best_first_crawl(spark, sf):
+        p = _graph()
+        pages, links, _ = synth.synth_tables(spark, p)
+        pages, links = pages.cache(), links.cache()
+        cfg = CrawlConfig(
+            strategy="best_first", max_depth=2, max_pages=40, batch_size=10,
+            scorer=ScorerSpec(kind="keyword", keywords=["blog", "docs"], weight=1.0),
+            filters=[FilterSpec(kind="content_type", allowed_types=["text/html"])],
+        )
+        run = deep_crawl(spark, [synth.url_of(0, p)], pages, links, cfg)
+        return run.results.select(
+            "seq", "url", "depth", "parent",
+            F.round("score", 6).alias("score"), "success", "status_code",
+        )
+    q["best_first_crawl"] = q_best_first_crawl
+
+    def q_robots_politeness_crawl(spark, sf):
+        p = _graph()
+        pages, links, _ = synth.synth_tables(spark, p)
+        pages, links = pages.cache(), links.cache()
+        cfg = CrawlConfig(strategy="bfs", max_depth=2, max_pages=120,
+                          check_robots_txt=True, politeness_budget=40)
+        run = deep_crawl(
+            spark, [synth.url_of(0, p)], pages, links, cfg,
+            robots_pdf=synth.gen_robots(p),
+            politeness=spark.createDataFrame(synth.gen_politeness(p)),
+        )
+        return run.results.select(
+            "superstep", "seq", "url", "host", "depth", "success", "status_code",
+        )
+    q["robots_politeness_crawl"] = q_robots_politeness_crawl
+
+    def q_image_decode(spark, sf):
+        p = _graph(n_pages=200)
+        _, _, images = synth.synth_tables(spark, p)
+        decoded = decode_stage(images, seed=p.seed, check_truth=True)
+        return decoded.select(
+            "image_id", "w", "h", "fmt", "decoded_w", "decoded_h",
+            (F.col("pixel_exact") | (F.col("psnr") >= 40.0)).alias("invariant_ok"),
+            F.col("phash_match"),
+        )
+    q["image_decode"] = q_image_decode
+
+    def q_image_features(spark, sf):
+        p = _graph(n_pages=200)
+        _, _, images = synth.synth_tables(spark, p)
+        feats = feature_stage(images, grid=4)
+        return feats.select(
+            "image_id",
+            F.round(F.element_at("features", 1).cast("double"), 4).alias("f0"),
+            F.size("features").cast("long").alias("n_features"),
+        )
+    q["image_features"] = q_image_features
+
+    return q
+
+
+# --------------------------------------------------------------------------
+# oracle_sql()
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    norm = _NORM_SQL.format(c="text")
+    toks = f"list_filter(string_split_regex({norm}, ' '), x -> x <> '')"
+    stop_list = ", ".join(f"'{w}'" for w in _STOP_EN)
+    o: dict[str, str] = {}
+
+    o["exact_dedup"] = f"""
+        SELECT doc_id, md5({norm}) AS fp FROM (
+          SELECT doc_id, text,
+                 row_number() OVER (PARTITION BY {norm} ORDER BY doc_id) AS rn
+          FROM documents) WHERE rn = 1
     """
-    return {}
+
+    o["ngram_jaccard"] = f"""
+        WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+        g AS (SELECT doc_id,
+                     list_distinct(list_transform(range(0, greatest(len(tk)-3,0)+1),
+                                   i -> array_to_string(tk[i+1:i+3], ' '))) AS grams
+              FROM t),
+        post AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb,
+                 count(*) AS boths
+          FROM post a JOIN post b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1,2,3,4)
+        SELECT id_a, id_b,
+               round(CAST(boths AS DOUBLE)/(na+nb-boths), 6) AS jaccard
+        FROM inter WHERE CAST(boths AS DOUBLE)/(na+nb-boths) >= 0.1
+    """
+
+    o["token_stats"] = f"""
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(text),'\\s+'), x -> x <> '')) AS n_tokens,
+               len(list_filter(list_filter(string_split_regex(lower(text),'\\s+'), x -> x <> ''),
+                               t -> t IN ({stop_list}))) AS n_stop_en,
+               md5({norm}) AS fp
+        FROM documents
+    """
+
+    # lang_id fold (first strictly-greater wins, order en,es,de,fr) + quality
+    def hits(words):
+        lst = ", ".join(f"'{w}'" for w in words)
+        return (f"len(list_filter(list_filter(string_split_regex(lower(text),'\\s+'),"
+                f" x -> x <> ''), t -> t IN ({lst})))")
+    he = hits(_STOP_EN)
+    hs = hits(["el", "la", "de", "que", "y", "en", "los", "una", "por", "con"])
+    hd = hits(["der", "die", "und", "das", "ist", "nicht", "von", "mit", "ein", "zu"])
+    hf = hits(["le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"])
+    o["lang_quality"] = f"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 {he} AS he, {hs} AS hs, {hd} AS hd, {hf} AS hf,
+                 len(list_filter(string_split_regex(lower(text),'\\s+'), x -> x <> '')) AS n_toks,
+                 length(text) AS n_chars,
+                 length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct
+          FROM documents)
+        SELECT doc_id,
+          CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+               WHEN he >= hs AND he >= hd AND he >= hf AND he > 0 THEN 'en'
+               WHEN hs >= hd AND hs >= hf AND hs > 0 THEN 'es'
+               WHEN hd >= hf AND hd > 0 THEN 'de'
+               WHEN hf > 0 THEN 'fr'
+               ELSE 'und' END AS lang_pred,
+          CAST(CASE WHEN n_toks >= 20 AND n_toks <= 5000 THEN 1.0
+                WHEN n_toks >= 5 THEN 0.5 ELSE 0.0 END AS DOUBLE) * 0.4
+          + CAST(CASE WHEN CAST(punct AS DOUBLE)/greatest(n_chars,1) > 0.001
+                   AND CAST(punct AS DOUBLE)/greatest(n_chars,1) < 0.2
+                  THEN 1.0 ELSE 0.3 END AS DOUBLE) * 0.2
+          + CAST(CASE WHEN CAST(he AS DOUBLE)/greatest(n_toks,1) > 0.05 THEN 1.0
+                  WHEN CAST(he AS DOUBLE)/greatest(n_toks,1) > 0.01 THEN 0.6
+                  ELSE 0.2 END AS DOUBLE) * 0.2
+          + CAST(CASE WHEN CAST(greatest(n_chars-n_toks+1,0) AS DOUBLE)/greatest(n_toks,1) >= 2.5
+                   AND CAST(greatest(n_chars-n_toks+1,0) AS DOUBLE)/greatest(n_toks,1) <= 12.0
+                  THEN 1.0 ELSE 0.4 END AS DOUBLE) * 0.2 AS quality
+        FROM base
+    """
+
+    o["url_canonicalize"] = """
+        SELECT o_orderkey,
+               'https://ex' || CAST(o_orderkey % 5 AS VARCHAR) || '.test/shop/p'
+                 || CAST(o_orderkey AS VARCHAR) || '.html' AS canon
+        FROM orders
+    """
+
+    kw_hits = " + ".join(
+        f"(CASE WHEN contains('https://ex' || CAST(p_partkey % 7 AS VARCHAR) || '.test/' "
+        f"|| replace(lower(p_name), ' ', '-') || '.html', '{k}') THEN 1 ELSE 0 END)"
+        for k in _KEYWORDS
+    )
+    o["keyword_score"] = f"""
+        SELECT p_partkey,
+               (CAST({kw_hits} AS DOUBLE) / {float(len(_KEYWORDS))!r}) * {_f32(1.0)} AS kw_score
+        FROM part
+    """
+
+    o["path_depth_score"] = f"""
+        SELECT o_orderkey,
+          CAST(CASE abs(CAST(o_orderkey % 6 AS INTEGER) - 3)
+             WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+             WHEN 2 THEN 0.3333333333333333 WHEN 3 THEN 0.25
+             ELSE 1.0/(1.0 + abs(CAST(o_orderkey % 6 AS INTEGER) - 3)) END AS DOUBLE)
+          * CAST({_f32(1.0)} AS DOUBLE) AS depth_score
+        FROM orders
+    """
+
+    o["content_type_score"] = f"""
+        SELECT o_orderkey,
+          CAST(CASE o_orderkey % 4 WHEN 0 THEN 1.0 WHEN 1 THEN 0.6
+                               WHEN 2 THEN 0.2 ELSE 0.0 END AS DOUBLE)
+          * CAST({_f32(1.0)} AS DOUBLE) AS ct_score
+        FROM orders
+    """
+
+    o["freshness_score"] = f"""
+        SELECT o_orderkey,
+          CAST(CASE 1998 - (CAST(o_orderkey % 7 AS INTEGER) + 1992)
+             WHEN 0 THEN 1.0 WHEN 1 THEN 0.9 WHEN 2 THEN 0.8
+             WHEN 3 THEN 0.7 WHEN 4 THEN 0.6 WHEN 5 THEN 0.5
+             ELSE greatest(CAST(0.1 AS DOUBLE),
+                           1.0 - CAST(1998 - (CAST(o_orderkey % 7 AS INTEGER) + 1992) AS DOUBLE)
+                                 * CAST(0.1 AS DOUBLE))
+           END AS DOUBLE) * CAST({_f32(1.0)} AS DOUBLE) AS fresh_score
+        FROM orders
+    """
+
+    o["domain_authority"] = f"""
+        SELECT c_custkey,
+          CAST(CASE c_nationkey WHEN 0 THEN 0.9 WHEN 1 THEN 0.8 WHEN 5 THEN 0.3
+                            ELSE 0.5 END AS DOUBLE)
+          * CAST({_f32(1.0)} AS DOUBLE) AS da_score
+        FROM customer
+    """
+
+    o["composite_score"] = f"""
+        SELECT o_orderkey,
+          (CAST(CAST(1.0 * {_f32(0.5)} AS REAL) AS DOUBLE)
+           + CAST(CAST(
+             CAST(CASE 1998 - (CAST(o_orderkey % 7 AS INTEGER) + 1992)
+                WHEN 0 THEN 1.0 WHEN 1 THEN 0.9 WHEN 2 THEN 0.8
+                WHEN 3 THEN 0.7 WHEN 4 THEN 0.6 WHEN 5 THEN 0.5
+                ELSE greatest(CAST(0.1 AS DOUBLE),
+                              1.0 - CAST(1998 - (CAST(o_orderkey % 7 AS INTEGER) + 1992) AS DOUBLE)
+                                    * CAST(0.1 AS DOUBLE))
+              END AS DOUBLE) * CAST({_f32(0.7)} AS DOUBLE)
+           AS REAL) AS DOUBLE)) / 2.0 AS comp_score
+        FROM orders
+    """
+
+    o["topk_pop"] = """
+        SELECT event_id, value FROM events
+        ORDER BY value ASC, event_id ASC LIMIT 100
+    """
+
+    o["capacity_truncate"] = """
+        SELECT l_orderkey, l_linenumber, rnk FROM (
+          SELECT l_orderkey, l_linenumber,
+                 row_number() OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_extendedprice DESC, l_linenumber) AS rnk
+          FROM lineitem) WHERE rnk <= 3
+    """
+
+    o["host_budget"] = """
+        SELECT event_id, host, rn - 1 AS host_rank, (rn - 1) * 2.0 AS send_at_s
+        FROM (
+          SELECT event_id, 'u' || CAST(user_id % 37 AS VARCHAR) AS host,
+                 row_number() OVER (PARTITION BY 'u' || CAST(user_id % 37 AS VARCHAR)
+                                    ORDER BY event_id) AS rn
+          FROM events)
+        WHERE rn - 1 < 5
+    """
+
+    o["seen_antijoin"] = """
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        AND user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'error')
+    """
+
+    qlit = "[" + ", ".join(repr(x) for x in _ANN_QUERY) + "]"
+    o["ann_cosine"] = f"""
+        WITH scored AS (
+          SELECT vec_id,
+            list_sum(list_transform(range(1, 65),
+                     i -> CAST(embedding[i] AS DOUBLE) * ({qlit})[i]))
+            / (sqrt(list_sum(list_transform(range(1, 65),
+                     i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+               * {_ANN_QNORM!r}) AS cos_raw
+          FROM embeddings)
+        SELECT vec_id, round(cos_raw, 4) AS cosine,
+               row_number() OVER (ORDER BY cos_raw DESC, vec_id) AS rank
+        FROM scored
+        QUALIFY rank <= 10
+    """
+
+    o["pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+               AS DOUBLE) AS sum_disc_price,
+          count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """
+
+    o["segment_revenue"] = """
+        SELECT c_mktsegment,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """
+
+    o["events_hourly"] = """
+        SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+               min(value) AS min_value, max(value) AS max_value
+        FROM events GROUP BY 1, 2
+    """
+
+    return o

@@ -1,0 +1,196 @@
+"""Benchmark harness (driver contract + BASELINE.json north_rule metric).
+
+Runs the headline operator pipelines at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The two north-rule throughput numbers (frontier URLs scheduled+deduped/sec,
+image-pages fetched+decoded/sec) ride along under ``"throughput"``; the
+N→4N scaling evidence is produced by tools/scaling_bench.py which re-runs
+``frontier_schedule``/``fetch_decode`` at two ``local[N]`` parallelism
+levels (BASELINE.md).
+
+Synthetic inputs are materialized to parquet once per (sf, size) under
+/tmp/spark_graft_bench and reused; generation time is excluded from the
+timed queries (the timed pipelines read parquet like production would read
+Iceberg).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.functions.canonical import canonical_col, url_hash_col
+from crawl4ai_spark.functions.images import decode_stage
+from crawl4ai_spark.functions.scorers import freshness_score
+from crawl4ai_spark.functions.urlparts import host_of
+from crawl4ai_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+from crawl4ai_spark.operators.politeness import with_host_slots
+from crawl4ai_spark.operators.similarity import brute_force_topk
+from crawl4ai_spark.session import get_spark
+from crawl4ai_spark.sources import synth
+
+BENCH_CACHE = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")
+
+# Pipeline input sizes as a function of sf (sf0.1 → 200k-page graph,
+# ~1.6M raw links, 20k image payloads).
+LINK_PAGES_PER_SF = 2_000_000
+IMAGE_ROWS_PER_SF = 200_000
+
+
+def _sf_of(sf_dir: str) -> float:
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _ensure_graph(spark, n_pages: int, with_images: bool):
+    """Materialize the synthetic link graph (and image payloads) once."""
+    p = synth.GraphParams(n_pages=n_pages, n_domains=max(16, n_pages // 5000),
+                          hot_fraction=0.3, seed=42)
+    gdir = f"{BENCH_CACHE}/graph_n{n_pages}" + ("_img" if with_images else "")
+    marker = f"{gdir}/_done"
+    if not os.path.exists(marker):
+        pages, links, images = synth.synth_tables(spark, p)
+        links.write.mode("overwrite").parquet(f"{gdir}/links.parquet")
+        pages.select("url", "success", "status_code", "image_id").write.mode(
+            "overwrite"
+        ).parquet(f"{gdir}/pages.parquet")
+        if with_images:
+            images.write.mode("overwrite").parquet(f"{gdir}/images.parquet")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return p, gdir
+
+
+def frontier_schedule(spark, n_pages: int) -> tuple[float, int]:
+    """ONE frontier superstep at scale: raw discovered links → canonicalize
+    (Arrow UDF) → xxhash64 key → URL-seen anti-join (half the universe
+    pre-seen) → per-host dedup+politeness ranking → scored priority order.
+
+    Returns (seconds, scheduled_rows). This is the north-rule
+    'frontier URLs scheduled+deduped/sec' numerator/denominator."""
+    p, gdir = _ensure_graph(spark, n_pages, with_images=False)
+    links = spark.read.parquet(f"{gdir}/links.parquet")
+    n_links = links.count()
+    # seen = every even page (half the universe), keyed by xxhash64(url)
+    seen = (
+        spark.read.parquet(f"{gdir}/pages.parquet")
+        .withColumn("pid", F.regexp_extract("url", r"p(\d{8})", 1).cast("long"))
+        .filter(F.col("pid") % 2 == 0)
+        .select(url_hash_col(F.col("url")).alias("url_hash"))
+    )
+    politeness = spark.createDataFrame(synth.gen_politeness(p))
+
+    t0 = time.time()
+    cand = links.select(
+        canonical_col(F.col("href"), F.col("src_url")).alias("url"), "pos"
+    )
+    cand = cand.withColumn("url_hash", url_hash_col(F.col("url"))).withColumn(
+        "host", F.lower(host_of(F.col("url")))
+    )
+    # dedup within the batch (min pos wins) + anti-join the seen table
+    cand = cand.groupBy("url_hash").agg(
+        F.first("url").alias("url"), F.first("host").alias("host"),
+        F.min("pos").alias("pos"),
+    )
+    fresh = cand.join(seen, "url_hash", "left_anti")
+    fresh = fresh.withColumn(
+        "score", freshness_score(F.col("url"), current_year=2024)
+    )
+    scheduled = with_host_slots(
+        fresh.repartition("host"), politeness, order_cols=[F.col("score").desc(), "url_hash"]
+    )
+    n_out = scheduled.count()
+    assert n_out > 0
+    return time.time() - t0, n_links
+
+
+def fetch_decode(spark, n_images: int) -> tuple[float, int]:
+    """Payload stage at scale: read the image+caption table, decode every
+    payload in Arrow batches, verify PSNR/pixel invariants, emit channel
+    stats. Returns (seconds, images)."""
+    _, gdir = _ensure_graph(spark, n_images, with_images=True)
+    images = spark.read.parquet(f"{gdir}/images.parquet")
+    t0 = time.time()
+    decoded = decode_stage(images, seed=42, check_truth=True)
+    bad = decoded.filter(
+        ~(F.col("pixel_exact") | (F.col("psnr") >= 40.0))
+    ).count()
+    n = decoded.count()
+    assert bad == 0, f"{bad} payloads violated the PSNR/pixel invariant"
+    return time.time() - t0, n
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_of(sf_dir)
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    n_link_pages = max(2000, int(LINK_PAGES_PER_SF * sf))
+    n_image_rows = max(1000, int(IMAGE_ROWS_PER_SF * sf))
+
+    secs, n_sched = frontier_schedule(spark, n_link_pages)
+    queries["frontier_schedule"] = round(secs, 3)
+    extras["frontier_urls_per_sec"] = round(n_sched / secs, 1)  # input links/s
+
+    secs, n_img = fetch_decode(spark, n_image_rows)
+    queries["fetch_decode"] = round(secs, 3)
+    extras["fetch_images_per_sec"] = round(n_img / secs, 1)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.time()
+    exact_dedup(docs).count()
+    queries["exact_dedup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    minhash_lsh_pairs(docs, n_hashes=64, bands=16, threshold=0.5).count()
+    queries["minhash_lsh"] = round(time.time() - t0, 3)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rng = np.random.Generator(np.random.PCG64(7))
+    qvecs = rng.standard_normal((8, 64))
+    t0 = time.time()
+    brute_force_topk(emb, qvecs, k=10).count()
+    queries["ann_topk"] = round(time.time() - t0, 3)
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    t0 = time.time()
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")), F.sum(dec("l_extendedprice")), F.count("*")
+    ).collect()
+    queries["pricing_summary"] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "throughput": extras,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "frontier_rows": n_sched,
+        "decoded_images": n_img,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -11,7 +11,8 @@ from pyspark.storagelevel import StorageLevel
 
 
 def with_global_seq(df: DataFrame, order_cols: list[Column | str],
-                    out_col: str = "seq", start: int = 0) -> DataFrame:
+                    out_col: str = "seq", start: int = 0,
+                    num_partitions: int | None = None) -> DataFrame:
     """Dense global 0-based rank by ``order_cols`` WITHOUT a
     single-partition window: range-partition on the sort key, persist (so
     both passes see identical partitions), collect per-partition counts,
@@ -23,8 +24,13 @@ def with_global_seq(df: DataFrame, order_cols: list[Column | str],
     """
     if not df.take(1):
         return df.withColumn(out_col, F.lit(start).cast("long"))
+    rng = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    )
     d = (
-        df.repartitionByRange(*order_cols)
+        rng
         .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -58,6 +58,12 @@ from .checkpoint import SnapshotStore
 
 _BIG = 1 << 62  # stands in for math.inf page budgets in long arithmetic
 
+# Target rows per task for superstep dataflows.  Python-stage jobs cost
+# ~0.3 s per partition per job in local mode (worker round-trips), so tiny
+# supersteps must not inherit the full shuffle parallelism; at scale the
+# same rule sizes partitions to the pop batch instead of a global constant.
+_ROWS_PER_TASK = 20_000
+
 
 @dataclass
 class CrawlConfig:
@@ -120,8 +126,13 @@ class CrawlEngine:
         )
         self.links = links  # src_url, pos, href, is_internal
 
+    def _parts(self, n_rows: int) -> int:
+        """Partition count sized to the superstep batch."""
+        cap = self.spark.sparkContext.defaultParallelism
+        return max(1, min(cap, -(-n_rows // _ROWS_PER_TASK)))
+
     # ------------------------------------------------------------ fetch
-    def _fetch(self, frontier: DataFrame) -> DataFrame:
+    def _fetch(self, frontier: DataFrame, n_rows: int | None = None) -> DataFrame:
         """S2/P8/D1: robots gate → politeness slots → synthetic fetch join.
 
         The synthetic fetch resolves any raw URL to its canonical page
@@ -131,6 +142,14 @@ class CrawlEngine:
         f = frontier.withColumn(
             "fetch_key", canonical_col(F.col("url"), F.col("url"))
         ).withColumn("host", F.lower(host_of(F.col("fetch_key"))))
+        # Hash-partition on host, sized to the batch: (a) breaks the
+        # canonicalize→robots chained-Python-stage fusion (each chained
+        # python stage pays per-partition worker round-trips per job);
+        # (b) co-partitions for the robots memo and the politeness window
+        # (Window.partitionBy(host) reuses this exchange — no extra
+        # shuffle); (c) this is where hot-host salting plugs in at scale.
+        if n_rows is not None:
+            f = f.repartition(self._parts(n_rows), "host")
         f = robots_gate(
             f,
             self.robots_pdf if self.cfg.check_robots_txt else None,
@@ -162,6 +181,7 @@ class CrawlEngine:
         canonicalize: bool,
         base_seq: int,
         seq_col: str = "seq",
+        est_rows: int | None = None,
     ) -> DataFrame:
         """link_discovery as a dataflow (bfs_strategy.py:68-139 with
         canonicalize=True; bff_strategy.py:76-125 with canonicalize=False).
@@ -230,9 +250,11 @@ class CrawlEngine:
             F.col("parent_seq"),
             F.col("rn"),
         )
-        return with_global_seq(out, ["parent_seq", "rn"], out_col="seq", start=base_seq).drop(
-            "parent_seq", "rn"
-        )
+        nparts = self._parts(est_rows) if est_rows is not None else None
+        return with_global_seq(
+            out, ["parent_seq", "rn"], out_col="seq", start=base_seq,
+            num_partitions=nparts,
+        ).drop("parent_seq", "rn")
 
     # ----------------------------------------------------------- resume
     def _restore(self):
@@ -287,7 +309,7 @@ class CrawlEngine:
             # T6: mark visited BEFORE fetch (bfs_strategy.py:161) — the
             # URL-seen set includes failed fetches.
             seen = seen.unionByName(frontier.select("url")).localCheckpoint(eager=True)
-            fetched = self._fetch(frontier)
+            fetched = self._fetch(frontier, n_rows=n_frontier)
             # duplicate-URL quirk (bfs_strategy.py:174): every result of a
             # URL that appears twice in a level reports the parent of the
             # FIRST level entry for that URL.
@@ -307,6 +329,7 @@ class CrawlEngine:
                     next_depth_expr=F.lit(superstep + 1),
                     canonicalize=True,
                     base_seq=0,
+                    est_rows=n_frontier * 8,
                 ).localCheckpoint(eager=True)
             else:
                 nxt = frontier.limit(0)
@@ -376,6 +399,7 @@ class CrawlEngine:
                 ["score", "depth", "url", F.col("parent").asc_nulls_first(), "push_seq"],
                 out_col="seq",
                 start=result_seq_base,
+                num_partitions=self._parts(cfg.batch_size),
             ).persist(StorageLevel.MEMORY_AND_DISK)
             if not batch.take(1):
                 queue = rest.localCheckpoint(eager=True)
@@ -383,7 +407,9 @@ class CrawlEngine:
                 superstep += 1
                 continue
             seen = seen.unionByName(batch.select("url")).localCheckpoint(eager=True)
-            fetched = self._fetch(batch).persist(StorageLevel.MEMORY_AND_DISK)
+            fetched = self._fetch(batch, n_rows=cfg.batch_size).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
             n_success = fetched.filter(F.col("success")).count()
             n_batch = fetched.count()
             # cumulative successes in batch order → per-result remaining
@@ -401,6 +427,7 @@ class CrawlEngine:
                 next_depth_expr=F.col("depth") + 1,
                 canonicalize=False,
                 base_seq=push_seq_base,
+                est_rows=cfg.batch_size * 8,
             ).withColumnRenamed("seq", "push_seq").select(
                 "score", "depth", "url", "parent", "push_seq"
             ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -459,7 +486,7 @@ class CrawlEngine:
                 [(top["url"], top["parent"], top["depth"], seq, 0.0)],
                 "url string, parent string, depth int, seq long, score double",
             )
-            fetched = self._fetch(one)
+            fetched = self._fetch(one, n_rows=1)
             if cfg.scorer is not None:
                 fetched = fetched.withColumn(
                     "score", cfg.scorer.column(F.col("url")).cast("double")
@@ -479,6 +506,7 @@ class CrawlEngine:
                         next_depth_expr=F.lit(top["depth"] + 1),
                         canonicalize=True,
                         base_seq=0,
+                        est_rows=16,
                     )
                     # push reversed (dfs_strategy.py:57-60): first-discovered
                     # gets the HIGHEST stack_seq so it pops next.

@@ -1,0 +1,121 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and, where an ``oracle_sql()`` entry
+exists, the same query in DuckDB over the identical parquet tables; compares
+row count, column-name set, and an order-insensitive value hash (columns
+sorted by name, rows sorted, values stringified with float canonicalization).
+
+Usage: python tools/verify_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon_value(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def frame_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(_canon_value(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from crawl4ai_spark.session import get_spark
+
+    spark = get_spark(app_name="verify-oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        spark_s = time.time() - t0
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows ({spark_s:.1f}s) [rows-only]")
+            if len(srows) == 0 and name not in ("ngram_jaccard",):
+                print(f"  WARN {name}: 0 rows")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        ok_cols = sorted(scols) == sorted(ocols)
+        ok_count = len(srows) == len(orows)
+        sh = frame_hash(scols, srows)
+        oh = frame_hash(ocols, orows)
+        ok_hash = sh == oh
+        status = "OK  " if (ok_cols and ok_count and ok_hash) else "FAIL"
+        print(
+            f"{status}  {name}: spark={len(srows)} duck={len(orows)} "
+            f"cols={'ok' if ok_cols else f'{sorted(scols)} vs {sorted(ocols)}'} "
+            f"hash={'ok' if ok_hash else f'{sh} vs {oh}'} ({spark_s:.1f}s)"
+        )
+        if status == "FAIL":
+            failures.append(name)
+            if ok_cols and not ok_hash:
+                order = sorted(scols)
+                sset = {tuple(_canon_value(r[scols.index(c)]) for c in order) for r in srows}
+                oset = {tuple(_canon_value(r[ocols.index(c)]) for c in order) for r in orows}
+                for d in list(sset - oset)[:3]:
+                    print(f"    spark-only: {d}")
+                for d in list(oset - sset)[:3]:
+                    print(f"    duck-only:  {d}")
+    print("FAILURES:", failures or "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
