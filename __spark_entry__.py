@@ -29,7 +29,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crawl4ai_spark.functions.canonical import canonical_col
-from crawl4ai_spark.functions.filters import FilterSpec
+from crawl4ai_spark.functions.filters import (
+    FilterSpec,
+    bm25_relevance_score,
+    seo_score,
+)
+from crawl4ai_spark.operators.chunking import (
+    fixed_word_chunks,
+    sliding_window_chunks,
+)
+from crawl4ai_spark.operators.content_filter import prune_keep, pruning_score
 from crawl4ai_spark.functions.scorers import (
     ScorerSpec,
     composite_score,
@@ -266,6 +275,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             composite_score(children, normalize=True).alias("comp_score"),
         )
     q["composite_score"] = q_composite_score
+
+    # ------------------------------------------ chunking (G11, SURVEY §2.7)
+    def q_chunk_fixed(spark, sf):
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        return fixed_word_chunks(docs, chunk_size=20).select(
+            F.col("doc_id").cast("long"),
+            F.col("chunk_idx").cast("long"),
+            "chunk",
+        )
+    q["chunk_fixed"] = q_chunk_fixed
+
+    def q_chunk_sliding(spark, sf):
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        return sliding_window_chunks(docs, window=15, step=7).select(
+            F.col("doc_id").cast("long"),
+            F.col("chunk_idx").cast("long"),
+            "chunk",
+        )
+    q["chunk_sliding"] = q_chunk_sliding
+
+    # -------------------------- head-quality filters (P6/P7, SURVEY §2.2)
+    def q_bm25_head(spark, sf):
+        docs = _t(spark, sf, "documents")
+        meta = F.create_map(
+            F.lit("description"), F.substring(F.col("text"), 1, 100),
+            F.lit("keywords"), F.col("lang"),
+        )
+        return docs.select(
+            F.col("doc_id").cast("long"),
+            F.round(
+                bm25_relevance_score(F.col("text"), meta, "spark join window"),
+                6,
+            ).alias("bm25"),
+        )
+    q["bm25_head"] = q_bm25_head
+
+    def q_seo_score(spark, sf):
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        url = F.concat(
+            _freshness_url(), F.when(k % 2 == 0, F.lit("_x")).otherwise(F.lit(""))
+        )
+        title = F.repeat(F.lit("t"), (k % 80).cast("int"))
+        meta = F.create_map(
+            F.lit("description"), F.repeat(F.lit("d"), ((k * 7) % 220).cast("int")),
+            F.lit("canonical"),
+            F.when(k % 3 == 0, F.lit("")).when(k % 3 == 1, url).otherwise(F.lit("https://other.test/")),
+            F.lit("robots"),
+            F.when(k % 5 == 0, F.lit("noindex, nofollow")).otherwise(F.lit("")),
+        )
+        return o.select(
+            k.cast("long").alias("o_orderkey"),
+            seo_score(url, title, meta, (k % 4 == 0)).alias("seo"),
+        )
+    q["seo_score"] = q_seo_score
+
+    def q_pruning_score(spark, sf):
+        # G9 PruningContentFilter composite over synthesized chunk metrics
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        tag = (
+            F.when(k % 6 == 0, "div").when(k % 6 == 1, "p")
+            .when(k % 6 == 2, "article").when(k % 6 == 3, "span")
+            .when(k % 6 == 4, "li").otherwise("h2")
+        )
+        text_len = (k % 500).cast("int")
+        tag_len = (text_len + 40 + (k % 100)).cast("int")
+        link_len = ((k * 3) % 300).cast("int")
+        classes = F.when(k % 7 == 0, F.lit("sidebar widget")).otherwise(F.lit("content"))
+        elem_id = F.when(k % 11 == 0, F.lit("footer-x")).otherwise(F.lit("main"))
+        score = pruning_score(tag, text_len, tag_len, link_len, classes, elem_id)
+        return o.select(
+            k.cast("long").alias("o_orderkey"),
+            F.round(score, 6).alias("prune_score"),
+            prune_keep(score).alias("keep"),
+        )
+    q["pruning_score"] = q_pruning_score
 
     # ----------------- frontier mechanics as SQL-checkable probes (T3/T5/D1)
     def q_topk_pop(spark, sf):
@@ -624,6 +710,106 @@ def oracle_sql() -> dict[str, str]:
               END AS DOUBLE) * CAST({_f32(0.7)} AS DOUBLE)
            AS REAL) AS DOUBLE)) / 2.0 AS comp_score
         FROM orders
+    """
+
+    wtoks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    o["chunk_fixed"] = f"""
+        WITH c AS (
+          SELECT doc_id, {wtoks} AS w, len({wtoks}) AS n,
+                 CAST(ceil(len({wtoks}) / 20.0) AS BIGINT) AS nc
+          FROM documents)
+        SELECT doc_id, i AS chunk_idx,
+               array_to_string(w[i*20+1:i*20+20], ' ') AS chunk
+        FROM (SELECT doc_id, w, unnest(range(0, nc)) AS i FROM c WHERE n > 0)
+    """
+
+    o["chunk_sliding"] = f"""
+        WITH p AS (
+          SELECT doc_id, text, {wtoks} AS w, len({wtoks}) AS n FROM documents)
+        SELECT doc_id, CAST(0 AS BIGINT) AS chunk_idx, text AS chunk
+        FROM p WHERE n <= 15
+        UNION ALL
+        SELECT doc_id, i AS chunk_idx, array_to_string(w[i*7+1:i*7+15], ' ')
+        FROM (SELECT doc_id, w,
+                     unnest(range(0, CAST(floor((n-15)/7.0) AS BIGINT) + 1)) AS i
+              FROM p WHERE n > 15)
+        UNION ALL
+        SELECT doc_id, CAST(floor((n-15)/7.0) AS BIGINT) + 1 AS chunk_idx,
+               array_to_string(w[n-15+1:n], ' ') AS chunk
+        FROM p WHERE n > 15 AND CAST(floor((n-15)/7.0) AS BIGINT) * 7 + 15 < n
+    """
+
+    bm_doc = ("concat_ws(' ', repeat(text, 3), repeat(substr(text, 1, 100), 2), "
+              "lang, concat_ws(' ', substr(text, 1, 100), lang))")
+    bm_terms = []
+    for term in sorted({"spark", "join", "window"}):
+        tf = f"CAST(len(list_filter(toks, t -> t = '{term}')) AS DOUBLE)"
+        bm_terms.append(
+            f"ln(2.0 / ({tf} + 0.5) + 1.0) * (({tf} * 2.2) / "
+            f"({tf} + 1.2 * (0.25 + 0.75 * (dl / 1000.0))))"
+        )
+    o["bm25_head"] = f"""
+        WITH b AS (SELECT doc_id, {bm_doc} AS doc FROM documents),
+        t AS (SELECT doc_id,
+                     list_filter(string_split_regex(lower(doc), '\\s+'), x -> x <> '') AS toks
+              FROM b),
+        s AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM t)
+        SELECT doc_id, round(0.0 + {" + ".join(bm_terms)}, 6) AS bm25 FROM s
+    """
+
+    o["seo_score"] = f"""
+        WITH b AS (
+          SELECT o_orderkey,
+                 CAST(o_orderkey % 80 AS INTEGER) AS tlen,
+                 CAST((o_orderkey * 7) % 220 AS INTEGER) AS dlen,
+                 o_orderkey % 2 AS k2, o_orderkey % 3 AS k3,
+                 o_orderkey % 4 AS k4, o_orderkey % 5 AS k5
+          FROM orders)
+        SELECT o_orderkey,
+          0.0
+          + 0.15 * CAST(CASE WHEN tlen BETWEEN 50 AND 60 THEN 1.0
+                             WHEN (tlen BETWEEN 40 AND 49) OR (tlen BETWEEN 61 AND 70) THEN 0.7
+                             ELSE 0.3 END AS DOUBLE)
+          + 0.18 * 0.0
+          + 0.12 * CAST(CASE WHEN dlen BETWEEN 140 AND 160 THEN 1.0
+                             WHEN dlen BETWEEN 120 AND 200 THEN 0.5
+                             ELSE 0.2 END AS DOUBLE)
+          + 0.1 * CAST(CASE WHEN k3 = 0 THEN 0.5 WHEN k3 = 1 THEN 1.0
+                            ELSE 0.2 END AS DOUBLE)
+          + 0.2 * CAST(CASE WHEN k5 = 0 THEN 0.0 ELSE 1.0 END AS DOUBLE)
+          + 0.1 * CAST(CASE WHEN k4 = 0 THEN 1.0 ELSE 0.0 END AS DOUBLE)
+          + 0.15 * (1.0 * 1.0 * 0.8 * 1.0
+                    * CAST(CASE WHEN k2 = 0 THEN 0.9 ELSE 1.0 END AS DOUBLE))
+          AS seo
+        FROM b
+    """
+
+    o["pruning_score"] = """
+        WITH m AS (
+          SELECT o_orderkey,
+            CASE o_orderkey % 6 WHEN 0 THEN 'div' WHEN 1 THEN 'p'
+                 WHEN 2 THEN 'article' WHEN 3 THEN 'span'
+                 WHEN 4 THEN 'li' ELSE 'h2' END AS tag,
+            CAST(o_orderkey % 500 AS DOUBLE) AS tl,
+            CAST((o_orderkey % 500) + 40 + (o_orderkey % 100) AS DOUBLE) AS gl,
+            CAST((o_orderkey * 3) % 300 AS DOUBLE) AS ll,
+            (o_orderkey % 7 = 0) AS neg_class,
+            (o_orderkey % 11 = 0) AS neg_id
+          FROM orders),
+        s AS (
+          SELECT o_orderkey,
+            0.4 * (CASE WHEN gl > 0 THEN tl / gl ELSE 0.0 END)
+            + 0.2 * (1.0 - (CASE WHEN tl > 0 THEN ll / tl ELSE 0.0 END))
+            + 0.2 * CAST(CASE tag WHEN 'div' THEN 0.5 WHEN 'p' THEN 1.0
+                         WHEN 'article' THEN 1.5 WHEN 'span' THEN 0.3
+                         WHEN 'li' THEN 0.5 ELSE 1.1 END AS DOUBLE)
+            + 0.1 * greatest(0.0, (CASE WHEN neg_class THEN -0.5 ELSE 0.0 END)
+                                  + (CASE WHEN neg_id THEN -0.5 ELSE 0.0 END))
+            + 0.1 * ln(tl + 1.0) AS score
+          FROM m)
+        SELECT o_orderkey, round(score, 6) AS prune_score,
+               score >= 0.48 AS keep
+        FROM s
     """
 
     o["topk_pop"] = """

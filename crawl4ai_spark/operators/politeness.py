@@ -123,6 +123,45 @@ def update_domain_state(domain_state: pd.DataFrame, results_pdf: pd.DataFrame,
     )
 
 
+def with_salted_host_slots(df: DataFrame, politeness: DataFrame | None,
+                           order_cols: list[str], hot_hosts: list[str],
+                           salt_buckets: int = 16, host_col: str = "host",
+                           url_col: str = "url",
+                           default_delay: float = 2.0) -> DataFrame:
+    """D7-aware slot assignment: like ``with_host_slots`` but hot hosts are
+    ranked inside ``salt_buckets`` salted sub-partitions and interleaved:
+
+        host_rank = local_rank × S + salt        (hot hosts)
+        host_rank = local_rank                   (everyone else)
+
+    Ranks stay distinct per host and monotone within each bucket, so every
+    request still gets its own delay-spaced politeness slot (slightly
+    sparse ranks for hot hosts = conservatively *longer* waits, never a
+    violation), while no single task ever has to rank a whole hot host.
+    The reference rate-limits in arrival order, not score order
+    (async_dispatcher.py:44-65), so bucket-interleaved order is semantically
+    equivalent."""
+    if not hot_hosts or salt_buckets <= 1:
+        return with_host_slots(df, politeness, order_cols, host_col, default_delay)
+    if politeness is not None:
+        df = df.join(F.broadcast(politeness.select(host_col, "delay_s")), host_col, "left")
+        delay = F.coalesce(F.col("delay_s"), F.lit(default_delay))
+    else:
+        delay = F.lit(default_delay)
+    is_hot = F.col(host_col).isin(hot_hosts)
+    salt = F.when(
+        is_hot, F.pmod(F.xxhash64(F.col(url_col)), F.lit(salt_buckets))
+    ).otherwise(F.lit(0)).cast("int")
+    df = df.withColumn("__salt", salt)
+    w = Window.partitionBy(host_col, "__salt").orderBy(*order_cols)
+    local = F.row_number().over(w) - 1
+    rank = F.when(is_hot, local * salt_buckets + F.col("__salt")).otherwise(local)
+    df = df.withColumn("host_rank", rank.cast("long"))
+    return df.withColumn("send_at_s", F.col("host_rank") * delay).drop(
+        "__salt", *(["delay_s"] if politeness is not None else [])
+    )
+
+
 def salt_hot_hosts(df: DataFrame, hot_hosts: list[str], buckets: int,
                    url_col: str = "url", host_col: str = "host") -> DataFrame:
     """D7 skew salting: partition-key column ``host_part`` = host, except

@@ -23,7 +23,7 @@ import heapq
 from dataclasses import dataclass, field
 from math import inf
 
-from ..functions.canonical import normalize_url_for_deep_crawl
+from ..functions.canonical import normalize_url, normalize_url_for_deep_crawl
 from ..functions.filters import FilterSpec, py_chain_apply, py_url_validity
 from ..functions.scorers import ScorerSpec
 
@@ -151,10 +151,14 @@ def _bfs_link_discovery(graph, page, source_url, current_depth, visited,
         return
     valid_links: list[tuple[str, float]] = []
     for href in _split_links(page, spec):
-        base_url = normalize_url_for_deep_crawl(href, source_url)
+        try:
+            abs_href = normalize_url(href, source_url)  # C1: scraper output
+        except ValueError:
+            continue  # content_scraping_strategy.py:488-492 drops it
+        base_url = normalize_url_for_deep_crawl(abs_href, source_url)
         if base_url in visited:
             continue
-        if not _can_process(href, next_depth, spec):  # raw href, :109
+        if not _can_process(abs_href, next_depth, spec):  # absolute href, :109
             continue
         score = spec.scorer.py_score(base_url) if spec.scorer else 0
         if score < spec.score_threshold:
@@ -255,11 +259,15 @@ def _bff_link_discovery(graph, page, source_url, current_depth, visited,
         return
     valid_links: list[str] = []
     for href in _split_links(page, spec):
-        if href in visited:
+        try:
+            abs_href = normalize_url(href, source_url)  # C1: scraper output
+        except ValueError:
             continue
-        if not _can_process(href, new_depth, spec):
+        if abs_href in visited:
             continue
-        valid_links.append(href)
+        if not _can_process(abs_href, new_depth, spec):
+            continue
+        valid_links.append(abs_href)
     if len(valid_links) > remaining:
         valid_links = valid_links[: int(remaining)]
     for url in valid_links:

@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..dist import with_global_seq
-from ..functions.canonical import canonical_col
+from ..functions.canonical import canonical_col, join_url_udf
 from ..functions.filters import FilterSpec, chain_column, url_validity
 from ..functions.scorers import ScorerSpec
 from ..functions.urlparts import host_of
@@ -206,16 +206,25 @@ class CrawlEngine:
         cand = cand.withColumn(
             "link_block", F.when(F.col("is_internal"), 0).otherwise(1)
         )
+        # C1 first: the reference's scraper emits ABSOLUTE normalized links
+        # (content_scraping_strategy.py:488-492), so link["href"] reaching
+        # link_discovery is always urljoin(page_url, raw).strip(); our
+        # synthetic links table stores raw variants to exercise this stage.
+        cand = cand.withColumn(
+            "abs_href", join_url_udf(F.col("href"), F.col("parent_url"))
+        ).filter(F.col("abs_href").isNotNull())
         if canonicalize:
+            # BFS family: C2 canonical is the pushed URL + seen key (:105)
             cand = cand.withColumn(
-                "target", canonical_col(F.col("href"), F.col("parent_url"))
+                "target", canonical_col(F.col("abs_href"), F.col("parent_url"))
             )
         else:
-            cand = cand.withColumn("target", F.col("href"))
-        # P1 validity + P2 filter chain — on the RAW href (bfs :109)
-        cand = cand.filter(url_validity(F.col("href")))
+            # best-first pushes the scraper's absolute href as-is (bff :108)
+            cand = cand.withColumn("target", F.col("abs_href"))
+        # P1 validity + P2 filter chain — on the absolute href (bfs :109)
+        cand = cand.filter(url_validity(F.col("abs_href")))
         if cfg.filters:
-            cand = cand.filter(chain_column(F.col("href"), cfg.filters))
+            cand = cand.filter(chain_column(F.col("abs_href"), cfg.filters))
         if cfg.scorer is not None:
             cand = cand.withColumn("score", cfg.scorer.column(F.col("target")).cast("double"))
         else:

@@ -116,3 +116,41 @@ def test_bloom_sizing_formula():
     # crazy.py:112-120: n=1e6, p=0.01 → m ≈ 9.585e6 bits, k ≈ 7
     assert abs(m - 9_585_059) < 8
     assert k == 7
+
+
+def test_salted_host_slots_distinct_and_spaced(spark):
+    """D7: salted ranks stay distinct per host; non-hot hosts keep exact
+    dense ranks; slots remain delay-multiples (never closer than delay)."""
+    from crawl4ai_spark.operators.politeness import (
+        with_host_slots,
+        with_salted_host_slots,
+    )
+
+    rows = [(f"https://hot.test/p{i}", "hot.test", float(i)) for i in range(500)]
+    rows += [(f"https://cold.test/p{i}", "cold.test", float(i)) for i in range(7)]
+    df = spark.createDataFrame(rows, "url string, host string, score double")
+
+    out = with_salted_host_slots(
+        df, None, order_cols=["score", "url"], hot_hosts=["hot.test"],
+        salt_buckets=8, default_delay=2.0,
+    ).collect()
+
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    # distinct ranks per host
+    hot_ranks = [r["host_rank"] for r in by_host["hot.test"]]
+    assert len(set(hot_ranks)) == 500
+    # every slot is a delay multiple of its rank (spacing >= delay by constr.)
+    for r in out:
+        assert r["send_at_s"] == r["host_rank"] * 2.0
+    # non-hot host: exact dense 0..n-1 ranks, identical to unsalted path
+    cold_ranks = sorted(r["host_rank"] for r in by_host["cold.test"])
+    assert cold_ranks == list(range(7))
+    plain = with_host_slots(
+        df.filter("host = 'cold.test'"), None, order_cols=["score", "url"],
+        default_delay=2.0,
+    ).collect()
+    want = {r["url"]: r["host_rank"] for r in plain}
+    got = {r["url"]: r["host_rank"] for r in by_host["cold.test"]}
+    assert got == want
