@@ -124,3 +124,31 @@ def fetch_payload(results: DataFrame, images: DataFrame) -> DataFrame:
     return results.filter(F.col("success") & F.col("image_id").isNotNull()).join(
         images, "image_id", "left"
     )
+
+
+def parse_srcset_col(srcset: "Column") -> "Column":
+    """G5 (content_scraping_strategy.py:39-58 parse_srcset): srcset text →
+    array<struct<url:string,width:string>>; width only when the descriptor
+    ends in 'w', else null — pure Catalyst (split/transform), no Python.
+
+    Reference semantics replicated exactly: split on ',', strip each part,
+    drop empties, url = first whitespace token, width = second token minus
+    the trailing 'w' when it has one.
+    """
+    parts = F.filter(
+        F.transform(F.split(srcset, ","), lambda p: F.trim(p)),
+        lambda p: p != "",
+    )
+    def variant(p):
+        toks = F.filter(F.split(p, r"\s+"), lambda t: t != "")
+        second = F.element_at(toks, 2)
+        width = F.when(
+            second.isNotNull() & second.endswith("w"),
+            F.regexp_replace(second, r"w+$", ""),
+        ).otherwise(F.lit(None).cast("string"))
+        return F.struct(
+            F.element_at(toks, 1).alias("url"), width.alias("width")
+        )
+    return F.when(srcset.isNull() | (srcset == ""), F.array().cast(
+        "array<struct<url:string,width:string>>"
+    )).otherwise(F.transform(parts, variant))

@@ -68,12 +68,14 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_pages = int(args[0]) if args else 400_000
     n_images = int(args[1]) if len(args) > 1 else 40_000
+    n_lo = int(args[2]) if len(args) > 2 else 8
+    n_hi = int(args[3]) if len(args) > 3 else n_lo * 4
 
     # Materialize inputs once at full parallelism (excluded from timing).
     warm = run_level(32, n_pages, n_images)
 
-    lo = run_level(8, n_pages, n_images)
-    hi = run_level(32, n_pages, n_images)
+    lo = run_level(n_lo, n_pages, n_images)
+    hi = run_level(n_hi, n_pages, n_images)
 
     def eff(metric: str) -> float:
         return round(lo[metric] / hi[metric] / 4.0, 3)
@@ -84,12 +86,12 @@ def main() -> None:
         "low": lo,
         "high": hi,
         "frontier_urls_per_sec": {
-            "local[8]": round(lo["frontier_links"] / lo["frontier_sec"], 1),
-            "local[32]": round(hi["frontier_links"] / hi["frontier_sec"], 1),
+            f"local[{n_lo}]": round(lo["frontier_links"] / lo["frontier_sec"], 1),
+            f"local[{n_hi}]": round(hi["frontier_links"] / hi["frontier_sec"], 1),
         },
         "decode_images_per_sec": {
-            "local[8]": round(lo["decode_images"] / lo["decode_sec"], 1),
-            "local[32]": round(hi["decode_images"] / hi["decode_sec"], 1),
+            f"local[{n_lo}]": round(lo["decode_images"] / lo["decode_sec"], 1),
+            f"local[{n_hi}]": round(hi["decode_images"] / hi["decode_sec"], 1),
         },
         "scaling_efficiency": {
             "frontier": eff("frontier_sec"),
@@ -102,20 +104,21 @@ def main() -> None:
         md = os.path.join(REPO, "BASELINE.md")
         with open(md) as fh:
             text = fh.read()
-        marker = "\n## Measured scaling (local[8] vs local[32])\n"
+        marker = f"\n## Measured scaling (local[{n_lo}] vs local[{n_hi}])\n"
+        lo_k, hi_k = f"local[{n_lo}]", f"local[{n_hi}]"
         section = (
             f"{marker}\n"
             f"Same job, same materialized input ({n_pages:,}-page graph → "
             f"{lo['frontier_links']:,} raw links; {n_images:,} image payloads), "
             f"fresh JVM per level (tools/scaling_bench.py):\n\n"
-            f"| pipeline | local[8] | local[32] | speedup | efficiency (N→4N) |\n"
+            f"| pipeline | {lo_k} | {hi_k} | speedup | efficiency (N→4N) |\n"
             f"|---|---|---|---|---|\n"
-            f"| frontier schedule+dedup | {result['frontier_urls_per_sec']['local[8]']:,.0f} urls/s "
-            f"({lo['frontier_sec']}s) | {result['frontier_urls_per_sec']['local[32]']:,.0f} urls/s "
+            f"| frontier schedule+dedup | {result['frontier_urls_per_sec'][lo_k]:,.0f} urls/s "
+            f"({lo['frontier_sec']}s) | {result['frontier_urls_per_sec'][hi_k]:,.0f} urls/s "
             f"({hi['frontier_sec']}s) | {lo['frontier_sec']/hi['frontier_sec']:.2f}x "
             f"| **{result['scaling_efficiency']['frontier']}** |\n"
-            f"| fetch+decode (PSNR-verified) | {result['decode_images_per_sec']['local[8]']:,.0f} img/s "
-            f"({lo['decode_sec']}s) | {result['decode_images_per_sec']['local[32]']:,.0f} img/s "
+            f"| fetch+decode (PSNR-verified) | {result['decode_images_per_sec'][lo_k]:,.0f} img/s "
+            f"({lo['decode_sec']}s) | {result['decode_images_per_sec'][hi_k]:,.0f} img/s "
             f"({hi['decode_sec']}s) | {lo['decode_sec']/hi['decode_sec']:.2f}x "
             f"| **{result['scaling_efficiency']['decode']}** |\n"
         )
