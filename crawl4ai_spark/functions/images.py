@@ -141,14 +141,12 @@ def parse_srcset_col(srcset: "Column") -> "Column":
     )
     def variant(p):
         toks = F.filter(F.split(p, r"\s+"), lambda t: t != "")
-        second = F.element_at(toks, 2)
+        second = F.get(toks, 1)  # null-safe (ANSI element_at would throw)
         width = F.when(
             second.isNotNull() & second.endswith("w"),
             F.regexp_replace(second, r"w+$", ""),
         ).otherwise(F.lit(None).cast("string"))
-        return F.struct(
-            F.element_at(toks, 1).alias("url"), width.alias("width")
-        )
+        return F.struct(F.get(toks, 0).alias("url"), width.alias("width"))
     return F.when(srcset.isNull() | (srcset == ""), F.array().cast(
         "array<struct<url:string,width:string>>"
     )).otherwise(F.transform(parts, variant))
