@@ -56,38 +56,47 @@ def _hash_params(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _shingles(text: str, k: int) -> np.ndarray:
-    toks = text.lower().split()
-    if len(toks) < k:
-        joined = [" ".join(toks)] if toks else [""]
-    else:
-        joined = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    from ..hashing import xxh64
-
-    return np.unique(
-        np.array([xxh64(s.encode()) & 0x7FFFFFFFFFFFFFFF for s in joined], dtype=np.int64)
+def _shingle_hash_col(text_col: str, k: int):
+    """JVM-side word-shingle hashing: lowercase split → k-gram concat →
+    xxhash64 & 2^63-1 (identical bits to the old pure-Python xxh64 path),
+    distinct.  Keeps the whole string/hash hot path in whole-stage codegen;
+    Python only ever sees int64 arrays."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    grams = F.when(F.size(toks) < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+    return F.array_distinct(
+        F.transform(grams, lambda g: F.xxhash64(g).bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF)))
     )
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        n_hashes: int = 64, shingle_k: int = 3,
                        seed: int = 42) -> DataFrame:
-    """(id, sig array<long>) — vectorized (a·h + b) mod p minwise hashing
-    over word-shingle hashes, one numpy matmul-shaped pass per Arrow batch."""
+    """(id, sig array<long>) — shingle hashing in Catalyst (codegen), then
+    one numpy (a·h + b) mod p min-reduction per Arrow batch."""
     a, b = _hash_params(n_hashes, seed)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             ids, sigs = [], []
             for r in batch.itertuples():
-                sh = _shingles(getattr(r, text_col) or "", shingle_k)
+                sh = np.asarray(r.sh, dtype=np.int64)
+                if sh.size == 0:
+                    sh = np.zeros(1, dtype=np.int64)
                 # (n_shingles, n_hashes) permuted values, min over shingles
                 vals = (sh[:, None] * a[None, :] + b[None, :]) % _MERSENNE
                 sigs.append(vals.min(axis=0).astype(np.int64).tolist())
                 ids.append(getattr(r, id_col))
             yield pd.DataFrame({id_col: ids, "sig": sigs})
 
-    return df.select(id_col, text_col).mapInPandas(run, f"{id_col} long, sig array<long>")
+    hashed = df.select(
+        F.col(id_col), _shingle_hash_col(text_col, shingle_k).alias("sh")
+    )
+    return hashed.mapInPandas(run, f"{id_col} long, sig array<long>")
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -139,29 +148,36 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 
 def simhash_col(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash long): Charikar 64-bit fingerprint over word hashes."""
+    """(id, simhash long): Charikar 64-bit fingerprint over word hashes.
+
+    Token hashing runs JVM-side (codegen xxhash64, bit-identical to the
+    driver xxh64 — tests/test_hashing.py); Python does only the vectorized
+    bit-vote accumulation per Arrow batch."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..hashing import xxh64
-
+        shifts = np.arange(64, dtype=np.uint64)
+        weights = (np.uint64(1) << shifts).astype(np.uint64)
         for batch in batches:
             ids, hashes = [], []
             for r in batch.itertuples():
-                toks = (getattr(r, text_col) or "").lower().split()
-                acc = np.zeros(64, dtype=np.int64)
-                for t in set(toks):
-                    h = xxh64(t.encode())
-                    bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                    acc += np.where(bits.astype(bool), 1, -1)
-                val = 0
-                for i in range(64):
-                    if acc[i] > 0:
-                        val |= 1 << i
+                h = np.asarray(r.th, dtype=np.int64).view(np.uint64)
+                if h.size:
+                    bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1))
+                    acc = 2 * bits.sum(axis=0).astype(np.int64) - h.size
+                else:
+                    acc = np.full(64, 0, dtype=np.int64)
+                val = int((weights[acc > 0]).sum(dtype=np.uint64))
                 ids.append(getattr(r, id_col))
                 hashes.append(val - (1 << 64) if val >= (1 << 63) else val)
             yield pd.DataFrame({id_col: ids, "simhash": hashes})
 
-    return df.select(id_col, text_col).mapInPandas(run, f"{id_col} long, simhash long")
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    )
+    hashed = df.select(
+        F.col(id_col), F.transform(toks, lambda t: F.xxhash64(t)).alias("th")
+    )
+    return hashed.mapInPandas(run, f"{id_col} long, simhash long")
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
