@@ -276,6 +276,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["composite_score"] = q_composite_score
 
+    def q_corpus_pipeline(spark, sf):
+        # composed training-data pipeline: exact dedup → quality gate →
+        # per-language rollup with token totals
+        docs = _t(spark, sf, "documents")
+        deduped = exact_dedup(docs)
+        scored = deduped.select(
+            "doc_id",
+            lang_id(F.col("text")).alias("lang_pred"),
+            quality_score(F.col("text")).alias("q"),
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+        ).filter(F.col("q") >= 0.5)
+        return scored.groupBy("lang_pred").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    q["corpus_pipeline"] = q_corpus_pipeline
+
     # ------------------------------------------ chunking (G11, SURVEY §2.7)
     def q_chunk_fixed(spark, sf):
         docs = _t(spark, sf, "documents").select("doc_id", "text")
@@ -639,6 +656,44 @@ def oracle_sql() -> dict[str, str]:
                    AND CAST(greatest(n_chars-n_toks+1,0) AS DOUBLE)/greatest(n_toks,1) <= 12.0
                   THEN 1.0 ELSE 0.4 END AS DOUBLE) * 0.2 AS quality
         FROM base
+    """
+
+    o["corpus_pipeline"] = f"""
+        WITH d AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   row_number() OVER (PARTITION BY {norm} ORDER BY doc_id) AS rn
+            FROM documents) WHERE rn = 1),
+        base AS (
+          SELECT doc_id, text,
+                 {he} AS he, {hs} AS hs, {hd} AS hd, {hf} AS hf,
+                 len(list_filter(string_split_regex(lower(text),'\\s+'), x -> x <> '')) AS n_toks,
+                 length(text) AS n_chars,
+                 length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct
+          FROM d),
+        s AS (
+          SELECT doc_id, n_toks,
+            CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                 WHEN he >= hs AND he >= hd AND he >= hf AND he > 0 THEN 'en'
+                 WHEN hs >= hd AND hs >= hf AND hs > 0 THEN 'es'
+                 WHEN hd >= hf AND hd > 0 THEN 'de'
+                 WHEN hf > 0 THEN 'fr'
+                 ELSE 'und' END AS lang_pred,
+            CAST(CASE WHEN n_toks >= 20 AND n_toks <= 5000 THEN 1.0
+                  WHEN n_toks >= 5 THEN 0.5 ELSE 0.0 END AS DOUBLE) * 0.4
+            + CAST(CASE WHEN CAST(punct AS DOUBLE)/greatest(n_chars,1) > 0.001
+                     AND CAST(punct AS DOUBLE)/greatest(n_chars,1) < 0.2
+                    THEN 1.0 ELSE 0.3 END AS DOUBLE) * 0.2
+            + CAST(CASE WHEN CAST(he AS DOUBLE)/greatest(n_toks,1) > 0.05 THEN 1.0
+                    WHEN CAST(he AS DOUBLE)/greatest(n_toks,1) > 0.01 THEN 0.6
+                    ELSE 0.2 END AS DOUBLE) * 0.2
+            + CAST(CASE WHEN CAST(greatest(n_chars-n_toks+1,0) AS DOUBLE)/greatest(n_toks,1) >= 2.5
+                     AND CAST(greatest(n_chars-n_toks+1,0) AS DOUBLE)/greatest(n_toks,1) <= 12.0
+                    THEN 1.0 ELSE 0.4 END AS DOUBLE) * 0.2 AS q
+          FROM base)
+        SELECT lang_pred, count(*) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS total_tokens
+        FROM s WHERE q >= 0.5 GROUP BY lang_pred
     """
 
     o["url_canonicalize"] = """

@@ -79,6 +79,10 @@ class CrawlConfig:
     politeness_budget: int | None = None  # per-host per-superstep cap
     max_supersteps: int = 10_000
     user_agent: str = "*"
+    # FilterStats/ScoringStats analogs (filters.py:19-37, scorers.py:26-62):
+    # when True each discovery also logs candidate/passed/skipped counts
+    # (one extra agg per superstep — opt-in, off the hot path by default).
+    collect_filter_stats: bool = False
 
     @property
     def page_budget(self) -> int:
@@ -222,6 +226,21 @@ class CrawlEngine:
             # best-first pushes the scraper's absolute href as-is (bff :108)
             cand = cand.withColumn("target", F.col("abs_href"))
         # P1 validity + P2 filter chain — on the absolute href (bfs :109)
+        if cfg.collect_filter_stats:
+            passed_expr = url_validity(F.col("abs_href"))
+            if cfg.filters:
+                passed_expr = passed_expr & chain_column(F.col("abs_href"), cfg.filters)
+            stats = cand.agg(
+                F.count("*").alias("candidates"),
+                F.sum(passed_expr.cast("long")).alias("passed"),
+            ).collect()[0]
+            self._log(
+                filter_stats={
+                    "candidates": stats["candidates"],
+                    "passed": int(stats["passed"] or 0),
+                    "rejected": stats["candidates"] - int(stats["passed"] or 0),
+                }
+            )
         cand = cand.filter(url_validity(F.col("abs_href")))
         if cfg.filters:
             cand = cand.filter(chain_column(F.col("abs_href"), cfg.filters))

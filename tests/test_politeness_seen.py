@@ -154,3 +154,28 @@ def test_salted_host_slots_distinct_and_spaced(spark):
     want = {r["url"]: r["host_rank"] for r in plain}
     got = {r["url"]: r["host_rank"] for r in by_host["cold.test"]}
     assert got == want
+
+
+def test_filter_stats_collection(spark):
+    """P2 FilterStats analog (filters.py:19-37): candidate/passed/rejected
+    counts logged per discovery when collect_filter_stats is on."""
+    from crawl4ai_spark.functions.filters import FilterSpec
+    from crawl4ai_spark.plans.frontier import CrawlConfig, deep_crawl
+    from crawl4ai_spark.sources.synth import GraphParams, synth_tables, url_of
+
+    p = GraphParams(n_pages=60, n_domains=4, mean_degree=5, seed=42)
+    pages, links, _ = synth_tables(spark, p)
+    cfg = CrawlConfig(
+        strategy="bfs", max_depth=2, collect_filter_stats=True,
+        filters=[FilterSpec(kind="pattern", patterns=["*.html", "*/docs/*"])],
+        include_external=True,
+    )
+    run = deep_crawl(spark, [url_of(0, p)], pages, links, cfg)
+    stats = [m["filter_stats"] for m in run.metrics if "filter_stats" in m]
+    assert stats, "no filter stats logged"
+    for s in stats:
+        assert s["candidates"] == s["passed"] + s["rejected"]
+        assert s["candidates"] >= 0 and s["passed"] >= 0
+    assert any(s["rejected"] > 0 for s in stats) or all(
+        s["candidates"] == 0 for s in stats
+    )
