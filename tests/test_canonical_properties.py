@@ -1,0 +1,76 @@
+"""Property-based tests (hypothesis) for the C2 canonicalizer —
+driver-side, no Spark session needed.
+
+Invariants implied by utils.py:2162-2207 semantics:
+  idempotence, no fragments, no tracking params, lowercase netloc,
+  no trailing slash (except root), absolute-URL output.
+"""
+
+from __future__ import annotations
+
+import string
+from urllib.parse import parse_qs, urlparse
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crawl4ai_spark.functions.canonical import (
+    TRACKING_PARAMS,
+    normalize_url_for_deep_crawl,
+)
+
+_host = st.from_regex(r"[a-z][a-z0-9-]{0,10}\.(com|org|test|co\.uk)", fullmatch=True)
+_seg = st.text(alphabet=string.ascii_lowercase + string.digits + "._-~", min_size=1, max_size=8)
+_path = st.lists(_seg, max_size=4).map(lambda s: "/" + "/".join(s))
+_param = st.tuples(
+    st.one_of(st.sampled_from(sorted(TRACKING_PARAMS)), _seg), _seg
+)
+_query = st.lists(_param, max_size=4).map(
+    lambda ps: "&".join(f"{k}={v}" for k, v in ps)
+)
+_frag = st.one_of(st.just(""), _seg.map(lambda s: "#" + s))
+
+
+@st.composite
+def urls(draw):
+    host = draw(_host)
+    path = draw(_path)
+    q = draw(_query)
+    frag = draw(_frag)
+    trail = draw(st.sampled_from(["", "/"]))
+    upper = draw(st.booleans())
+    h = host.upper() if upper else host
+    u = f"https://{h}{path}{trail}"
+    if q:
+        u += "?" + q
+    return u + frag
+
+
+@settings(max_examples=300, deadline=None)
+@given(urls())
+def test_idempotent(u):
+    c1 = normalize_url_for_deep_crawl(u, u)
+    c2 = normalize_url_for_deep_crawl(c1, c1)
+    assert c1 == c2
+
+
+@settings(max_examples=300, deadline=None)
+@given(urls())
+def test_invariants(u):
+    c = normalize_url_for_deep_crawl(u, u)
+    p = urlparse(c)
+    assert p.fragment == ""
+    assert p.netloc == p.netloc.lower()
+    assert p.scheme in ("http", "https")
+    assert p.path == "/" or not p.path.endswith("/")
+    if p.query:
+        for k in parse_qs(p.query):
+            assert k not in TRACKING_PARAMS
+
+
+@settings(max_examples=200, deadline=None)
+@given(urls(), _seg)
+def test_relative_join_lands_on_base_host(base, leaf):
+    c = normalize_url_for_deep_crawl("/" + leaf, base)
+    assert urlparse(c).netloc == urlparse(base).netloc.lower()
+    assert urlparse(c).path == "/" + leaf
