@@ -7,16 +7,36 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
+
+
+def _frozen_partitions(df: DataFrame, order_cols: list[Column | str],
+                       num_partitions: int | None) -> DataFrame:
+    """Range-partition + sort by ``order_cols`` and freeze the result with an
+    eager localCheckpoint: both passes (per-partition stats collect, then the
+    Arrow assign pass) must see IDENTICAL partitions — a recompute would
+    resample range boundaries.  localCheckpoint (vs persist) also lets the
+    ContextCleaner release the blocks when the plan is GC'd; a persist()
+    stays registered in the CacheManager forever (block-manager leak when
+    called once per superstep)."""
+    rng = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    )
+    return (
+        rng.sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
 
 
 def with_global_seq(df: DataFrame, order_cols: list[Column | str],
                     out_col: str = "seq", start: int = 0,
                     num_partitions: int | None = None) -> DataFrame:
     """Dense global 0-based rank by ``order_cols`` WITHOUT a
-    single-partition window: range-partition on the sort key, persist (so
-    both passes see identical partitions), collect per-partition counts,
-    then assign offset + local index in one Arrow pass.
+    single-partition window: range-partition on the sort key, freeze the
+    partitions, collect per-partition counts, then assign offset + local
+    index in one Arrow pass.
 
     This is the scale-safe replacement for
     ``row_number().over(Window.orderBy(...))`` — the naive form funnels the
@@ -24,17 +44,7 @@ def with_global_seq(df: DataFrame, order_cols: list[Column | str],
     """
     if not df.take(1):
         return df.withColumn(out_col, F.lit(start).cast("long"))
-    rng = (
-        df.repartitionByRange(num_partitions, *order_cols)
-        if num_partitions
-        else df.repartitionByRange(*order_cols)
-    )
-    d = (
-        rng
-        .sortWithinPartitions(*order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    d = _frozen_partitions(df, order_cols, num_partitions)
     sizes = {r["__pid"]: r["count"] for r in d.groupBy("__pid").count().collect()}
     offsets = {}
     acc = start
@@ -59,3 +69,45 @@ def with_global_seq(df: DataFrame, order_cols: list[Column | str],
 
     out = d.mapInPandas(assign, f"{fields}, {out_col} long")
     return out
+
+
+def with_global_cumsum(df: DataFrame, order_cols: list[Column | str],
+                       val_col: str, out_col: str = "cumsum",
+                       num_partitions: int | None = None) -> DataFrame:
+    """Inclusive running sum of ``val_col`` in global ``order_cols`` order
+    WITHOUT a single-partition window (the scale-safe replacement for
+    ``sum(x).over(Window.orderBy(...))``): range-partition + sort, collect
+    per-partition sums, broadcast prefix offsets, cumsum per partition in
+    one Arrow pass.  ``val_col`` must be numeric; output is long."""
+    if not df.take(1):
+        return df.withColumn(out_col, F.lit(0).cast("long"))
+    d = _frozen_partitions(df, order_cols, num_partitions)
+    sums = {
+        r["__pid"]: int(r["s"] or 0)
+        for r in d.groupBy("__pid").agg(
+            F.sum(F.col(val_col).cast("long")).alias("s")
+        ).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    bc = d.sparkSession.sparkContext.broadcast(offsets)
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        run = 0
+        off = None
+        for b in batches:
+            if off is None and len(b):
+                off = bc.value[int(b["__pid"].iloc[0])]
+            b = b.copy()
+            vals = b[val_col].fillna(0).astype("int64")
+            b[out_col] = off + run + vals.cumsum()
+            run += int(vals.sum())
+            yield b.drop(columns=["__pid"])
+
+    return d.mapInPandas(assign, f"{fields}, {out_col} long")

@@ -60,8 +60,12 @@ def _shingle_hash_col(text_col: str, k: int):
     """JVM-side word-shingle hashing: lowercase split → k-gram concat →
     xxhash64 & 2^63-1 (identical bits to the old pure-Python xxh64 path),
     distinct.  Keeps the whole string/hash hot path in whole-stage codegen;
-    Python only ever sees int64 arrays."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    Python only ever sees int64 arrays.  NULL text (failed fetches) folds to
+    '' so the Arrow stage sees an empty array, never None."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
     grams = F.when(F.size(toks) < k, F.array(F.concat_ws(" ", toks))).otherwise(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
@@ -106,7 +110,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     Jaccard (matching minhashes / n_hashes) ≥ threshold, candidates from
     same-(band, band-hash) buckets only."""
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, seed).persist()
+    # eager localCheckpoint, not persist(): materializes once for the
+    # banded self-join AND releases its blocks via ContextCleaner when the
+    # plan is GC'd — a plain persist() stays registered in the CacheManager
+    # forever (block-manager leak over long pipelines).
+    sigs = minhash_signatures(
+        df, text_col, id_col, n_hashes, shingle_k, seed
+    ).localCheckpoint(eager=True)
     banded = sigs.select(
         F.col(id_col),
         F.col("sig"),
@@ -171,8 +181,13 @@ def simhash_col(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
                 hashes.append(val - (1 << 64) if val >= (1 << 63) else val)
             yield pd.DataFrame({id_col: ids, "simhash": hashes})
 
+    # NULL text → '' → empty token array (simhash 0), matching the
+    # pre-vectorization `(text or '')` behavior on failed fetches.
     toks = F.array_distinct(
-        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+            lambda t: t != "",
+        )
     )
     hashed = df.select(
         F.col(id_col), F.transform(toks, lambda t: F.xxhash64(t)).alias("th")

@@ -85,26 +85,37 @@ class _Scraper(HTMLParser):
         self.excl_domains = exclude_domains
         self.page = _Page()
         self._skip_depth = 0          # inside removed/excluded subtree
-        self._removed_open: list[str] = []
+        # full open-element stack of (tag, is_removed) — an endtag closes
+        # the nearest matching open tag, implicitly closing everything
+        # above it (BeautifulSoup's tree-builder recovery), so an unclosed
+        # removed/excluded tag cannot swallow the rest of the page.
+        self._open: list[tuple[str, bool]] = []
         self._in_title = False
+        self._head_done = False       # head metadata scope closed
         self._anchor: dict | None = None
         self._anchor_text: list[str] = []
 
     # ------------------------------------------------------------- tags
     def handle_starttag(self, tag, attrs):
         a = dict(attrs)
+        if tag == "body":
+            self._head_done = True
         if tag == "meta":
-            # G7: <meta name=... content=...> / property= (og:/twitter:)
-            key = a.get("name") or a.get("property")
-            if key and "content" in a:
-                self.page.meta.setdefault(key, a["content"] or "")
+            # G7: <meta name=... content=...> / property= (og:/twitter:) —
+            # HEAD scope only: the reference's extract_metadata reads
+            # soup.head (utils.py:1465-1583); body-embedded meta tags in
+            # scraped fragments must not add keys.
+            if not self._head_done and not self._skip_depth:
+                key = a.get("name") or a.get("property")
+                if key and "content" in a:
+                    self.page.meta.setdefault(key, a["content"] or "")
             return
-        if tag in REMOVED_TAGS or tag in self.excluded_tags:
-            if tag not in VOID_TAGS:
+        removed = tag in REMOVED_TAGS or tag in self.excluded_tags
+        if tag not in VOID_TAGS:
+            self._open.append((tag, removed))
+            if removed:
                 self._skip_depth += 1
-                self._removed_open.append(tag)
-            return
-        if self._skip_depth:
+        if removed or self._skip_depth:
             return
         if tag == "title":
             self._in_title = True
@@ -115,10 +126,28 @@ class _Scraper(HTMLParser):
                 self._anchor_text = []
 
     def handle_endtag(self, tag):
-        if self._removed_open and tag == self._removed_open[-1]:
-            self._removed_open.pop()
-            self._skip_depth -= 1
-            return
+        if tag == "head":
+            self._head_done = True
+        # find the nearest matching open element; pop it and everything
+        # opened after it (implicit closes), unwinding skip state as the
+        # removed entries pop.
+        for i in range(len(self._open) - 1, -1, -1):
+            if self._open[i][0] == tag:
+                closed_removed = self._open[i][1]
+                for t, removed in reversed(self._open[i:]):
+                    if removed:
+                        self._skip_depth -= 1
+                    elif t == "a" and not self._skip_depth and self._anchor is not None:
+                        self._emit_link()
+                    elif t == "title":
+                        self._in_title = False
+                del self._open[i:]
+                if closed_removed or self._skip_depth:
+                    return
+                if tag == "title":
+                    self._in_title = False
+                return
+        # stray endtag with no matching open element
         if self._skip_depth:
             return
         if tag == "title":

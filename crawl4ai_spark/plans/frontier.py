@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..dist import with_global_seq
+from ..dist import with_global_cumsum, with_global_seq
 from ..functions.canonical import canonical_col, join_url_udf
 from ..functions.filters import FilterSpec, chain_column, url_validity
 from ..functions.scorers import ScorerSpec
@@ -440,10 +440,15 @@ class CrawlEngine:
             )
             n_success = fetched.filter(F.col("success")).count()
             n_batch = fetched.count()
-            # cumulative successes in batch order → per-result remaining
-            wcum = Window.orderBy("seq").rowsBetween(Window.unboundedPreceding, 0)
-            fetched_c = fetched.withColumn(
-                "cum_succ", F.sum(F.col("success").cast("long")).over(wcum)
+            # cumulative successes in batch order → per-result remaining.
+            # Two-pass distributed cumsum (per-partition sums + broadcast
+            # prefix offsets), NOT Window.orderBy("seq") — the unpartitioned
+            # window funnels the whole popped batch through one task, fine
+            # at parity batch_size=10 but a straggler at the
+            # millions-at-scale batch this module promises.
+            fetched_c = with_global_cumsum(
+                fetched, ["seq"], "success", out_col="cum_succ",
+                num_partitions=self._parts(cfg.batch_size),
             )
             remaining = (
                 F.lit(cfg.page_budget) - (F.lit(pages_crawled) + F.col("cum_succ"))

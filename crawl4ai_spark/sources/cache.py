@@ -61,7 +61,11 @@ def cached_fetch(
 
     hit_keys = cache.select(key_col).distinct()
     misses = frontier.join(hit_keys, key_col, "left_anti")
-    hits = frontier.select(key_col).distinct().join(cache, key_col, "inner")
+    # hits keep every frontier column and per-request multiplicity: a key
+    # requested twice yields two result rows, symmetric with the miss path
+    # (the reference serves each arun() call its own cached CrawlResult,
+    # async_webcrawler.py:311-332).
+    hits = frontier.join(cache, key_col, "inner")
     fetched = fetch_fn(misses)
     results = hits.unionByName(fetched, allowMissingColumns=True)
     delta = fetched if mode.should_write() else fetched.limit(0)

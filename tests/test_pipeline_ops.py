@@ -165,3 +165,17 @@ def test_multimodal_stages(spark):
     # stubbed codec path is explicit, not silent
     with pytest.raises(NotImplementedError):
         decode_rgb(b"", "jpeg", 1, 1)
+
+
+def test_null_text_dedup_ops(spark):
+    # NULL cleaned_text is realistic (failed fetches): the JVM-side token
+    # arrays must fold NULL → empty, not crash the Arrow worker.
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash_col(df).collect()}
+    assert sh[2] == 0 and sh[3] == 0 and sh[1] != 0
+    sigs = dedup.minhash_signatures(df, n_hashes=8).collect()
+    assert {r["doc_id"] for r in sigs} == {1, 2, 3}
+    assert dedup.ngram_jaccard_pairs(df, threshold=0.01).count() == 0

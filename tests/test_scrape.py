@@ -120,3 +120,32 @@ def test_scrape_stage_distributed(spark):
     assert rows["https://b.test/"]["links"][0]["href"] == "https://b.test/x"
     # schema stability: map + array<struct> columns round-trip through Arrow
     assert rows[PAGE_URL]["meta"]["description"] == "A test page"
+
+
+def test_body_meta_not_collected():
+    # reference extract_metadata reads soup.head only (utils.py:1465-1583)
+    html = (
+        "<html><head><meta name='description' content='head-desc'></head>"
+        "<body><meta name='injected' content='nope'>"
+        "<p>body text here</p></body></html>"
+    )
+    res = scrape_html(html, PAGE_URL)
+    assert res["meta"] == {"description": "head-desc"}
+
+
+def test_unclosed_excluded_tag_recovers():
+    # an unclosed excluded <aside> must not swallow the rest of the page:
+    # the closing ancestor </div> pops the dangling skip-stack entry
+    html = (
+        "<html><body><div><aside class='sidebar'>junk <p>more junk"
+        "</div><p>kept text after</p></body></html>"
+    )
+    res = scrape_html(html, PAGE_URL, excluded_tags=["aside"])
+    assert "junk" not in res["cleaned_text"]
+    assert "kept text after" in res["cleaned_text"]
+
+
+def test_unclosed_excluded_tag_resets_at_body_end():
+    html = "<html><body><nav>menu stuff <p>x</body></html>"
+    res = scrape_html(html, PAGE_URL, excluded_tags=["nav"])
+    assert "menu" not in res["cleaned_text"]

@@ -77,8 +77,10 @@ def main() -> None:
     lo = run_level(n_lo, n_pages, n_images)
     hi = run_level(n_hi, n_pages, n_images)
 
+    ratio = n_hi / n_lo
+
     def eff(metric: str) -> float:
-        return round(lo[metric] / hi[metric] / 4.0, 3)
+        return round(lo[metric] / hi[metric] / ratio, 3)
 
     result = {
         "n_pages": n_pages,
