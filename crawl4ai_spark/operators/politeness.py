@@ -65,6 +65,56 @@ def apply_host_budget(df: DataFrame, budget: int | None,
     return within, deferred
 
 
+def split_host_budget(df: DataFrame, budget: int, order_cols: list,
+                      host_col: str = "host",
+                      hot_hosts: list[str] | None = None,
+                      salt_buckets: int = 16,
+                      url_col: str = "url") -> tuple[DataFrame, DataFrame]:
+    """Exact (within, deferred) split for the engine superstep: ``within`` =
+    the first ``budget`` rows per host in ``order_cols`` order; ``deferred``
+    = the rest, untouched, to re-enter the next superstep's frontier
+    (reference intent: RateLimiter sleeps between same-domain requests,
+    async_dispatcher.py:44-65 — the batch translation defers the overflow
+    to the next politeness window instead of sleeping).
+
+    Hot hosts (D7) rank in two phases so no task ever orders a whole hot
+    host: a per-(host, salt-bucket) local window keeps each bucket's first
+    ``budget`` rows (a row past local rank B is past global rank B a
+    fortiori), then one exact window over the ≤ salt_buckets × budget
+    survivors.  The result is EXACTLY the unsalted split — salting here is
+    an execution detail, never a semantics change.
+    """
+    hot = [h for h in (hot_hosts or []) if h]
+    if not hot or salt_buckets <= 1:
+        w = Window.partitionBy(host_col).orderBy(*order_cols)
+        r = df.withColumn("__rn", F.row_number().over(w))
+        return (
+            r.filter(F.col("__rn") <= budget).drop("__rn"),
+            r.filter(F.col("__rn") > budget).drop("__rn"),
+        )
+    is_hot = F.col(host_col).isin(hot)
+    cold = df.filter(~is_hot)
+    wcold = Window.partitionBy(host_col).orderBy(*order_cols)
+    rc = cold.withColumn("__rn", F.row_number().over(wcold))
+    cold_within = rc.filter(F.col("__rn") <= budget).drop("__rn")
+    cold_defer = rc.filter(F.col("__rn") > budget).drop("__rn")
+
+    salt = F.pmod(F.xxhash64(F.col(url_col)), F.lit(salt_buckets)).cast("int")
+    h1 = df.filter(is_hot).withColumn("__salt", salt)
+    w1 = Window.partitionBy(host_col, "__salt").orderBy(*order_cols)
+    h1 = h1.withColumn("__lrn", F.row_number().over(w1))
+    hot_defer_far = h1.filter(F.col("__lrn") > budget).drop("__salt", "__lrn")
+    survivors = h1.filter(F.col("__lrn") <= budget).drop("__salt", "__lrn")
+    w2 = Window.partitionBy(host_col).orderBy(*order_cols)
+    r2 = survivors.withColumn("__rn", F.row_number().over(w2))
+    hot_within = r2.filter(F.col("__rn") <= budget).drop("__rn")
+    hot_defer_near = r2.filter(F.col("__rn") > budget).drop("__rn")
+    return (
+        cold_within.unionByName(hot_within),
+        cold_defer.unionByName(hot_defer_far).unionByName(hot_defer_near),
+    )
+
+
 def makespan_metrics(df: DataFrame, host_col: str = "host") -> DataFrame:
     """Per-superstep politeness metrics: per-host request count and virtual
     makespan (max send slot) — the straggler signal that drives salting."""
@@ -121,6 +171,60 @@ def update_domain_state(domain_state: pd.DataFrame, results_pdf: pd.DataFrame,
             for h, s in sorted(state.items())
         ]
     )
+
+
+DOMAIN_STATE_SCHEMA = "host string, current_delay double, fail_count int, give_up boolean"
+
+
+def empty_domain_state() -> pd.DataFrame:
+    return pd.DataFrame(
+        {"host": pd.Series(dtype="object"),
+         "current_delay": pd.Series(dtype="float64"),
+         "fail_count": pd.Series(dtype="int64"),
+         "give_up": pd.Series(dtype="bool")}
+    )
+
+
+def fold_domain_state_dist(domain_state: pd.DataFrame, results: DataFrame,
+                           seed: int = 42, superstep: int = 0,
+                           base_delay: tuple[float, float] = DEFAULT_BASE_DELAY,
+                           max_delay: float = MAX_DELAY,
+                           max_retries: int = MAX_RETRIES) -> pd.DataFrame:
+    """Distributed ``update_domain_state``: the per-host sequential fold
+    (reference RateLimiter.update_delay, async_dispatcher.py:67-87) runs
+    inside ``groupBy(host).applyInPandas`` with the prior O(#hosts) state
+    broadcast; only the touched hosts' new states (O(#hosts-touched) rows)
+    come back to the driver, never the per-row results.  Bit-identical to
+    the driver twin ``update_domain_state`` (same code path per host)."""
+    spark = results.sparkSession
+    prior = {
+        r.host: (float(r.current_delay), int(r.fail_count), bool(r.give_up))
+        for r in domain_state.itertuples()
+    }
+    bc = spark.sparkContext.broadcast(prior)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        host = pdf["host"].iloc[0]
+        p = bc.value.get(host)
+        prior_df = pd.DataFrame(
+            [] if p is None else
+            [{"host": host, "current_delay": p[0], "fail_count": p[1], "give_up": p[2]}],
+            columns=["host", "current_delay", "fail_count", "give_up"],
+        )
+        return update_domain_state(
+            prior_df, pdf, seed=seed, superstep=superstep,
+            base_delay=base_delay, max_delay=max_delay, max_retries=max_retries,
+        )
+
+    touched = (
+        results.select("host", "seq", "status_code")
+        .groupBy("host")
+        .applyInPandas(fold, DOMAIN_STATE_SCHEMA)
+        .toPandas()
+    )
+    untouched = domain_state[~domain_state["host"].isin(set(touched["host"]))]
+    out = pd.concat([untouched, touched], ignore_index=True)
+    return out.sort_values("host").reset_index(drop=True)
 
 
 def with_salted_host_slots(df: DataFrame, politeness: DataFrame | None,

@@ -144,6 +144,106 @@ class PartitionedBloom:
         return df.mapInPandas(probe, f"{fields}, maybe_seen boolean")
 
 
+class BloomSidecar:
+    """Incremental, fully distributed partitioned Bloom filter — the engine
+    hot-path form of the north_rule's "partitioned Bloom/cuckoo URL-seen
+    keyed by canonicalized-URL xxhash64".
+
+    Unlike :class:`PartitionedBloom` (whose ``build`` collects bucket
+    bit-arrays to the driver — a driver OOM at 10^10 URLs ≈ 12 GiB), the
+    bit-arrays here live as a ``(bucket int, bits binary)`` DataFrame that
+    is never collected:
+
+      - ``add(urls)`` folds the batch's xxhash64 keys per bucket
+        (groupBy-bucket Arrow fold) and OR-merges into the existing bits
+        via a same-bucket cogroup; the merged table is eagerly
+        localCheckpointed (≤ ``n_buckets`` tiny rows) so superstep lineage
+        stays flat.
+      - ``prefilter(cand)`` meets candidates with their bucket's bit-array
+        in a same-key cogroup and flags ``maybe_seen``; False ⇒ definitely
+        new ⇒ the row skips the seen-table anti-join shuffle entirely.
+
+    Exactness is preserved unconditionally (Bloom has no false negatives as
+    long as every seen URL was ``add``-ed before the probe — the engine adds
+    the popped batch in the same superstep, before discovery).
+    """
+
+    def __init__(self, spark, capacity: int, fp_rate: float = 0.01,
+                 n_buckets: int = 32):
+        per_bucket = max(64, capacity // n_buckets + 1)
+        self.m, self.k = bloom_params(per_bucket, fp_rate)
+        self.n_buckets = n_buckets
+        self.bits_df: DataFrame = spark.createDataFrame([], "bucket int, bits binary")
+
+    def _keyed(self, urls: DataFrame, url_col: str) -> DataFrame:
+        h = F.xxhash64(F.col(url_col))
+        return urls.select(
+            h.alias("__h"),
+            F.pmod(h, F.lit(self.n_buckets)).cast("int").alias("bucket"),
+        )
+
+    def add(self, urls: DataFrame, url_col: str = "url") -> None:
+        m, k = self.m, self.k
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            _set_bits(bits, _positions(pdf["__h"].to_numpy(dtype=np.int64), m, k))
+            return pd.DataFrame(
+                {"bucket": [int(pdf["bucket"].iloc[0])], "bits": [bits.tobytes()]}
+            )
+
+        new = self._keyed(urls, url_col).groupBy("bucket").applyInPandas(
+            fold, "bucket int, bits binary"
+        )
+
+        def merge(old: pd.DataFrame, fresh: pd.DataFrame) -> pd.DataFrame:
+            arrs = [np.frombuffer(b, dtype=np.uint8)
+                    for b in list(old["bits"]) + list(fresh["bits"])]
+            acc = arrs[0].copy()
+            for a in arrs[1:]:
+                acc |= a
+            bucket = int(old["bucket"].iloc[0] if len(old) else fresh["bucket"].iloc[0])
+            return pd.DataFrame({"bucket": [bucket], "bits": [acc.tobytes()]})
+
+        self.bits_df = (
+            self.bits_df.groupBy("bucket")
+            .cogroup(new.groupBy("bucket"))
+            .applyInPandas(lambda lft, rgt: merge(lft, rgt), "bucket int, bits binary")
+            .localCheckpoint(eager=True)
+        )
+
+    def prefilter(self, cand: DataFrame, url_col: str) -> DataFrame:
+        """Append boolean ``maybe_seen`` via a same-bucket cogroup probe;
+        no bit-array ever reaches the driver."""
+        m, k, nb = self.m, self.k, self.n_buckets
+        h = F.xxhash64(F.col(url_col))
+        keyed = cand.withColumn("__h", h).withColumn(
+            "__bb", F.pmod(F.col("__h"), F.lit(nb)).cast("int")
+        )
+        fields = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in cand.schema.fields
+        )
+
+        def probe(cpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+            hashes = cpdf["__h"].to_numpy(dtype=np.int64)
+            out = cpdf.drop(columns=["__h", "__bb"]).copy()
+            if not len(cpdf):
+                out["maybe_seen"] = pd.Series(dtype="bool")
+                return out
+            if not len(bpdf):
+                out["maybe_seen"] = False
+                return out
+            bits = np.frombuffer(bpdf["bits"].iloc[0], dtype=np.uint8)
+            out["maybe_seen"] = _test_bits(bits, _positions(hashes, m, k))
+            return out
+
+        return (
+            keyed.groupBy("__bb")
+            .cogroup(self.bits_df.groupBy("bucket"))
+            .applyInPandas(probe, f"{fields}, maybe_seen boolean")
+        )
+
+
 def anti_join_seen(candidates: DataFrame, seen: DataFrame, url_col: str = "url",
                    bloom: PartitionedBloom | None = None) -> DataFrame:
     """Exact new-URL selection: candidates ∖ seen.

@@ -278,3 +278,230 @@ def _bff_link_discovery(graph, page, source_url, current_depth, visited,
 def crawl(graph: OracleGraph, start_url: str, spec: CrawlSpec):
     fn = {"bfs": crawl_bfs, "dfs": crawl_dfs, "best_first": crawl_best_first}[spec.strategy]
     return fn(graph, start_url, spec)
+
+
+# ---------------------------------------------------------------------------
+# Scheduled BFS twin: politeness budget (D1), 429/503 backoff (D2), robots
+# gate (P8) over the superstep loop — the documented batch translation of
+# the reference dispatcher (async_dispatcher.py:30-87: per-domain sleeps
+# become per-superstep deferral; update_delay trajectories are reproduced
+# bit-for-bit via operators.politeness.update_domain_state).  Mirrors
+# plans/frontier.py run_bfs row for row, including result (superstep, seq)
+# conventions, so its output is the expected table for the engine's
+# bfs/robots/backoff probes.
+# ---------------------------------------------------------------------------
+
+import math
+import re
+
+import pandas as pd
+
+
+@dataclass
+class ScheduleSpec(CrawlSpec):
+    politeness_budget: int | None = None
+    backoff: bool = False
+    superstep_window_s: float = 10.0
+    max_retries: int = 3
+    seed: int = 42
+    max_supersteps: int = 10_000
+    user_agent: str = "*"
+
+
+def _host_of_py(url: str) -> str:
+    """Twin of functions/urlparts.host_of (regex ``://([^/]+)``, lowered)."""
+    m = re.search(r"://([^/]+)", url)
+    return m.group(1).lower() if m else ""
+
+
+def robots_allower(robots_pdf, user_agent: str = "*", now: int = 1_700_000_000):
+    """Driver twin of operators/robots.robots_gate: per-host stdlib
+    RobotFileParser over the effective rules; every failure path allows."""
+    from urllib.robotparser import RobotFileParser
+
+    from ..operators.robots import effective_rules
+
+    rules_by_host = {
+        r.host: effective_rules(r.rules, int(r.fetch_time), int(r.status), now)
+        for r in robots_pdf.itertuples()
+    }
+    parsers: dict[str, object] = {}
+
+    def allowed(host: str, url: str) -> bool:
+        rules = rules_by_host.get(host)
+        if not rules:
+            return True
+        if host not in parsers:
+            rp = RobotFileParser()
+            try:
+                rp.parse(rules.splitlines())
+                parsers[host] = rp if rp.mtime() else None
+            except Exception:
+                parsers[host] = None
+        rp = parsers[host]
+        if rp is None:
+            return True
+        try:
+            return rp.can_fetch(user_agent, url)
+        except Exception:
+            return True
+
+    return allowed
+
+
+def _sched_discover(graph, page, row, seen, pending_urls, spec, remaining):
+    """Engine _discover twin for one parent: returns ordered
+    (url, parent, depth, score) — internal-then-external, C1+C2, validity +
+    filter chain on the absolute href, seen/pending exclusion, score
+    threshold, capacity truncation (score-desc stable sort on overflow)."""
+    next_depth = row["depth"] + 1
+    if next_depth > spec.max_depth or remaining <= 0:
+        return []
+    parent_url = row["url"]
+    valid: list[tuple[str, float]] = []
+    for href in _split_links(page, spec):
+        try:
+            abs_href = normalize_url(href, parent_url)
+        except ValueError:
+            continue
+        base_url = normalize_url_for_deep_crawl(abs_href, parent_url)
+        if base_url in seen or base_url in pending_urls:
+            continue
+        if not _can_process(abs_href, next_depth, spec):
+            continue
+        score = spec.scorer.py_score(base_url) if spec.scorer else 0.0
+        if score < spec.score_threshold:
+            continue
+        valid.append((base_url, score))
+    if len(valid) > remaining:
+        if spec.scorer:
+            valid.sort(key=lambda x: x[1], reverse=True)  # stable
+        valid = valid[: int(remaining)]
+    return [(u, parent_url, next_depth, s) for u, s in valid]
+
+
+def crawl_bfs_scheduled(graph: OracleGraph, seeds: list[str],
+                        spec: ScheduleSpec, robots_pdf=None):
+    """Returns (results, seen): results are dicts with the engine's result
+    columns (superstep, seq, url, host, depth, parent, score, success,
+    status_code, attempt) ordered by (superstep, depth, seq)."""
+    from ..operators.politeness import (
+        RATE_LIMIT_CODES,
+        empty_domain_state,
+        update_domain_state,
+    )
+
+    allowed = (
+        robots_allower(robots_pdf, spec.user_agent)
+        if robots_pdf is not None
+        else (lambda h, u: True)
+    )
+    frontier = [
+        {"url": u, "parent": None, "depth": 0, "seq": i, "score": 0.0,
+         "attempt": 0, "ready": 0}
+        for i, u in enumerate(seeds)
+    ]
+    enq_base = len(seeds)
+    seen: set[str] = set()
+    results: list[dict] = []
+    pages_crawled = 0
+    superstep = 0
+    dstate = empty_domain_state()
+    budget = spec.politeness_budget
+    while superstep < spec.max_supersteps and frontier:
+        if spec.backoff:
+            eligible = [r for r in frontier if r["ready"] <= superstep]
+            if not eligible:
+                superstep = min(r["ready"] for r in frontier)
+                continue
+            waiting = [r for r in frontier if r["ready"] > superstep]
+        else:
+            eligible, waiting = list(frontier), []
+        eligible.sort(key=lambda r: (r["depth"], r["seq"]))
+        for r in eligible:
+            r["fetch_key"] = normalize_url_for_deep_crawl(r["url"], r["url"])
+            r["host"] = _host_of_py(r["fetch_key"])
+        if budget is not None:
+            taken: dict[str, int] = {}
+            within, deferred = [], []
+            for r in eligible:
+                c = taken.get(r["host"], 0)
+                if c < budget:
+                    within.append(r)
+                    taken[r["host"]] = c + 1
+                else:
+                    deferred.append(r)
+        else:
+            within, deferred = eligible, []
+        for r in within:
+            seen.add(r["url"])
+        first_parent: dict[str, str | None] = {}
+        for r in sorted(within, key=lambda r: r["seq"]):
+            if r["url"] not in first_parent:
+                first_parent[r["url"]] = r["parent"]
+        batch = []  # (row, page_or_None, status)
+        for r in within:
+            if not allowed(r["host"], r["fetch_key"]):
+                success, status, page = False, 403, None
+            else:
+                page = graph.fetch(r["url"])
+                success, status = page.success, page.status_code
+                if not success:
+                    page = None
+            results.append(
+                {"superstep": superstep, "seq": r["seq"], "url": r["url"],
+                 "host": r["host"], "depth": r["depth"],
+                 "parent": first_parent[r["url"]], "score": r["score"],
+                 "success": success, "status_code": status,
+                 "attempt": r["attempt"]}
+            )
+            batch.append((r, page, status))
+        n_success = sum(1 for _, p, _ in batch if p is not None)
+        pages_crawled += n_success
+        retries: list[dict] = []
+        if spec.backoff:
+            res_pdf = pd.DataFrame(
+                [{"host": r["host"], "seq": r["seq"], "status_code": st}
+                 for r, _p, st in batch]
+            )
+            dstate = update_domain_state(
+                dstate, res_pdf, seed=spec.seed, superstep=superstep,
+                max_retries=spec.max_retries,
+            )
+            smap = {row.host: row for row in dstate.itertuples()}
+            for r, _p, st in batch:
+                if st in RATE_LIMIT_CODES and r["attempt"] < spec.max_retries:
+                    hs = smap.get(r["host"])
+                    if hs is not None and not hs.give_up:
+                        steps = max(
+                            1, math.ceil(hs.current_delay / spec.superstep_window_s)
+                        )
+                        retries.append(
+                            {"url": r["url"], "parent": r["parent"],
+                             "depth": r["depth"], "seq": r["seq"],
+                             "score": r["score"], "attempt": r["attempt"] + 1,
+                             "ready": superstep + steps}
+                        )
+        pending = deferred + waiting + retries
+        pending_urls = {p["url"] for p in pending}
+        remaining = spec.max_pages - pages_crawled
+        new_rows: list[dict] = []
+        if n_success and remaining > 0:
+            # enqueue order: parent seq asc (engine orders discovery by
+            # ["parent_seq", "rn"] in with_global_seq)
+            for r, page, _st in sorted(batch, key=lambda b: b[0]["seq"]):
+                if page is None:
+                    continue
+                for u, par, d, sc in _sched_discover(
+                    graph, page, r, seen, pending_urls, spec, remaining
+                ):
+                    new_rows.append(
+                        {"url": u, "parent": par, "depth": d,
+                         "seq": enq_base + len(new_rows), "score": sc,
+                         "attempt": 0, "ready": 0}
+                    )
+        frontier = pending + new_rows
+        enq_base += len(new_rows)
+        superstep += 1
+    results.sort(key=lambda r: (r["superstep"], r["depth"], r["seq"]))
+    return results, seen

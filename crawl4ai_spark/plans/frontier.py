@@ -47,13 +47,25 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+import pandas as pd
+
 from ..dist import with_global_cumsum, with_global_seq
 from ..functions.canonical import canonical_col, join_url_udf
 from ..functions.filters import FilterSpec, chain_column, url_validity
 from ..functions.scorers import ScorerSpec
 from ..functions.urlparts import host_of
-from ..operators.politeness import apply_host_budget, with_host_slots
+from ..operators.politeness import (
+    DOMAIN_STATE_SCHEMA,
+    RATE_LIMIT_CODES,
+    empty_domain_state,
+    fold_domain_state_dist,
+    salt_hot_hosts,
+    split_host_budget,
+    with_host_slots,
+    with_salted_host_slots,
+)
 from ..operators.robots import robots_gate
+from ..operators.seen import BloomSidecar
 from .checkpoint import SnapshotStore
 
 _BIG = 1 << 62  # stands in for math.inf page budgets in long arithmetic
@@ -76,7 +88,32 @@ class CrawlConfig:
     scorer: ScorerSpec | None = None
     batch_size: int = 10  # best-first pop size (bff_strategy.py:18)
     check_robots_txt: bool = False  # async_configs.py:713 default False
-    politeness_budget: int | None = None  # per-host per-superstep cap
+    # D1: per-host per-superstep fetch cap (= floor(superstep_window/delay)
+    # in production).  Overflow rows are DEFERRED to the next superstep —
+    # the batch translation of RateLimiter's per-domain sleep
+    # (async_dispatcher.py:44-65).  BFS-family only; None disables.
+    politeness_budget: int | None = None
+    # D2: 429/503 backoff loop (async_dispatcher.py:67-87).  When True the
+    # engine folds per-host RateLimiter state after every superstep,
+    # requeues rate-limited rows with attempt+1 at ready-superstep
+    # now + ceil(host_delay / superstep_window_s), and stops retrying once
+    # the host's fail streak passes max_retries (give-up) or the row has
+    # been attempted max_retries extra times.
+    backoff: bool = False
+    superstep_window_s: float = 10.0  # virtual wall-clock of one superstep
+    max_retries: int = 3  # async_dispatcher.py:35
+    seed: int = 42  # deterministic backoff jitter (north_rule parity)
+    # T6: Bloom URL-seen sidecar (north_rule mandate; sizing crazy.py:53,
+    # 112-120).  None disables; capacity is the expected |seen| — overflow
+    # only raises the FP (extra exact-join probes), never wrong results.
+    bloom_capacity: int | None = 1 << 20
+    bloom_fp_rate: float = 0.01
+    bloom_buckets: int = 32
+    # D7: hosts with more than this many frontier rows in one superstep are
+    # salted across salt_buckets sub-partitions (execution-only: the budget
+    # split and slot ranks stay exactly the unsalted semantics).
+    hot_host_rows: int = 100_000
+    salt_buckets: int = 16
     max_supersteps: int = 10_000
     user_agent: str = "*"
     # FilterStats/ScoringStats analogs (filters.py:19-37, scorers.py:26-62):
@@ -99,8 +136,18 @@ class CrawlRun:
 
 RESULT_COLS = [
     "superstep", "seq", "url", "fetch_key", "host", "depth", "parent",
-    "score", "success", "status_code", "image_id",
+    "score", "success", "status_code", "attempt", "image_id",
 ]
+
+# BFS frontier row: ``seq`` is the GLOBAL enqueue sequence (seeds first,
+# then discovery order), stable across budget deferral and retries — it is
+# also the emitted result ``seq``.  ``attempt`` counts backoff retries;
+# ``ready`` is the earliest superstep the row may fetch in.
+FRONTIER_COLS = ["url", "parent", "depth", "seq", "score", "attempt", "ready"]
+FRONTIER_SCHEMA = (
+    "url string, parent string, depth int, seq long, score double, "
+    "attempt int, ready long"
+)
 
 
 class CrawlEngine:
@@ -129,6 +176,7 @@ class CrawlEngine:
             F.col("image_id"),
         )
         self.links = links  # src_url, pos, href, is_internal
+        self.bloom: BloomSidecar | None = None  # set per-run in run()
 
     def _parts(self, n_rows: int) -> int:
         """Partition count sized to the superstep batch."""
@@ -136,14 +184,31 @@ class CrawlEngine:
         return max(1, min(cap, -(-n_rows // _ROWS_PER_TASK)))
 
     # ------------------------------------------------------------ fetch
-    def _fetch(self, frontier: DataFrame, n_rows: int | None = None) -> DataFrame:
-        """S2/P8/D1: robots gate → politeness slots → synthetic fetch join.
+    def _hot_hosts(self, frontier: DataFrame, n_rows: int) -> list[str]:
+        """D7: hosts whose frontier share this superstep exceeds
+        ``hot_host_rows`` (top 64).  Detection reads the raw url host
+        JVM-side (no Arrow pass) and is skipped entirely for small
+        supersteps, where no single task can straggle anyway."""
+        cfg = self.cfg
+        if n_rows < cfg.hot_host_rows * 2:
+            return []
+        rows = (
+            frontier.groupBy(F.lower(host_of(F.col("url"))).alias("h"))
+            .count()
+            .filter(F.col("count") > cfg.hot_host_rows)
+            .orderBy(F.col("count").desc())
+            .limit(64)
+            .collect()
+        )
+        return [r["h"] for r in rows if r["h"]]
 
-        The synthetic fetch resolves any raw URL to its canonical page
-        (HTTP's fragment-dropping + case-folding stand-in), mirroring the
-        oracle's OracleGraph.fetch.
-        """
-        f = frontier.withColumn(
+    def _prepare(self, frontier: DataFrame, n_rows: int | None = None,
+                 hot_hosts: list[str] | None = None) -> DataFrame:
+        """Canonical fetch key + host, partitioned for the fetch stage."""
+        f = frontier
+        if "attempt" not in f.columns:
+            f = f.withColumn("attempt", F.lit(0))
+        f = f.withColumn(
             "fetch_key", canonical_col(F.col("url"), F.col("url"))
         ).withColumn("host", F.lower(host_of(F.col("fetch_key"))))
         # Hash-partition on host, sized to the batch: (a) breaks the
@@ -151,9 +216,25 @@ class CrawlEngine:
         # python stage pays per-partition worker round-trips per job);
         # (b) co-partitions for the robots memo and the politeness window
         # (Window.partitionBy(host) reuses this exchange — no extra
-        # shuffle); (c) this is where hot-host salting plugs in at scale.
+        # shuffle); (c) hot hosts fan out over salted sub-keys so one
+        # domain can never pin a whole task (D7).
         if n_rows is not None:
-            f = f.repartition(self._parts(n_rows), "host")
+            if hot_hosts:
+                f = salt_hot_hosts(f, hot_hosts, self.cfg.salt_buckets,
+                                   url_col="url")
+                f = f.repartition(self._parts(n_rows), "host_part").drop("host_part")
+            else:
+                f = f.repartition(self._parts(n_rows), "host")
+        return f
+
+    def _fetch_prepared(self, f: DataFrame,
+                        hot_hosts: list[str] | None = None) -> DataFrame:
+        """S2/P8/D1: robots gate → politeness slots → synthetic fetch join.
+
+        The synthetic fetch resolves any raw URL to its canonical page
+        (HTTP's fragment-dropping + case-folding stand-in), mirroring the
+        oracle's OracleGraph.fetch.
+        """
         f = robots_gate(
             f,
             self.robots_pdf if self.cfg.check_robots_txt else None,
@@ -162,7 +243,15 @@ class CrawlEngine:
             user_agent=self.cfg.user_agent,
         )
         if self.politeness is not None:
-            f = with_host_slots(f, self.politeness, order_cols=["seq"])
+            if hot_hosts:
+                # semantically equivalent interleaved ranks (conservative
+                # slots), no single-task-per-host window (politeness.py)
+                f = with_salted_host_slots(
+                    f, self.politeness, order_cols=["seq"],
+                    hot_hosts=hot_hosts, salt_buckets=self.cfg.salt_buckets,
+                )
+            else:
+                f = with_host_slots(f, self.politeness, order_cols=["seq"])
         joined = f.join(
             self.pages_kv, f["fetch_key"] == self.pages_kv["page_url"], "left"
         ).drop("page_url")
@@ -175,6 +264,48 @@ class CrawlEngine:
             .otherwise(F.coalesce(F.col("page_status"), F.lit(0))),
         ).drop("page_success", "page_status")
 
+    def _fetch(self, frontier: DataFrame, n_rows: int | None = None) -> DataFrame:
+        return self._fetch_prepared(self._prepare(frontier, n_rows))
+
+    def _mark_seen(self, seen: DataFrame, new_urls: DataFrame) -> DataFrame:
+        """Append to the URL-seen table AND the Bloom sidecar — the sidecar
+        must hold every seen URL before any discovery probe (no false
+        negatives ⇒ the prefilter stays exact)."""
+        seen = seen.unionByName(new_urls).localCheckpoint(eager=True)
+        if self.bloom is not None:
+            self.bloom.add(new_urls, url_col="url")
+        return seen
+
+    def _retry_rows(self, fetched: DataFrame, domain_state: pd.DataFrame,
+                    superstep: int) -> DataFrame:
+        """D2 requeue: rate-limited rows re-enter the frontier with
+        attempt+1, eligible after the host's folded backoff delay
+        (ceil(current_delay / superstep_window_s) supersteps); rows on
+        gave-up hosts and rows out of attempts are final (reference error
+        'Rate limit retry count exceeded', async_dispatcher.py:364-366)."""
+        cfg = self.cfg
+        failed = fetched.filter(
+            F.col("status_code").isin(list(RATE_LIMIT_CODES))
+            & (F.col("attempt") < cfg.max_retries)
+        )
+        state_df = self.spark.createDataFrame(
+            domain_state, schema=DOMAIN_STATE_SCHEMA
+        ).select("host", "current_delay", "give_up")
+        j = failed.join(F.broadcast(state_df), "host", "left")
+        j = j.filter(~F.coalesce(F.col("give_up"), F.lit(False)))
+        steps = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(
+                F.coalesce(F.col("current_delay"), F.lit(0.0))
+                / F.lit(float(cfg.superstep_window_s))
+            ).cast("long"),
+        )
+        return j.select(
+            "url", "parent", "depth", "seq", "score",
+            (F.col("attempt") + 1).alias("attempt"),
+            (F.lit(superstep) + steps).alias("ready"),
+        )
+
     # -------------------------------------------------------- discovery
     def _discover(
         self,
@@ -186,6 +317,7 @@ class CrawlEngine:
         base_seq: int,
         seq_col: str = "seq",
         est_rows: int | None = None,
+        pending: DataFrame | None = None,
     ) -> DataFrame:
         """link_discovery as a dataflow (bfs_strategy.py:68-139 with
         canonicalize=True; bff_strategy.py:76-125 with canonicalize=False).
@@ -252,10 +384,26 @@ class CrawlEngine:
             # score_threshold lives in the BFS-family discovery only
             # (bfs_strategy.py:116-119; applies even with no scorer, score=0)
             cand = cand.filter(F.col("score") >= F.lit(cfg.score_threshold))
-        # URL-seen anti-join (T6): seen state as of superstep start
-        cand = cand.join(
-            seen.select(F.col("url").alias("target")), on="target", how="left_anti"
-        )
+        # URL-seen anti-join (T6): seen state as of superstep start.  With
+        # the Bloom sidecar (north_rule mandate) definitely-new candidates
+        # skip the seen-table shuffle join entirely; only the maybe-seen
+        # slice (true dups + ~fp_rate) pays the exact left_anti — at 10^10
+        # seen URLs that join's probe side shrinks to the dup fraction.
+        seen_t = seen.select(F.col("url").alias("target"))
+        if self.bloom is not None:
+            flagged = self.bloom.prefilter(cand, "target")
+            fresh = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            suspect = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+            cand = fresh.unionByName(suspect.join(seen_t, "target", "left_anti"))
+        else:
+            cand = cand.join(seen_t, on="target", how="left_anti")
+        if pending is not None:
+            # queued-but-unfetched rows (budget-deferred / backoff-waiting /
+            # retries) are not in seen yet; exclude them exactly so a URL
+            # never occupies two frontier entries across supersteps
+            cand = cand.join(
+                pending.select(F.col("url").alias("target")), "target", "left_anti"
+            )
         # capacity truncation (bfs :123-129 / bff :117-120): sort by score
         # desc ONLY when a scorer exists AND the parent overflows (BFS);
         # best-first truncates unsorted.
@@ -301,78 +449,175 @@ class CrawlEngine:
         parts = [
             self.store.read_one(self.spark, "results", i) for i in range(s + 1)
         ]
+        dstate_df = self.store.read_one(self.spark, "domain_state", s)
         return {
             "superstep": s + 1,
             "frontier": frontier,
             "seen": seen,
             "result_parts": [p for p in parts if p is not None],
             "counters": mf["counters"],
+            "domain_state": None if dstate_df is None else dstate_df.toPandas(),
         }
 
     # ------------------------------------------------------------- BFS
     def run_bfs(self, seeds: list[str], resume: bool = False) -> CrawlRun:
+        """BFS superstep loop with the full D1/D2/D7/T6 schedule wired in.
+
+        Scheduled semantics (oracle twin: oracle/crawler.py
+        crawl_bfs_scheduled; plain BFS with budget/backoff off is exactly
+        bfs_strategy.py:141-187):
+
+          - frontier rows carry a global enqueue seq; fetch order within a
+            superstep is (depth asc, seq asc) — strict BFS priority;
+          - D1 budget: each host fetches its first `budget` rows per
+            superstep (ranked pre-robots); the rest defer intact;
+          - D2 backoff: rate-limited rows requeue with attempt+1 at
+            ready = superstep + ceil(host_delay / window); gave-up hosts
+            stop retrying; empty-eligible supersteps fast-forward;
+          - visited marks at fetch time (failures included,
+            bfs_strategy.py:161); deferred/waiting rows are excluded from
+            discovery via the pending anti-join instead;
+          - results = (superstep, seq) with seq the enqueue id; ordering
+            (superstep, depth, seq).
+        """
         cfg = self.cfg
         spark = self.spark
         state = self._restore() if resume else None
         if state is not None:
             frontier = state["frontier"]
+            if "attempt" not in frontier.columns:  # pre-D2 checkpoint
+                frontier = frontier.withColumn("attempt", F.lit(0)).withColumn(
+                    "ready", F.lit(0).cast("long")
+                )
             seen = state["seen"]
             pages_crawled = state["counters"]["pages_crawled"]
+            enq_base = state["counters"].get("enq_base", 0)
             superstep = state["superstep"]
             result_parts = state["result_parts"]
+            domain_state = state.get("domain_state")
+            if domain_state is None:
+                domain_state = empty_domain_state()
+            if self.bloom is not None:
+                self.bloom.add(seen.select("url"))
         else:
             frontier = spark.createDataFrame(
-                [(u, None, 0, i, 0.0) for i, u in enumerate(seeds)],
-                "url string, parent string, depth int, seq long, score double",
+                [(u, None, 0, i, 0.0, 0, 0) for i, u in enumerate(seeds)],
+                FRONTIER_SCHEMA,
             )
             seen = spark.createDataFrame([], "url string")
             pages_crawled = 0
+            enq_base = len(seeds)
             superstep = 0
             result_parts = []
+            domain_state = empty_domain_state()
+        budget = cfg.politeness_budget
+        if budget is not None and budget < 1:
+            raise ValueError("politeness_budget must be >= 1")
         while superstep < cfg.max_supersteps:
             n_frontier = frontier.count()
             if n_frontier == 0:
                 break
+            if cfg.backoff:
+                eligible = frontier.filter(F.col("ready") <= F.lit(superstep))
+                n_elig = eligible.count()
+                if n_elig == 0:
+                    # virtual sleep: jump to the earliest ready superstep
+                    superstep = int(frontier.agg(F.min("ready")).collect()[0][0])
+                    continue
+                waiting = frontier.filter(F.col("ready") > F.lit(superstep))
+                n_wait = n_frontier - n_elig
+            else:
+                eligible, waiting = frontier, None
+                n_elig, n_wait = n_frontier, 0
             t0 = time.time()
+            hot = self._hot_hosts(eligible, n_elig)
+            prep = self._prepare(eligible, n_rows=n_elig, hot_hosts=hot)
+            if budget is not None:
+                prep = prep.localCheckpoint(eager=True)
+                within, deferred = split_host_budget(
+                    prep, budget, ["depth", "seq"], hot_hosts=hot,
+                    salt_buckets=cfg.salt_buckets, url_col="url",
+                )
+                deferred = deferred.select(*FRONTIER_COLS)
+                marked = within.select("url")
+            else:
+                within, deferred = prep, None
+                marked = eligible.select("url")
             # T6: mark visited BEFORE fetch (bfs_strategy.py:161) — the
-            # URL-seen set includes failed fetches.
-            seen = seen.unionByName(frontier.select("url")).localCheckpoint(eager=True)
-            fetched = self._fetch(frontier, n_rows=n_frontier)
+            # URL-seen set includes failed fetches; budget-deferred rows
+            # are not seen until actually fetched.
+            seen = self._mark_seen(seen, marked)
+            fetched = self._fetch_prepared(within, hot_hosts=hot)
             # duplicate-URL quirk (bfs_strategy.py:174): every result of a
-            # URL that appears twice in a level reports the parent of the
-            # FIRST level entry for that URL.
+            # URL that appears twice in a superstep reports the parent of
+            # the FIRST (lowest enqueue seq) entry for that URL.
             wfirst = Window.partitionBy("url").orderBy("seq")
             fetched = fetched.withColumn("parent", F.first("parent").over(wfirst))
             fetched = fetched.persist(StorageLevel.MEMORY_AND_DISK)
-            n_success = fetched.filter(F.col("success")).count()
+            stat = fetched.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("success").cast("long")).alias("ok"),
+                F.min(F.when(F.col("success"), F.col("depth"))).alias("dmin"),
+            ).collect()[0]
+            n_within = int(stat["n"])
+            n_success = int(stat["ok"] or 0)
+            min_succ_depth = stat["dmin"]
             pages_crawled += n_success
             results_s = fetched.withColumn("superstep", F.lit(superstep)).select(RESULT_COLS)
             result_parts.append(self._persist_results(results_s, superstep))
+            retries = None
+            if cfg.backoff:
+                domain_state = fold_domain_state_dist(
+                    domain_state, fetched, seed=cfg.seed, superstep=superstep,
+                    max_retries=cfg.max_retries,
+                )
+                retries = self._retry_rows(fetched, domain_state, superstep)
+            pending = None
+            for part in (deferred, waiting, retries):
+                if part is not None:
+                    part = part.select(*FRONTIER_COLS)
+                    pending = part if pending is None else pending.unionByName(part)
             remaining = cfg.page_budget - pages_crawled
-            if superstep + 1 <= cfg.max_depth and remaining > 0:
+            if (
+                n_success > 0 and remaining > 0 and min_succ_depth is not None
+                and int(min_succ_depth) + 1 <= cfg.max_depth
+            ):
                 nxt = self._discover(
                     fetched,
                     seen,
                     remaining_expr=F.lit(remaining),
-                    next_depth_expr=F.lit(superstep + 1),
+                    next_depth_expr=F.col("depth") + 1,
                     canonicalize=True,
-                    base_seq=0,
-                    est_rows=n_frontier * 8,
-                ).localCheckpoint(eager=True)
+                    base_seq=enq_base,
+                    est_rows=n_elig * 8,
+                    pending=pending,
+                ).withColumn("attempt", F.lit(0)).withColumn(
+                    "ready", F.lit(0).cast("long")
+                ).select(*FRONTIER_COLS)
             else:
-                nxt = frontier.limit(0)
-            n_next = nxt.count()
+                nxt = frontier.limit(0).select(*FRONTIER_COLS)
+            if pending is not None:
+                nxt = pending.unionByName(nxt)
+            nxt = nxt.localCheckpoint(eager=True)
+            nstat = nxt.agg(F.count("*").alias("n"), F.max("seq").alias("mx")).collect()[0]
+            n_next = int(nstat["n"])
+            enq_base = max(enq_base, int(nstat["mx"] or -1) + 1)
             self._log(
-                superstep=superstep, popped=n_frontier, successes=n_success,
-                pages_crawled=pages_crawled, frontier_out=n_next,
+                superstep=superstep, popped=n_within, eligible=n_elig,
+                deferred=n_elig - n_within, waiting=n_wait,
+                successes=n_success, pages_crawled=pages_crawled,
+                frontier_out=n_next, hot_hosts=len(hot),
                 wall_ms=int((time.time() - t0) * 1000),
             )
             self._commit(superstep, frontier=nxt, seen=seen,
-                         counters={"pages_crawled": pages_crawled})
+                         counters={"pages_crawled": pages_crawled,
+                                   "enq_base": enq_base},
+                         domain_state=domain_state if cfg.backoff else None)
             fetched.unpersist()
             frontier = nxt
             superstep += 1
-        return self._finish(result_parts, seen, pages_crawled, order=["superstep", "seq"])
+        return self._finish(result_parts, seen, pages_crawled,
+                            order=["superstep", "depth", "seq"])
 
     # ------------------------------------------------------------- BF
     def run_best_first(self, seeds: list[str], resume: bool = False) -> CrawlRun:
@@ -434,7 +679,7 @@ class CrawlEngine:
                 popped.unpersist()
                 superstep += 1
                 continue
-            seen = seen.unionByName(batch.select("url")).localCheckpoint(eager=True)
+            seen = self._mark_seen(seen, batch.select("url"))
             fetched = self._fetch(batch, n_rows=cfg.batch_size).persist(
                 StorageLevel.MEMORY_AND_DISK
             )
@@ -512,9 +757,9 @@ class CrawlEngine:
             if top["url"] in visited_driver or top["depth"] > cfg.max_depth:
                 continue
             visited_driver.add(top["url"])
-            seen = seen.unionByName(
-                spark.createDataFrame([(top["url"],)], "url string")
-            ).localCheckpoint(eager=True)
+            seen = self._mark_seen(
+                seen, spark.createDataFrame([(top["url"],)], "url string")
+            )
             one = spark.createDataFrame(
                 [(top["url"], top["parent"], top["depth"], seq, 0.0)],
                 "url string, parent string, depth int, seq long, score double",
@@ -558,6 +803,16 @@ class CrawlEngine:
 
     # ---------------------------------------------------------- helpers
     def run(self, seeds: list[str], resume: bool = False) -> CrawlRun:
+        cfg = self.cfg
+        # DFS is the sequential parity-only path (one URL per superstep) —
+        # a per-pop Bloom fold would just add jobs; scale strategies get
+        # the sidecar.
+        self.bloom = (
+            BloomSidecar(self.spark, cfg.bloom_capacity, cfg.bloom_fp_rate,
+                         cfg.bloom_buckets)
+            if cfg.bloom_capacity and cfg.strategy != "dfs"
+            else None
+        )
         if self.cfg.strategy == "bfs":
             return self.run_bfs(seeds, resume=resume)
         if self.cfg.strategy == "best_first":
@@ -573,11 +828,17 @@ class CrawlEngine:
         return results_s.localCheckpoint(eager=True)
 
     def _commit(self, superstep: int, frontier: DataFrame, seen: DataFrame,
-                counters: dict) -> None:
+                counters: dict, domain_state: pd.DataFrame | None = None) -> None:
         if self.store is None:
             return
         self.store.write("frontier", frontier, superstep)
         self.store.write("seen", seen, superstep)
+        if domain_state is not None:
+            self.store.write(
+                "domain_state",
+                self.spark.createDataFrame(domain_state, schema=DOMAIN_STATE_SCHEMA),
+                superstep,
+            )
         if self.metrics:
             # per-superstep fetch/dedup metrics + partition lineage
             self.store.write_json("metrics", superstep, self.metrics[-1])
@@ -596,7 +857,7 @@ class CrawlEngine:
             results = self.spark.createDataFrame(
                 [], "superstep int, seq long, url string, fetch_key string, host string, "
                     "depth int, parent string, score double, success boolean, "
-                    "status_code int, image_id string",
+                    "status_code int, attempt int, image_id string",
             )
         return CrawlRun(
             results=results.orderBy(*order),

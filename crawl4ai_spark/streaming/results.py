@@ -37,7 +37,7 @@ from ..plans.frontier import RESULT_COLS, CrawlConfig, CrawlEngine
 RESULTS_SCHEMA = (
     "superstep int, seq long, url string, fetch_key string, host string, "
     "depth int, parent string, score double, success boolean, "
-    "status_code int, image_id string"
+    "status_code int, attempt int, image_id string"
 )
 
 

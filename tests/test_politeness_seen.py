@@ -179,3 +179,58 @@ def test_filter_stats_collection(spark):
     assert any(s["rejected"] > 0 for s in stats) or all(
         s["candidates"] == 0 for s in stats
     )
+
+
+def test_split_host_budget_salted_exact(spark):
+    # the two-phase hot-host split must equal the unsalted split EXACTLY
+    from crawl4ai_spark.operators.politeness import split_host_budget
+
+    rows = [
+        (f"https://h{i % 3}.test/p{i}", f"h{i % 3}.test", i % 4, i)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "url string, host string, depth int, seq long")
+    w0, d0 = split_host_budget(df, 7, ["depth", "seq"])
+    w1, d1 = split_host_budget(df, 7, ["depth", "seq"],
+                               hot_hosts=["h0.test"], salt_buckets=4)
+    key = lambda x: sorted((r["url"], r["seq"]) for r in x.collect())
+    assert key(w0) == key(w1)
+    assert key(d0) == key(d1)
+    # budget honored per host
+    from collections import Counter
+    c = Counter(r["host"] for r in w1.collect())
+    assert max(c.values()) == 7
+    # within = the (depth, seq)-first rows per host
+    got_h0 = sorted(
+        (r["depth"], r["seq"]) for r in w1.collect() if r["host"] == "h0.test"
+    )
+    all_h0 = sorted((d, s) for (_u, h, d, s) in rows if h == "h0.test")
+    assert got_h0 == all_h0[:7]
+
+
+def test_bloom_sidecar_incremental_exact(spark):
+    from crawl4ai_spark.operators.seen import BloomSidecar
+
+    bloom = BloomSidecar(spark, capacity=10_000, fp_rate=0.01, n_buckets=8)
+    batch1 = spark.createDataFrame(
+        [(f"https://a.test/p{i}",) for i in range(300)], "url string"
+    )
+    batch2 = spark.createDataFrame(
+        [(f"https://b.test/q{i}",) for i in range(300)], "url string"
+    )
+    bloom.add(batch1)
+    bloom.add(batch2)
+    probe = spark.createDataFrame(
+        [(f"https://a.test/p{i}",) for i in range(300)]
+        + [(f"https://b.test/q{i}",) for i in range(300)]
+        + [(f"https://c.test/r{i}",) for i in range(1000)],
+        "url string",
+    )
+    flagged = {r["url"]: r["maybe_seen"] for r in bloom.prefilter(probe, "url").collect()}
+    # NO false negatives — every added URL flags maybe_seen
+    for i in range(300):
+        assert flagged[f"https://a.test/p{i}"]
+        assert flagged[f"https://b.test/q{i}"]
+    # false-positive rate within ~5x of the design point
+    fps = sum(flagged[f"https://c.test/r{i}"] for i in range(1000))
+    assert fps < 50
