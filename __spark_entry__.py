@@ -65,6 +65,7 @@ from crawl4ai_spark.operators.text import (
     token_count,
 )
 from crawl4ai_spark.operators.multimodal import feature_stage
+from crawl4ai_spark.oracle import expected as oracle_expected
 from crawl4ai_spark.plans.frontier import CrawlConfig, deep_crawl
 from crawl4ai_spark.sources import synth
 
@@ -478,8 +479,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["events_hourly"] = q_events_hourly
 
-    # ----------------------- engine-native probes (rows-only, no oracle SQL)
+    # --------- engine-native probes: expected-parquet oracles (driver-side
+    # sequential twins, oracle/expected.py — regenerated per sf before the
+    # gate's DuckDB read)
     def q_minhash_lsh(spark, sf):
+        oracle_expected.ensure_minhash_expected(sf)
         docs = _t(spark, sf, "documents")
         return minhash_lsh_pairs(docs, n_hashes=64, bands=16, threshold=0.5).select(
             F.col("id_a").cast("long"), F.col("id_b").cast("long"),
@@ -488,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_lsh"] = q_minhash_lsh
 
     def q_simhash_pairs(spark, sf):
+        oracle_expected.ensure_simhash_expected(sf)
         docs = _t(spark, sf, "documents")
         return simhash_pairs(docs, max_hamming=3).select(
             F.col("id_a").cast("long"), F.col("id_b").cast("long"),
@@ -496,18 +501,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash_pairs"] = q_simhash_pairs
 
     def q_lsh_ann(spark, sf):
-        emb = _t(spark, sf, "embeddings")
         qs = np.array([_ANN_QUERY, [-x for x in _ANN_QUERY]])
+        oracle_expected.ensure_lsh_ann_expected(sf, qs, k=10, n_planes=8)
+        emb = _t(spark, sf, "embeddings")
         return lsh_ann_topk(emb, qs, k=10, n_planes=8).select(
             F.col("query_id").cast("long"), F.col("vec_id").cast("long"),
             F.round("cosine", 4).alias("cosine"), F.col("rank").cast("long"),
         )
     q["lsh_ann"] = q_lsh_ann
 
-    def _graph(n_pages=240):
-        return synth.GraphParams(n_pages=n_pages, n_domains=12, seed=42)
+    def _graph(n_pages=240, **kw):
+        return synth.GraphParams(n_pages=n_pages, n_domains=12, seed=42, **kw)
 
     def q_bfs_crawl(spark, sf):
+        oracle_expected.ensure_crawl_expected()
         p = _graph()
         pages, links, _ = synth.synth_tables(spark, p)
         pages, links = pages.cache(), links.cache()
@@ -521,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bfs_crawl"] = q_bfs_crawl
 
     def q_best_first_crawl(spark, sf):
+        oracle_expected.ensure_crawl_expected()
         p = _graph()
         pages, links, _ = synth.synth_tables(spark, p)
         pages, links = pages.cache(), links.cache()
@@ -537,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["best_first_crawl"] = q_best_first_crawl
 
     def q_robots_politeness_crawl(spark, sf):
+        oracle_expected.ensure_crawl_expected()
         p = _graph()
         pages, links, _ = synth.synth_tables(spark, p)
         pages, links = pages.cache(), links.cache()
@@ -552,7 +561,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["robots_politeness_crawl"] = q_robots_politeness_crawl
 
+    def q_backoff_crawl(spark, sf):
+        # D2: 429/503 backoff — fail-heavy graph; retry requeues carry
+        # attempt>0 at deterministically-jittered ready supersteps
+        oracle_expected.ensure_crawl_expected()
+        p = _graph(fail_rate=0.25)
+        pages, links, _ = synth.synth_tables(spark, p)
+        pages, links = pages.cache(), links.cache()
+        cfg = CrawlConfig(strategy="bfs", max_depth=2, backoff=True)
+        run = deep_crawl(spark, [synth.url_of(0, p)], pages, links, cfg)
+        return run.results.select(
+            "superstep", "seq", "url", "host", "depth", "success",
+            "status_code", "attempt",
+        )
+    q["backoff_crawl"] = q_backoff_crawl
+
     def q_image_decode(spark, sf):
+        oracle_expected.ensure_image_expected(n_pages=200)
         p = _graph(n_pages=200)
         _, _, images = synth.synth_tables(spark, p)
         decoded = decode_stage(images, seed=p.seed, check_truth=True)
@@ -564,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["image_decode"] = q_image_decode
 
     def q_image_features(spark, sf):
+        oracle_expected.ensure_image_expected(n_pages=200)
         p = _graph(n_pages=200)
         _, _, images = synth.synth_tables(spark, p)
         feats = feature_stage(images, grid=4)
@@ -935,5 +961,58 @@ def oracle_sql() -> dict[str, str]:
                min(value) AS min_value, max(value) AS max_value
         FROM events GROUP BY 1, 2
     """
+
+    # ---- engine-native probes: expected tables generated driver-side by
+    # the sequential oracle twins (oracle/expected.py) — crawl probes run
+    # the reference algorithms verbatim (oracle/crawler.py), dedup/ANN/image
+    # probes recompute signatures/invariants with the bit-identical driver
+    # xxh64 and shared pure-numpy codecs.  Regenerate for the gate's sf here
+    # (the driver compares at sf0.01); the queries() callables regenerate
+    # for their own sf before each DuckDB read.
+    oracle_expected.ensure_crawl_expected()
+    oracle_expected.ensure_image_expected(n_pages=200)
+    _gate_sf = "/root/testdata/sf0.01"
+    oracle_expected.ensure_minhash_expected(_gate_sf)
+    oracle_expected.ensure_simhash_expected(_gate_sf)
+    oracle_expected.ensure_lsh_ann_expected(
+        _gate_sf, np.array([_ANN_QUERY, [-x for x in _ANN_QUERY]]),
+        k=10, n_planes=8,
+    )
+
+    def _exp(name: str) -> str:
+        return oracle_expected.expected_path(name)
+
+    o["minhash_lsh"] = (
+        f"SELECT id_a, id_b, est_jaccard FROM read_parquet('{_exp('minhash_lsh')}')"
+    )
+    o["simhash_pairs"] = (
+        f"SELECT id_a, id_b, hamming FROM read_parquet('{_exp('simhash_pairs')}')"
+    )
+    o["lsh_ann"] = (
+        f"SELECT query_id, vec_id, cosine, rank FROM read_parquet('{_exp('lsh_ann')}')"
+    )
+    o["bfs_crawl"] = (
+        "SELECT superstep, seq, url, depth, parent, score, success, status_code "
+        f"FROM read_parquet('{_exp('bfs_crawl')}')"
+    )
+    o["best_first_crawl"] = (
+        "SELECT seq, url, depth, parent, score, success, status_code "
+        f"FROM read_parquet('{_exp('best_first_crawl')}')"
+    )
+    o["robots_politeness_crawl"] = (
+        "SELECT superstep, seq, url, host, depth, success, status_code "
+        f"FROM read_parquet('{_exp('robots_politeness_crawl')}')"
+    )
+    o["backoff_crawl"] = (
+        "SELECT superstep, seq, url, host, depth, success, status_code, attempt "
+        f"FROM read_parquet('{_exp('backoff_crawl')}')"
+    )
+    o["image_decode"] = (
+        "SELECT image_id, w, h, fmt, decoded_w, decoded_h, invariant_ok, "
+        f"phash_match FROM read_parquet('{_exp('image_decode')}')"
+    )
+    o["image_features"] = (
+        f"SELECT image_id, f0, n_features FROM read_parquet('{_exp('image_features')}')"
+    )
 
     return o

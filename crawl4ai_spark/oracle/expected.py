@@ -1,0 +1,322 @@
+"""Expected-table generators for the engine-native probes.
+
+The driver's correctness gate compares each ``queries()`` entry against a
+DuckDB query.  For probes whose semantics are not ANSI-SQL-expressible
+(superstep crawl loops, xxhash64-keyed minhash/simhash/SRP, Arrow decode
+invariants) the DuckDB side is ``read_parquet('<EXPECTED_DIR>/<name>.parquet')``
+over a table generated HERE — driver-side, in plain Python/numpy, without
+Spark — by the same oracle twins that back the pytest parity suite:
+
+  - crawl probes: oracle/crawler.py executes the reference algorithms
+    (bfs_strategy.py:141-187, bff_strategy.py:127-199) verbatim over the
+    deterministic synth graph;
+  - dedup/ANN probes: the signature/bucket recipes recomputed sequentially
+    with the driver-side xxh64 (bit-identical to Spark's ``F.xxhash64``,
+    tests/test_hashing.py) — this checks that the DISTRIBUTED pipeline
+    (Catalyst shingle hashing, Arrow folds, banded joins) reproduces the
+    sequential computation exactly;
+  - image probes: per-row truth from the synth generator (meta) and the
+    shared pure-numpy codecs.
+
+Generation is deterministic and idempotent; callables regenerate for their
+actual ``sf_dir`` before the gate's DuckDB read (the gate runs Spark, then
+the oracle SQL, per query).
+
+Float rounding: Spark's ``round(double, n)`` goes through
+``BigDecimal.valueOf`` = shortest-repr digits, ties HALF_UP — mirrored with
+``Decimal(repr(x))``.
+"""
+
+from __future__ import annotations
+
+import os
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pandas as pd
+
+EXPECTED_DIR = "/root/repo/.oracle_expected"
+
+_done: set[tuple] = set()
+
+
+def spark_round(x: float, nd: int) -> float:
+    """Twin of Spark round(double, nd): shortest-repr digits, HALF_UP."""
+    return float(Decimal(repr(float(x))).quantize(
+        Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP))
+
+
+def _write(name: str, pdf: pd.DataFrame) -> str:
+    os.makedirs(EXPECTED_DIR, exist_ok=True)
+    path = f"{EXPECTED_DIR}/{name}.parquet"
+    pdf.to_parquet(path, index=False)
+    return path
+
+
+def expected_path(name: str) -> str:
+    return f"{EXPECTED_DIR}/{name}.parquet"
+
+
+# ---------------------------------------------------------------- crawls
+
+def _graph(n_pages=240, **kw):
+    from ..sources import synth
+
+    return synth.GraphParams(n_pages=n_pages, n_domains=12, seed=42, **kw)
+
+
+def ensure_crawl_expected() -> None:
+    """bfs_crawl / best_first_crawl / robots_politeness_crawl /
+    backoff_crawl expected tables from the in-memory oracle crawlers."""
+    key = ("crawls",)
+    if key in _done:
+        return
+    from ..functions.filters import FilterSpec
+    from ..functions.scorers import ScorerSpec
+    from ..sources import synth
+    from .crawler import (
+        CrawlSpec,
+        OracleGraph,
+        ScheduleSpec,
+        crawl,
+        crawl_bfs_scheduled,
+    )
+
+    p = _graph()
+    pages, links, _ = synth.synth_local(p)
+    graph = OracleGraph.from_frames(pages, links)
+    seeds = [synth.url_of(0, p)]
+
+    # --- bfs_crawl (plain BFS + freshness scorer; scores ride the frontier)
+    res, _seen = crawl_bfs_scheduled(
+        graph, seeds,
+        ScheduleSpec(strategy="bfs", max_depth=2, max_pages=150,
+                     scorer=ScorerSpec(kind="freshness", current_year=2024,
+                                       weight=1.0)),
+    )
+    _write("bfs_crawl", pd.DataFrame(
+        [{"superstep": r["superstep"], "seq": r["seq"], "url": r["url"],
+          "depth": r["depth"], "parent": r["parent"],
+          "score": spark_round(r["score"], 6), "success": r["success"],
+          "status_code": r["status_code"]} for r in res]
+    ))
+
+    # --- best_first_crawl (heap pop parity oracle)
+    bff, _ = crawl(
+        graph, seeds[0],
+        CrawlSpec(strategy="best_first", max_depth=2, max_pages=40,
+                  batch_size=10,
+                  scorer=ScorerSpec(kind="keyword", keywords=["blog", "docs"],
+                                    weight=1.0),
+                  filters=[FilterSpec(kind="content_type",
+                                      allowed_types=["text/html"])]),
+    )
+    _write("best_first_crawl", pd.DataFrame(
+        [{"seq": r.seq, "url": r.url, "depth": r.depth, "parent": r.parent,
+          "score": spark_round(r.score, 6), "success": r.success,
+          "status_code": r.status_code} for r in bff]
+    ))
+
+    # --- robots_politeness_crawl (budget 40 + robots gate)
+    res, _ = crawl_bfs_scheduled(
+        graph, seeds,
+        ScheduleSpec(strategy="bfs", max_depth=2, max_pages=120,
+                     politeness_budget=40),
+        robots_pdf=synth.gen_robots(p),
+    )
+    _write("robots_politeness_crawl", pd.DataFrame(
+        [{"superstep": r["superstep"], "seq": r["seq"], "url": r["url"],
+          "host": r["host"], "depth": r["depth"], "success": r["success"],
+          "status_code": r["status_code"]} for r in res]
+    ))
+
+    # --- backoff_crawl (D2: fail-heavy graph, retry requeue trajectories)
+    pb = _graph(fail_rate=0.25)
+    pages_b, links_b, _ = synth.synth_local(pb)
+    graph_b = OracleGraph.from_frames(pages_b, links_b)
+    res, _ = crawl_bfs_scheduled(
+        graph_b, [synth.url_of(0, pb)],
+        ScheduleSpec(strategy="bfs", max_depth=2, backoff=True),
+    )
+    _write("backoff_crawl", pd.DataFrame(
+        [{"superstep": r["superstep"], "seq": r["seq"], "url": r["url"],
+          "host": r["host"], "depth": r["depth"], "success": r["success"],
+          "status_code": r["status_code"], "attempt": r["attempt"]}
+         for r in res]
+    ))
+    _done.add(key)
+
+
+# ------------------------------------------------------- dedup (documents)
+
+def _tokens(text: str) -> list[str]:
+    import re
+
+    return [t for t in re.split(r"\s+", text.lower()) if t != ""]
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Twin of dedup._shingle_hash_col: k-gram concat → xxh64 & 2^63-1,
+    distinct (first-occurrence order irrelevant for min/sets)."""
+    from ..hashing import xxh64
+
+    toks = _tokens(text or "")
+    if len(toks) < k:
+        grams = [" ".join(toks)]
+    else:
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    seen, out = set(), []
+    for g in grams:
+        h = xxh64(g.encode()) & 0x7FFFFFFFFFFFFFFF
+        if h not in seen:
+            seen.add(h)
+            out.append(h)
+    return np.array(out, dtype=np.uint64).view(np.int64)
+
+
+def ensure_minhash_expected(sf_dir: str, n_hashes=64, bands=16, shingle_k=3,
+                            threshold=0.5, seed=42) -> None:
+    key = ("minhash", sf_dir)
+    if key in _done:
+        return
+    from ..hashing import xxh64
+    from ..operators.dedup import _hash_params, _MERSENNE
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    a, b = _hash_params(n_hashes, seed)
+    sigs: dict[int, np.ndarray] = {}
+    for r in docs.itertuples():
+        sh = _shingle_hashes(r.text, shingle_k)
+        if sh.size == 0:
+            sh = np.zeros(1, dtype=np.int64)
+        vals = (sh[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+        sigs[int(r.doc_id)] = vals.min(axis=0).astype(np.int64)
+    rows_per_band = n_hashes // bands
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for did, sig in sigs.items():
+        for bi in range(bands):
+            chunk = sig[bi * rows_per_band:(bi + 1) * rows_per_band]
+            bucket = xxh64(",".join(str(int(v)) for v in chunk).encode())
+            bucket = bucket - (1 << 64) if bucket >= (1 << 63) else bucket
+            buckets.setdefault((bi, bucket), []).append(did)
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    out = []
+    for ia, ib in sorted(pairs):
+        est = float(np.mean(sigs[ia] == sigs[ib]))
+        if est >= threshold:
+            out.append({"id_a": ia, "id_b": ib, "est_jaccard": est})
+    _write("minhash_lsh", pd.DataFrame(out, columns=["id_a", "id_b",
+                                                     "est_jaccard"]))
+    _done.add(key)
+
+
+def ensure_simhash_expected(sf_dir: str, max_hamming=3) -> None:
+    key = ("simhash", sf_dir)
+    if key in _done:
+        return
+    from ..hashing import xxh64
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    hashes: dict[int, int] = {}
+    for r in docs.itertuples():
+        toks = list(dict.fromkeys(_tokens(r.text or "")))
+        acc = np.zeros(64, dtype=np.int64)
+        for t in toks:
+            h = xxh64(t.encode())
+            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+            acc += 2 * bits.astype(np.int64) - 1
+        val = int(((np.uint64(1) << np.arange(64, dtype=np.uint64))[acc > 0]).sum(
+            dtype=np.uint64)) if toks else 0
+        hashes[int(r.doc_id)] = val
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+    mask = (1 << chunk_bits) - 1
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for did, h in hashes.items():
+        for ci in range(n_chunks):
+            buckets.setdefault((ci, (h >> (ci * chunk_bits)) & mask, ), []).append(did)
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    out = []
+    for ia, ib in sorted(pairs):
+        ham = bin(hashes[ia] ^ hashes[ib]).count("1")
+        if ham <= max_hamming:
+            out.append({"id_a": ia, "id_b": ib, "hamming": ham})
+    _write("simhash_pairs", pd.DataFrame(out, columns=["id_a", "id_b",
+                                                       "hamming"]))
+    _done.add(key)
+
+
+def ensure_lsh_ann_expected(sf_dir: str, queries: np.ndarray, k=10,
+                            n_planes=8, seed=42) -> None:
+    key = ("lsh_ann", sf_dir)
+    if key in _done:
+        return
+    from ..operators.similarity import _plane_matrix
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    planes = _plane_matrix(mat.shape[1], n_planes, seed)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    vbuckets = ((mat @ planes.T) > 0) @ weights
+    qbuckets = ((queries @ planes.T) > 0) @ weights
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-30)
+    norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    unit = mat / norms
+    out = []
+    for qi, qb in enumerate(qbuckets):
+        probes = {int(qb)} | {int(qb) ^ (1 << p) for p in range(n_planes)}
+        sel = np.isin(vbuckets, list(probes))
+        cos = np.einsum("ij,j->i", unit[sel], qn[qi])
+        cand = sorted(zip(cos, ids[sel]), key=lambda t: (-t[0], t[1]))[:k]
+        for rank, (c, vid) in enumerate(cand, start=1):
+            out.append({"query_id": qi, "vec_id": int(vid),
+                        "cosine": spark_round(float(c), 4), "rank": rank})
+    _write("lsh_ann", pd.DataFrame(out, columns=["query_id", "vec_id",
+                                                 "cosine", "rank"]))
+    _done.add(key)
+
+
+# ----------------------------------------------------------------- images
+
+def ensure_image_expected(n_pages=200, grid=4) -> None:
+    """image_decode: per-row truth straight from the synth meta (decode must
+    restore dims and the pixel/PSNR/phash invariants for EVERY row);
+    image_features: encode→decode→grid-means recomputed sequentially."""
+    key = ("images", n_pages)
+    if key in _done:
+        return
+    from .. import codecs
+    from ..operators.multimodal import resize_nearest
+    from ..sources import synth
+
+    p = _graph(n_pages=n_pages)
+    dec_rows, feat_rows = [], []
+    for i in range(n_pages):
+        image_id, w, h, fmt = synth.image_meta_of(i, p)
+        dec_rows.append({"image_id": image_id, "w": w, "h": h, "fmt": fmt,
+                         "decoded_w": w, "decoded_h": h,
+                         "invariant_ok": True, "phash_match": True})
+        px = synth.image_pixels(image_id, w, h, p.seed)
+        rt = codecs.decode(codecs.encode(px, fmt), fmt, w, h).astype(np.float32)
+        small = resize_nearest(rt, grid, grid)
+        f0 = float((small / 255.0).ravel().astype(np.float32)[0])
+        feat_rows.append({"image_id": image_id,
+                          "f0": spark_round(f0, 4),
+                          "n_features": grid * grid * 3})
+    _write("image_decode", pd.DataFrame(dec_rows))
+    _write("image_features", pd.DataFrame(feat_rows))
+    _done.add(key)
