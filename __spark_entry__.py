@@ -36,9 +36,15 @@ from crawl4ai_spark.functions.filters import (
 )
 from crawl4ai_spark.operators.chunking import (
     fixed_word_chunks,
+    sentence_chunks,
     sliding_window_chunks,
+    topic_chunks,
 )
-from crawl4ai_spark.operators.content_filter import prune_keep, pruning_score
+from crawl4ai_spark.operators.content_filter import (
+    bm25_chunk_filter,
+    prune_keep,
+    pruning_score,
+)
 from crawl4ai_spark.functions.scorers import (
     ScorerSpec,
     composite_score,
@@ -312,6 +318,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "chunk",
         )
     q["chunk_sliding"] = q_chunk_sliding
+
+    def q_chunk_sentence(spark, sf):
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        return sentence_chunks(docs).select(
+            F.col("doc_id").cast("long"), "sentence"
+        )
+    q["chunk_sentence"] = q_chunk_sentence
+
+    def q_chunk_topic(spark, sf):
+        oracle_expected.ensure_topic_expected(sf, w=20, k=4)
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        return topic_chunks(docs, w=20, k=4).select(
+            F.col("doc_id").cast("long"), F.col("chunk_idx").cast("long"),
+            "chunk",
+        )
+    q["chunk_topic"] = q_chunk_topic
+
+    def q_bm25_chunks(spark, sf):
+        # G9 BM25ContentFilter: per-doc Okapi scoring of 20-word chunks with
+        # synthesized priority tags, boosted + thresholded
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        chunks = fixed_word_chunks(docs, chunk_size=20)
+        tag = (
+            F.when(F.col("chunk_idx") % 6 == 0, "h1")
+            .when(F.col("chunk_idx") % 6 == 1, "p")
+            .when(F.col("chunk_idx") % 6 == 2, "strong")
+            .when(F.col("chunk_idx") % 6 == 3, "div")
+            .when(F.col("chunk_idx") % 6 == 4, "code")
+            .otherwise("blockquote")
+        )
+        scored = bm25_chunk_filter(
+            chunks.withColumn("tag", tag), query="spark join window batch"
+        )
+        # 6-dp rounding on both sides: JVM log() vs libm log() differ by
+        # 1 ULP on some inputs
+        return scored.select(
+            F.col("doc_id").cast("long"), F.col("chunk_idx").cast("long"),
+            "tag", F.round("adjusted_score", 6).alias("bm25_adj"), "keep",
+        )
+    q["bm25_chunks"] = q_bm25_chunks
 
     # -------------------------- head-quality filters (P6/P7, SURVEY §2.2)
     def q_bm25_head(spark, sf):
@@ -838,6 +884,86 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, round(0.0 + {" + ".join(bm_terms)}, 6) AS bm25 FROM s
     """
 
+    o["chunk_sentence"] = """
+        WITH m AS (
+          SELECT doc_id,
+                 regexp_replace(text, '([.!?])\\s+', '\\1' || chr(30), 'g') AS t
+          FROM documents)
+        SELECT DISTINCT doc_id, trim(s) AS sentence
+        FROM (SELECT doc_id, unnest(string_split(t, chr(30))) AS s FROM m)
+        WHERE trim(s) <> ''
+    """
+
+    # BM25ContentFilter over 20-word chunks: same expression tree as
+    # operators/content_filter.bm25_chunk_filter (sorted query terms,
+    # left-assoc sum; integer-valued doubles keep sums exact across engines)
+    from crawl4ai_spark.operators.content_filter import CLEAN_STOP_WORDS
+    from crawl4ai_spark.operators.content_filter import py_bm25_tokens as _pybt
+    stop_sql = ", ".join("'" + w.replace("'", "''") + "'" for w in CLEAN_STOP_WORDS)
+    toks_sql = (
+        "list_transform(list_filter(list_transform("
+        "list_filter(string_split_regex(lower(chunk), '\\s+'), t -> t <> ''),"
+        " t -> regexp_replace(t, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')),"
+        f" t -> t <> '' AND len(t) > 2 AND t NOT IN ({stop_sql})),"
+        " t -> CASE WHEN len(t) > 4 THEN regexp_replace(t, '(ing|ed|es|s)$', '')"
+        " ELSE t END)"
+    )
+    _qterms = sorted(set(_pybt("spark join window batch")))
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(toks, t -> t = '{qt}')) AS DOUBLE) AS tf{i}"
+        for i, qt in enumerate(_qterms)
+    )
+    df_aggs = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0.0 END) AS df{i}"
+        for i in range(len(_qterms))
+    )
+    score_sql = " + ".join(
+        f"ln(1.0 + (N - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * ((tf{i} * 2.5) / (tf{i} + 1.5 * (0.25 + 0.75 * (dl / avgdl0))))"
+        for i in range(len(_qterms))
+    )
+    o["bm25_chunks"] = f"""
+        WITH c AS (
+          SELECT doc_id, i AS chunk_idx,
+                 array_to_string(w[i*20+1:i*20+20], ' ') AS chunk
+          FROM (SELECT doc_id, w, unnest(range(0, nc)) AS i FROM (
+            SELECT doc_id, {wtoks} AS w, len({wtoks}) AS n,
+                   CAST(ceil(len({wtoks}) / 20.0) AS BIGINT) AS nc
+            FROM documents) WHERE n > 0)),
+        ct AS (SELECT doc_id, chunk_idx,
+                 CASE chunk_idx % 6 WHEN 0 THEN 'h1' WHEN 1 THEN 'p'
+                      WHEN 2 THEN 'strong' WHEN 3 THEN 'div'
+                      WHEN 4 THEN 'code' ELSE 'blockquote' END AS tag,
+                 {toks_sql} AS toks
+               FROM c),
+        s AS (SELECT doc_id, chunk_idx, tag,
+                     CAST(len(toks) AS DOUBLE) AS dl, {tf_cols}
+              FROM ct),
+        g AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS N,
+                     avg(dl) AS avgdl, {df_aggs}
+              FROM s GROUP BY doc_id),
+        j AS (SELECT s.*, g.N,
+                     CASE WHEN g.avgdl > 0 THEN g.avgdl ELSE 1.0 END AS avgdl0,
+                     {", ".join(f"g.df{i}" for i in range(len(_qterms)))}
+              FROM s JOIN g USING (doc_id)),
+        sc AS (SELECT doc_id, chunk_idx, tag, (0.0 + {score_sql}) AS score
+               FROM j)
+        SELECT doc_id, chunk_idx, tag,
+               round(score * CAST(CASE tag WHEN 'h1' THEN 5.0 WHEN 'h2' THEN 4.0
+                    WHEN 'h3' THEN 3.0 WHEN 'title' THEN 4.0
+                    WHEN 'strong' THEN 2.0 WHEN 'b' THEN 1.5
+                    WHEN 'em' THEN 1.5 WHEN 'blockquote' THEN 2.0
+                    WHEN 'code' THEN 2.0 WHEN 'pre' THEN 1.5
+                    WHEN 'th' THEN 1.5 ELSE 1.0 END AS DOUBLE), 6) AS bm25_adj,
+               score * CAST(CASE tag WHEN 'h1' THEN 5.0 WHEN 'h2' THEN 4.0
+                    WHEN 'h3' THEN 3.0 WHEN 'title' THEN 4.0
+                    WHEN 'strong' THEN 2.0 WHEN 'b' THEN 1.5
+                    WHEN 'em' THEN 1.5 WHEN 'blockquote' THEN 2.0
+                    WHEN 'code' THEN 2.0 WHEN 'pre' THEN 1.5
+                    WHEN 'th' THEN 1.5 ELSE 1.0 END AS DOUBLE) >= 1.0 AS keep
+        FROM sc
+    """
+
     o["seo_score"] = f"""
         WITH b AS (
           SELECT o_orderkey,
@@ -972,6 +1098,7 @@ def oracle_sql() -> dict[str, str]:
     oracle_expected.ensure_crawl_expected()
     oracle_expected.ensure_image_expected(n_pages=200)
     _gate_sf = "/root/testdata/sf0.01"
+    oracle_expected.ensure_topic_expected(_gate_sf, w=20, k=4)
     oracle_expected.ensure_minhash_expected(_gate_sf)
     oracle_expected.ensure_simhash_expected(_gate_sf)
     oracle_expected.ensure_lsh_ann_expected(
@@ -982,6 +1109,9 @@ def oracle_sql() -> dict[str, str]:
     def _exp(name: str) -> str:
         return oracle_expected.expected_path(name)
 
+    o["chunk_topic"] = (
+        f"SELECT doc_id, chunk_idx, chunk FROM read_parquet('{_exp('chunk_topic')}')"
+    )
     o["minhash_lsh"] = (
         f"SELECT id_a, id_b, est_jaccard FROM read_parquet('{_exp('minhash_lsh')}')"
     )

@@ -17,6 +17,11 @@ Every chunker returns (… , chunk_idx int, chunk string) rows.
 
 from __future__ import annotations
 
+import re
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -74,6 +79,108 @@ def sliding_window_chunks(df: DataFrame, window: int = 100, step: int = 50,
         F.when(tail_needed, F.concat(main, F.array(tail))).otherwise(main)
     )
     return _explode(df, chunks, text_col)
+
+
+def sentence_chunks(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """NlpSentenceChunking (chunking_strategy.py:62-88): split into
+    sentences, strip, then ``list(set(...))`` — the reference DEDUPS and
+    drops order, so the output is distinct (…, sentence) rows with no index.
+
+    nltk punkt is unavailable offline; the splitter is the reference's own
+    commented-out regex intent (:77-81) — break after ``.?!`` followed by
+    whitespace — expressed without lookbehind (boundary-marker
+    substitution) so the identical expression runs in Spark and in the
+    DuckDB oracle (RE2 has no lookbehind either)."""
+    marked = F.regexp_replace(F.col(text_col), r"([.!?])\s+", "$1\u001e")
+    sents = F.filter(
+        F.transform(F.split(marked, "\u001e"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    return df.select("*", F.explode(sents).alias("sentence")).drop(
+        text_col
+    ).distinct()
+
+
+# --------------------------------------------------------------- TextTiling
+
+def texttile_boundaries(tokens: list[str], w: int = 20, k: int = 6) -> list[int]:
+    """TextTiling block comparison (Hearst 1997; reference
+    TopicSegmentationChunking, chunking_strategy.py:91-145, delegates to
+    nltk's TextTilingTokenizer — unavailable offline, so the published
+    algorithm is implemented directly): pseudosentences of ``w`` tokens,
+    cosine similarity of adjacent ``k``-pseudosentence blocks at every gap,
+    depth scores, boundaries where depth > mean + stddev/2 valleys
+    (Hearst's LC cutoff mean − stddev/2 on similarity depth).  Returns
+    token offsets of segment starts (excluding 0).  Deterministic pure
+    function — the driver oracle twin calls exactly this."""
+    n_ps = len(tokens) // w
+    if n_ps < 2:
+        return []
+    vocab: dict[str, int] = {}
+    for t in tokens[: n_ps * w]:
+        vocab.setdefault(t, len(vocab))
+    mat = np.zeros((n_ps, len(vocab)), dtype=np.float64)
+    for i in range(n_ps):
+        for t in tokens[i * w:(i + 1) * w]:
+            mat[i, vocab[t]] += 1.0
+    sims = []
+    for gap in range(1, n_ps):
+        lo, hi = max(0, gap - k), min(n_ps, gap + k)
+        left = mat[lo:gap].sum(axis=0)
+        right = mat[gap:hi].sum(axis=0)
+        denom = np.linalg.norm(left) * np.linalg.norm(right)
+        sims.append(float(left @ right / denom) if denom > 0 else 0.0)
+    sims = np.array(sims)
+    depths = np.zeros(len(sims))
+    for i in range(len(sims)):
+        l = i
+        while l > 0 and sims[l - 1] >= sims[l]:
+            l -= 1
+        r = i
+        while r < len(sims) - 1 and sims[r + 1] >= sims[r]:
+            r += 1
+        depths[i] = (sims[l] - sims[i]) + (sims[r] - sims[i])
+    if not len(depths) or depths.max() == 0.0:
+        return []
+    cutoff = depths.mean() + depths.std() / 2.0
+    return [int((i + 1) * w) for i in np.nonzero(depths > cutoff)[0]]
+
+
+def py_topic_chunks(text: str, w: int = 20, k: int = 6) -> list[str]:
+    """Segment ``text`` at TextTiling boundaries; returns ordered segment
+    strings (whitespace-normalized, like the tokenized reconstruction)."""
+    tokens = [t for t in re.split(r"\s+", text or "") if t]
+    cuts = [0] + texttile_boundaries(tokens, w, k) + [len(tokens)]
+    return [
+        " ".join(tokens[a:b]) for a, b in zip(cuts, cuts[1:]) if b > a
+    ]
+
+
+def topic_chunks(df: DataFrame, text_col: str = "text", w: int = 20,
+                 k: int = 6) -> DataFrame:
+    """TopicSegmentationChunking as an Arrow stage: documents are
+    independent, so the per-doc sequential TextTiling runs inside
+    ``mapInPandas`` batches (the correct shape — the algorithm is
+    inherently per-document; parallelism comes from the row dimension)."""
+    passthrough = [c for c in df.columns if c != text_col]
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields if f.name != text_col
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples(index=False):
+                d = r._asdict()
+                segs = py_topic_chunks(d.pop(text_col), w, k)
+                for i, seg in enumerate(segs):
+                    rows.append({**d, "chunk_idx": i, "chunk": seg})
+            yield pd.DataFrame(
+                rows, columns=passthrough + ["chunk_idx", "chunk"]
+            )
+
+    return df.mapInPandas(run, f"{fields}, chunk_idx int, chunk string")
 
 
 def overlapping_window_chunks(df: DataFrame, window: int = 1000,

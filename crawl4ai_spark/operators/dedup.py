@@ -230,11 +230,21 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                        n: int = 3, threshold: float = 0.8) -> DataFrame:
+                        n: int = 3, threshold: float = 0.8,
+                        max_shingle_df: int | None = None) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs via an inverted-index join:
     explode distinct shingles, join on shingle, count intersections, then
-    |A∩B| / (|A|+|B|−|A∩B|).  The shuffle is bounded by shingle postings
-    (hot shingles are the skew risk — cap via df frequency filter)."""
+    |A∩B| / (|A|+|B|−|A∩B|).
+
+    ``max_shingle_df`` is the hot-shingle skew guard for 100 TB corpora: a
+    shingle appearing in more than this many documents contributes O(df²)
+    join pairs (one boilerplate phrase shared by 10^6 docs → 10^12 pairs in
+    one task).  When set, postings for such shingles are dropped before the
+    join (the hot set is tiny → broadcast anti-join), bounding every
+    shingle's contribution to ≤ max_shingle_df² pairs.  Denominators keep
+    the FULL gram counts, so reported jaccard becomes a LOWER BOUND and
+    pairs similar only through dropped boilerplate are skipped — exactly
+    the standard inverted-index prune.  None (default) = exact."""
     toks = F.filter(F.split(normalized_text(F.col(text_col)), " "), lambda t: t != "")
     grams = F.array_distinct(
         F.transform(
@@ -246,6 +256,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         "n_grams", F.size("grams")
     )
     posting = g.select(id_col, "n_grams", F.explode("grams").alias("gram"))
+    if max_shingle_df is not None:
+        hot = (
+            posting.groupBy("gram")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("gram")
+        )
+        posting = posting.join(F.broadcast(hot), "gram", "left_anti")
     left = posting.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"), "gram")
     right = posting.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"), "gram")
     inter = (

@@ -290,6 +290,27 @@ def ensure_lsh_ann_expected(sf_dir: str, queries: np.ndarray, k=10,
     _done.add(key)
 
 
+def ensure_topic_expected(sf_dir: str, w=20, k=4) -> None:
+    """chunk_topic: the per-document TextTiling segmentation recomputed
+    sequentially with the shared pure function (checks the distributed
+    mapInPandas plumbing reproduces it row-for-row)."""
+    key = ("topic", sf_dir, w, k)
+    if key in _done:
+        return
+    from ..operators.chunking import py_topic_chunks
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    rows = []
+    for r in docs.itertuples():
+        for i, seg in enumerate(py_topic_chunks(r.text, w, k)):
+            rows.append({"doc_id": int(r.doc_id), "chunk_idx": i,
+                         "chunk": seg})
+    _write("chunk_topic", pd.DataFrame(rows, columns=["doc_id", "chunk_idx",
+                                                      "chunk"]))
+    _done.add(key)
+
+
 # ----------------------------------------------------------------- images
 
 def ensure_image_expected(n_pages=200, grid=4) -> None:

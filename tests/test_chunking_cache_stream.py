@@ -212,3 +212,77 @@ def test_stream_crawl_micro_batches(spark, tmp_path):
         (r["superstep"], r["seq"], r["url"]) for r in batch_run.results.collect()
     }
     assert streamed == want
+
+
+# -------- NlpSentence / TextTiling / BM25ContentFilter (G11, G9) --------
+
+
+def test_sentence_chunks_dedup_and_split(spark):
+    from crawl4ai_spark.operators.chunking import sentence_chunks
+
+    df = spark.createDataFrame(
+        [(1, "One fish. Two fish! Red fish? Two fish! "),
+         (2, "No terminal punctuation here")],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["sentence"]) for r in sentence_chunks(df).collect()}
+    # list(set(...)) semantics: duplicates collapse; strip applied
+    assert got == {
+        (1, "One fish."), (1, "Two fish!"), (1, "Red fish?"),
+        (2, "No terminal punctuation here"),
+    }
+
+
+def test_topic_chunks_distributed_matches_driver(spark):
+    from crawl4ai_spark.operators.chunking import py_topic_chunks, topic_chunks
+
+    # two lexically distinct topics of 60 tokens each → a boundary between
+    topic_a = " ".join(["spark shuffle join table query agg"] * 10)
+    topic_b = " ".join(["ocean coral reef wave tide fish"] * 10)
+    text = topic_a + " " + topic_b
+    df = spark.createDataFrame([(1, text), (2, topic_a)], "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk"])
+        for r in topic_chunks(df, w=10, k=3).collect()
+    )
+    want = []
+    for did, t in [(1, text), (2, topic_a)]:
+        for i, seg in enumerate(py_topic_chunks(t, w=10, k=3)):
+            want.append((did, i, seg))
+    assert got == sorted(want)
+    # the two-topic doc must split, and at the topic seam
+    segs1 = [c for d, _i, c in got if d == 1]
+    assert len(segs1) >= 2
+    assert "spark" in segs1[0] and "coral" in segs1[-1]
+    # every token lands in exactly one segment (lossless segmentation)
+    assert " ".join(segs1).split() == text.split()
+
+
+def test_bm25_chunk_filter_math(spark):
+    import math
+
+    from crawl4ai_spark.operators.content_filter import (
+        bm25_chunk_filter,
+        py_bm25_tokens,
+    )
+
+    rows = [
+        (1, 0, "spark shuffle join engine", "h1"),
+        (1, 1, "cooking pasta tonight maybe", "p"),
+        (1, 2, "spark spark window engine", "p"),
+        (2, 0, "totally unrelated words here", "p"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_idx long, chunk string, tag string")
+    out = {(r["doc_id"], r["chunk_idx"]): r for r in
+           bm25_chunk_filter(df, "spark window").collect()}
+    # manual Okapi for doc 1, term 'spark': N=3, df=2, dl=4, avgdl=4
+    idf_spark = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    tf = 1.0
+    s_chunk0 = idf_spark * (tf * 2.5) / (tf + 1.5 * (0.25 + 0.75 * 1.0))
+    assert out[(1, 0)]["bm25_score"] == pytest.approx(s_chunk0, rel=1e-12)
+    # h1 boost = 5.0
+    assert out[(1, 0)]["adjusted_score"] == pytest.approx(5 * s_chunk0, rel=1e-12)
+    assert out[(1, 1)]["bm25_score"] == 0.0 and not out[(1, 1)]["keep"]
+    assert out[(2, 0)]["bm25_score"] == 0.0
+    # tokenizer twin: stems + stop words + short tokens
+    assert py_bm25_tokens("The Joins, joining WINDOWS it's ok") == ["join", "join", "window", "it's"]

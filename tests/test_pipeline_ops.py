@@ -179,3 +179,25 @@ def test_null_text_dedup_ops(spark):
     sigs = dedup.minhash_signatures(df, n_hashes=8).collect()
     assert {r["doc_id"] for r in sigs} == {1, 2, 3}
     assert dedup.ngram_jaccard_pairs(df, threshold=0.01).count() == 0
+
+
+def test_ngram_hot_shingle_cap(spark, docs):
+    sub = docs.limit(60).select("doc_id", "text")
+    exact = dedup.ngram_jaccard_pairs(sub, threshold=0.2)
+    # generous cap (no shingle is that hot) → identical output
+    capped = dedup.ngram_jaccard_pairs(sub, threshold=0.2, max_shingle_df=10_000)
+    key = lambda d: sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in d.collect()
+    )
+    assert key(exact) == key(capped)
+    # a ubiquitous boilerplate shingle must be pruned by a tight cap:
+    # docs share ONLY the boilerplate phrase → no surviving postings → no pairs
+    boiler = spark.createDataFrame(
+        [(i, f"unique{i} ipsum token{i} common shared boilerplate phrase")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    pruned = dedup.ngram_jaccard_pairs(boiler, threshold=0.05, max_shingle_df=5)
+    unpruned = dedup.ngram_jaccard_pairs(boiler, threshold=0.05)
+    assert unpruned.count() > 0
+    assert pruned.count() == 0
