@@ -55,6 +55,7 @@ from crawl4ai_spark.functions.scorers import (
     path_depth_score,
 )
 from crawl4ai_spark.functions.images import decode_stage
+from crawl4ai_spark.operators.extraction import extract_stage
 from crawl4ai_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -358,6 +359,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tag", F.round("adjusted_score", 6).alias("bm25_adj"), "keep",
         )
     q["bm25_chunks"] = q_bm25_chunks
+
+    def q_json_css_extract(spark, sf):
+        # G10 JsonCssExtractionStrategy: schema-driven extraction over
+        # deterministic synthesized product HTML; the oracle reconstructs
+        # the expected items from the same construction rule in SQL
+        docs = _t(spark, sf, "documents").select("doc_id", "lang")
+
+        def product(j):
+            cents = (F.col("doc_id") * 7 + F.lit(j)) % 1000
+            price = F.concat(
+                F.floor(cents / 100).cast("string"), F.lit("."),
+                F.lpad((cents % 100).cast("string"), 2, "0"),
+            )
+            return F.concat(
+                F.lit('<div class="product" data-sku="S'),
+                F.col("doc_id").cast("string"), F.lit(f"-{j}"),
+                F.lit('"><h2> <b>T</b> '), F.col("lang"),
+                F.lit('</h2><span class="price">$'), price,
+                F.lit("</span></div>"),
+            )
+
+        pages = docs.select(
+            F.concat(F.lit("https://d.test/"), F.col("doc_id").cast("string")).alias("url"),
+            F.concat(F.lit('<div id="c">'), product(0), product(1), F.lit("</div>")).alias("html"),
+        )
+        schema = {
+            "baseSelector": "div.product",
+            "baseFields": [
+                {"name": "sku", "type": "attribute", "attribute": "data-sku"}
+            ],
+            "fields": [
+                {"name": "title", "selector": "h2", "type": "text"},
+                {"name": "price", "selector": "span.price", "type": "regex",
+                 "pattern": r"\$([\d.]+)"},
+            ],
+        }
+        out = extract_stage(pages, schema, kind="css")
+        return out.select(
+            "url", F.col("item_idx").cast("long"),
+            F.get_json_object("item_json", "$.sku").alias("sku"),
+            F.get_json_object("item_json", "$.title").alias("title"),
+            F.get_json_object("item_json", "$.price").alias("price"),
+        )
+    q["json_css_extract"] = q_json_css_extract
 
     # -------------------------- head-quality filters (P6/P7, SURVEY §2.2)
     def q_bm25_head(spark, sf):
@@ -882,6 +927,16 @@ def oracle_sql() -> dict[str, str]:
               FROM b),
         s AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM t)
         SELECT doc_id, round(0.0 + {" + ".join(bm_terms)}, 6) AS bm25 FROM s
+    """
+
+    o["json_css_extract"] = """
+        SELECT 'https://d.test/' || CAST(doc_id AS VARCHAR) AS url,
+               j AS item_idx,
+               'S' || CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR) AS sku,
+               'T' || lang AS title,
+               CAST((doc_id*7 + j) % 1000 // 100 AS VARCHAR) || '.' ||
+                 lpad(CAST((doc_id*7 + j) % 1000 % 100 AS VARCHAR), 2, '0') AS price
+        FROM documents, (SELECT unnest(range(0, 2)) AS j)
     """
 
     o["chunk_sentence"] = """

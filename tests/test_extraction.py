@@ -1,0 +1,141 @@
+"""JsonCss/JsonXPath extraction (G10) golden tests.
+
+Expectations follow the reference extraction flow
+(extraction_strategy.py:808-1001): base selector iteration, field types
+text/attribute/html/regex/nested/list/nested_list/computed, transforms,
+defaults, first-match single-field selection."""
+
+import json
+
+import pytest
+
+from crawl4ai_spark.operators.extraction import (
+    JsonCssExtractor,
+    JsonXPathExtractor,
+    css_select,
+    extract_stage,
+    parse_html,
+    xpath_select,
+)
+
+HTML = """
+<html><body>
+<div id="catalog">
+  <div class="product featured" data-sku="A-1">
+    <h2 class="name"> Widget <b>Pro</b> </h2>
+    <span class="price">$19.99</span>
+    <a href="/p/a1" title="go">details</a>
+    <ul class="tags"><li>new</li><li>sale</li></ul>
+    <div class="meta"><span class="brand">Acme</span></div>
+  </div>
+  <div class="product" data-sku="B-2">
+    <h2 class="name">Gadget</h2>
+    <span class="price">$5.00</span>
+    <a href="/p/b2">details</a>
+    <ul class="tags"><li>used</li></ul>
+  </div>
+  <div class="not-a-product">skip me</div>
+</div>
+</body></html>
+"""
+
+SCHEMA = {
+    "name": "products",
+    "baseSelector": "div.product",
+    "baseFields": [
+        {"name": "sku", "type": "attribute", "attribute": "data-sku"},
+    ],
+    "fields": [
+        {"name": "title", "selector": "h2.name", "type": "text"},
+        {"name": "price", "selector": "span.price", "type": "regex",
+         "pattern": r"\$([\d.]+)"},
+        {"name": "link", "selector": "a", "type": "attribute",
+         "attribute": "href"},
+        {"name": "link_title", "selector": "a", "type": "attribute",
+         "attribute": "title", "default": "none"},
+        {"name": "tags", "selector": "ul.tags li", "type": "list",
+         "fields": [{"name": "tag", "type": "text", "transform": "uppercase"}]},
+        {"name": "brand", "selector": "div.meta", "type": "nested",
+         "fields": [{"name": "name", "selector": "span.brand", "type": "text"}]},
+        {"name": "price_float", "type": "computed",
+         "expression": "float(price)"},
+    ],
+}
+
+
+def test_css_select_engine():
+    root = parse_html(HTML)
+    assert len(css_select(root, "div.product")) == 2
+    assert len(css_select(root, "div.product.featured")) == 1
+    assert len(css_select(root, "#catalog > div.product")) == 2
+    assert len(css_select(root, "div.product li")) == 3
+    assert len(css_select(root, "[data-sku]")) == 2
+    assert len(css_select(root, '[data-sku="B-2"]')) == 1
+    assert len(css_select(root, "h2, span.price")) == 4
+    # child combinator does not match grandchildren
+    assert len(css_select(root, "#catalog > li")) == 0
+
+
+def test_xpath_select_engine():
+    root = parse_html(HTML)
+    assert len(xpath_select(root, "//div[@class='product']")) == 1  # exact attr match
+    assert len(xpath_select(root, "//span")) == 3
+    assert len(xpath_select(root, "//ul/li")) == 3
+    assert xpath_select(root, "//a/@href") == ["/p/a1", "/p/b2"]
+    assert xpath_select(root, "//h2[1]/text()") == ["Widget"]
+    assert len(xpath_select(root, "//div[@data-sku]")) == 2
+
+
+def _check_items(items):
+    assert len(items) == 2
+    a, b = items
+    assert a["sku"] == "A-1"
+    assert a["title"] == "WidgetPro"  # get_text(strip=True) concatenation
+    assert a["price"] == "19.99"
+    assert a["link"] == "/p/a1" and a["link_title"] == "go"
+    assert a["tags"] == [{"tag": "NEW"}, {"tag": "SALE"}]
+    assert a["brand"] == {"name": "Acme"}
+    assert a["price_float"] == pytest.approx(19.99)
+    assert b["sku"] == "B-2"
+    assert b["link_title"] == "none"  # default applied
+    assert b["tags"] == [{"tag": "USED"}]
+    assert b["brand"] == {}  # nested with no match → {} (reference :876)
+
+
+def test_json_css_extractor():
+    _check_items(JsonCssExtractor(SCHEMA).extract(HTML))
+
+
+def test_json_xpath_extractor():
+    schema = dict(SCHEMA)
+    schema["baseSelector"] = "//div[@data-sku]"
+    schema["fields"] = [
+        {"name": "title", "selector": "//h2", "type": "text"},
+        {"name": "link", "selector": "//a", "type": "attribute",
+         "attribute": "href"},
+    ]
+    items = JsonXPathExtractor(schema).extract(HTML)
+    assert [i["link"] for i in items] == ["/p/a1", "/p/b2"]
+    assert items[0]["title"] == "WidgetPro"
+
+
+def test_html_field_roundtrip():
+    items = JsonCssExtractor(
+        {"baseSelector": "div.meta", "fields": [
+            {"name": "raw", "type": "html"}]}
+    ).extract(HTML)
+    assert items == [{"raw": '<div class="meta"><span class="brand">Acme</span></div>'}]
+
+
+def test_extract_stage_distributed(spark):
+    df = spark.createDataFrame(
+        [(f"https://x.test/{i}", HTML) for i in range(6)],
+        "url string, html string",
+    )
+    out = extract_stage(df, SCHEMA, kind="css")
+    rows = out.collect()
+    assert len(rows) == 12  # 2 items × 6 pages
+    item = json.loads(
+        next(r["item_json"] for r in rows if r["item_idx"] == 0)
+    )
+    assert item["sku"] == "A-1" and item["price_float"] == pytest.approx(19.99)
