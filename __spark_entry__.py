@@ -714,8 +714,10 @@ def oracle_sql() -> dict[str, str]:
     o["ngram_jaccard"] = f"""
         WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
         g AS (SELECT doc_id,
-                     list_distinct(list_transform(range(0, greatest(len(tk)-3,0)+1),
-                                   i -> array_to_string(tk[i+1:i+3], ' '))) AS grams
+                     list_filter(
+                       list_distinct(list_transform(range(0, greatest(len(tk)-3,0)+1),
+                                     i -> array_to_string(tk[i+1:i+3], ' '))),
+                       x -> x <> '') AS grams
               FROM t),
         post AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
         inter AS (

@@ -246,11 +246,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     pairs similar only through dropped boilerplate are skipped — exactly
     the standard inverted-index prune.  None (default) = exact."""
     toks = F.filter(F.split(normalized_text(F.col(text_col)), " "), lambda t: t != "")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
+    # empty/NULL text yields zero grams (an '' gram would spuriously pair
+    # every empty doc with every other empty doc)
+    grams = F.filter(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ),
+        lambda g: g != "",
     )
     g = df.select(F.col(id_col), grams.alias("grams")).withColumn(
         "n_grams", F.size("grams")
