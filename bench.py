@@ -151,6 +151,60 @@ def frontier_schedule(spark, n_pages: int) -> tuple[float, int]:
     return time.time() - t0, n_links
 
 
+def frontier_schedule_bloom(spark, n_pages: int) -> dict:
+    """The same frontier superstep with the engine's Bloom URL-seen sidecar
+    in the anti-join hot path (north_rule mandate): candidates flagged
+    definitely-new by a same-bucket cogroup probe BYPASS the seen-table
+    join; only the maybe-seen slice (true dups + ~fp) pays it.  The sidecar
+    is built incrementally across supersteps in the engine, so its build
+    (like the politeness table and hot-host list) is an input here, outside
+    the timer.  Reports the probe-side reduction — the quantity that
+    matters at 10^10 seen URLs, where the seen side, not the candidates,
+    dominates the join."""
+    from crawl4ai_spark.operators.seen import BloomSidecar
+
+    p, gdir = _ensure_graph(spark, n_pages, with_images=False)
+    links = spark.read.parquet(f"{gdir}/links.parquet")
+    n_links = links.count()
+    seen_urls = (
+        spark.read.parquet(f"{gdir}/pages.parquet")
+        .withColumn("pid", F.regexp_extract("url", r"p(\d{8})", 1).cast("long"))
+        .filter(F.col("pid") % 2 == 0)
+        .select("url")
+    )
+    n_seen = seen_urls.count()
+    bloom = BloomSidecar(spark, capacity=max(n_seen, 1024), fp_rate=0.01,
+                         n_buckets=64)
+    bloom.add(seen_urls)
+    seen = seen_urls.select(url_hash_col(F.col("url")).alias("url_hash"))
+
+    t0 = time.time()
+    cand = links.select(
+        canonical_col(F.col("href"), F.col("src_url")).alias("url"), "pos"
+    )
+    cand = cand.groupBy("url").agg(F.min("pos").alias("pos"))
+    flagged = bloom.prefilter(cand, "url")
+    flagged = flagged.withColumn("url_hash", url_hash_col(F.col("url")))
+    fresh = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    suspect = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    checked = suspect.join(seen, "url_hash", "left_anti")
+    out = fresh.unionByName(checked)
+    agg = flagged.agg(
+        F.count("*").alias("cand"),
+        F.sum(F.col("maybe_seen").cast("long")).alias("suspect"),
+    ).collect()[0]
+    n_out = out.count()
+    secs = time.time() - t0
+    return {
+        "sec": round(secs, 3),
+        "input_links": n_links,
+        "candidates": int(agg["cand"]),
+        "suspect_rows": int(agg["suspect"]),
+        "bypass_fraction": round(1 - agg["suspect"] / max(agg["cand"], 1), 4),
+        "scheduled": n_out,
+    }
+
+
 def fetch_decode(spark, n_images: int) -> tuple[float, int]:
     """Payload stage at scale: read the image+caption table, decode every
     payload in Arrow batches, verify PSNR/pixel invariants, emit channel
@@ -214,6 +268,10 @@ def main() -> None:
     secs, n_img = fetch_decode(spark, n_image_rows)
     queries["fetch_decode"] = round(secs, 3)
     extras["fetch_images_per_sec"] = round(n_img / secs, 1)
+
+    # T6 Bloom sidecar variant: probe-side reduction evidence (not part of
+    # the headline total — frontier_schedule stays round-comparable)
+    extras["frontier_bloom"] = frontier_schedule_bloom(spark, n_link_pages)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t0 = time.time()
