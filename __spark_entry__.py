@@ -112,9 +112,11 @@ _FRESHNESS_URL_SQL = "'https://ex.test/blog/' || CAST(o_orderkey % 7 + 1992 AS V
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: deep BFS crawl (filters + scorer + robots + politeness) of
-    the deterministic synthetic image+caption web graph; also touches the
-    sf0.001 testdata to exercise the parquet ingestion path."""
+    """Flagship: deep BFS crawl with the FULL schedule wired in — scorer,
+    robots gate, per-host politeness budget (D1 deferral), 429/503 backoff
+    retries (D2), Bloom URL-seen sidecar (T6) — over the deterministic
+    synthetic image+caption web graph; also touches the sf0.001 testdata to
+    exercise the parquet ingestion path."""
     _ = _t(spark, "/root/testdata/sf0.001", "documents").count()
     p = synth.GraphParams(n_pages=240, n_domains=12, seed=42)
     pages, links, _images = synth.synth_tables(spark, p)
@@ -124,6 +126,8 @@ def entry(spark: SparkSession) -> DataFrame:
         max_depth=2,
         max_pages=150,
         check_robots_txt=True,
+        politeness_budget=40,
+        backoff=True,
         scorer=ScorerSpec(kind="freshness", current_year=2024, weight=1.0),
     )
     run = deep_crawl(

@@ -119,3 +119,71 @@ def _safe_can_fetch(rp: RobotFileParser, agent: str, url: str) -> bool:
         return rp.can_fetch(agent, url)
     except Exception:
         return True
+
+
+def robots_gate_df(df: DataFrame, rules_df: DataFrame | None,
+                   url_col: str = "fetch_key", host_col: str = "host",
+                   now: int = 1_700_000_000, user_agent: str = "*",
+                   broadcast_rules: bool = True) -> DataFrame:
+    """Scale-path robots gate: the rules table is a DataFrame joined on
+    host, never materialized on the driver.
+
+    ``robots_gate`` broadcasts a driver dict — fine at thousands of hosts,
+    a driver OOM at millions.  Here the (host, rules, fetch_time, status)
+    table left-joins the frontier (broadcast hash join while the rules
+    table is small; set ``broadcast_rules=False`` to shuffle-join on host,
+    which co-locates with the engine's repartition-by-host exchange), and
+    one Arrow pass parses each batch's rules with a per-host memo — the
+    frontier arrives host-partitioned, so each task touches few distinct
+    hosts and the memo hit-rate is ≈1.  Same allow-on-error truth table as
+    ``robots_gate`` (verified side-by-side in tests)."""
+    if rules_df is None:
+        return df.withColumn("robots_allowed", F.lit(True))
+    r = rules_df.select(
+        F.col("host").alias("__r_host"),
+        F.col("rules").alias("__r_rules"),
+        F.col("fetch_time").alias("__r_ftime"),
+        F.col("status").alias("__r_status"),
+    )
+    if broadcast_rules:
+        r = F.broadcast(r)
+    j = df.join(r, df[host_col] == r["__r_host"], "left").drop("__r_host")
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def gate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parsers: dict[str, RobotFileParser | None] = {}
+        for b in batches:
+            allowed = pd.Series(True, index=b.index)
+            for host, idx in b.groupby(host_col, sort=False).groups.items():
+                sub = b.loc[idx]
+                raw = sub["__r_rules"].iloc[0]
+                status = sub["__r_status"].iloc[0]
+                rules = effective_rules(
+                    None if pd.isna(raw) else raw,
+                    0 if pd.isna(sub["__r_ftime"].iloc[0]) else int(sub["__r_ftime"].iloc[0]),
+                    599 if pd.isna(status) else int(status),
+                    now,
+                )
+                if not rules:
+                    continue
+                if host not in parsers:
+                    rp = RobotFileParser()
+                    try:
+                        rp.parse(rules.splitlines())
+                        parsers[host] = rp if rp.mtime() else None
+                    except Exception:
+                        parsers[host] = None
+                rp = parsers[host]
+                if rp is None:
+                    continue
+                allowed.loc[idx] = [
+                    _safe_can_fetch(rp, user_agent, u)
+                    for u in sub[url_col].tolist()
+                ]
+            out = b.drop(columns=["__r_rules", "__r_ftime", "__r_status"]).copy()
+            out["robots_allowed"] = allowed
+            yield out
+
+    return j.mapInPandas(gate, f"{fields}, robots_allowed boolean")

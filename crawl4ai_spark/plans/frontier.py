@@ -64,7 +64,7 @@ from ..operators.politeness import (
     with_host_slots,
     with_salted_host_slots,
 )
-from ..operators.robots import robots_gate
+from ..operators.robots import robots_gate, robots_gate_df
 from ..operators.seen import BloomSidecar
 from .checkpoint import SnapshotStore
 
@@ -235,13 +235,14 @@ class CrawlEngine:
         (HTTP's fragment-dropping + case-folding stand-in), mirroring the
         oracle's OracleGraph.fetch.
         """
-        f = robots_gate(
-            f,
-            self.robots_pdf if self.cfg.check_robots_txt else None,
-            url_col="fetch_key",
-            host_col="host",
-            user_agent=self.cfg.user_agent,
-        )
+        rules = self.robots_pdf if self.cfg.check_robots_txt else None
+        if isinstance(rules, DataFrame):
+            # millions-of-hosts path: rules stay a DataFrame, joined on host
+            f = robots_gate_df(f, rules, url_col="fetch_key",
+                               host_col="host", user_agent=self.cfg.user_agent)
+        else:
+            f = robots_gate(f, rules, url_col="fetch_key", host_col="host",
+                            user_agent=self.cfg.user_agent)
         if self.politeness is not None:
             if hot_hosts:
                 # semantically equivalent interleaved ranks (conservative

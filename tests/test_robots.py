@@ -87,3 +87,39 @@ def test_engine_robots_403(spark):
         assert r["status_code"] == 403 and not r["success"]
     allowed = [r for r in rows if r["host"] == "ex0.test"]
     assert any(r["success"] for r in allowed)
+
+
+def test_robots_gate_df_matches_dict_gate(spark):
+    # the DataFrame-join scale path must reproduce the broadcast-dict gate's
+    # allow/deny decisions exactly, including every allow-on-error case and
+    # a host with no rules row at all
+    from crawl4ai_spark.operators.robots import robots_gate, robots_gate_df
+    from crawl4ai_spark.sources.synth import GraphParams, gen_robots
+
+    p = GraphParams(n_pages=40, n_domains=8)
+    rules_pdf = gen_robots(p)
+    rows = []
+    for d in range(8):
+        for path in ("/private/x", "/dl/y", "/shop/z", "/blog/ok"):
+            u = f"https://ex{d}.test{path}"
+            rows.append((u, f"ex{d}.test"))
+    rows.append(("https://norules.test/a", "norules.test"))
+    df = spark.createDataFrame(rows, "fetch_key string, host string")
+    want = {
+        r["fetch_key"]: r["robots_allowed"]
+        for r in robots_gate(df, rules_pdf).collect()
+    }
+    rules_df = spark.createDataFrame(rules_pdf)
+    got = {
+        r["fetch_key"]: r["robots_allowed"]
+        for r in robots_gate_df(df, rules_df).collect()
+    }
+    assert got == want
+    assert got["https://norules.test/a"] is True
+    assert not all(want.values())  # some URL is actually denied
+    # shuffle-join variant (co-partitioned path) identical too
+    got2 = {
+        r["fetch_key"]: r["robots_allowed"]
+        for r in robots_gate_df(df, rules_df, broadcast_rules=False).collect()
+    }
+    assert got2 == want
