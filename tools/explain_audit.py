@@ -106,6 +106,44 @@ def main() -> None:
         ["codegen id", "ReadSchema"],
     ))
 
+    # 6. Bloom sidecar prefilter: same-bucket cogroup, then exact anti-join
+    # only for the maybe-seen slice (T6 hot path)
+    from crawl4ai_spark.operators.seen import BloomSidecar
+
+    urls = spark.range(2000).select(
+        F.concat(F.lit("https://ex.test/p"), F.col("id")).alias("url")
+    )
+    bloom = BloomSidecar(spark, capacity=4096, n_buckets=8)
+    bloom.add(urls.limit(1000))
+    flagged = bloom.prefilter(urls, "url")
+    suspect = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    checked = suspect.join(
+        urls.limit(1000).withColumnRenamed("url", "url"), "url", "left_anti"
+    )
+    gated = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen").unionByName(checked)
+    sections.append((
+        "Bloom URL-seen prefilter (cogroup probe → suspect-only anti-join)",
+        plan_of(gated), ["FlatMapCoGroupsInPandas", "BroadcastHashJoin"],
+    ))
+
+    # 7. exact two-phase budget split for a hot host: per-(host,salt) local
+    # window bounds every task; the second window sees ≤ S·B survivors
+    from crawl4ai_spark.operators.politeness import split_host_budget
+
+    fr = spark.range(5000).select(
+        F.concat(F.lit("https://hot.test/p"), F.col("id")).alias("url"),
+        F.lit("hot.test").alias("host"),
+        (F.col("id") % 3).cast("int").alias("depth"),
+        F.col("id").alias("seq"),
+    )
+    within, _deferred = split_host_budget(
+        fr, 40, ["depth", "seq"], hot_hosts=["hot.test"], salt_buckets=8
+    )
+    sections.append((
+        "Hot-host budget split (two-phase salted windows, exact)",
+        plan_of(within), ["Window", "hashpartitioning"],
+    ))
+
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)\n"]
     out.append(
         "Generated by tools/explain_audit.py. Verdict lines check the "
