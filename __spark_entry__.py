@@ -408,6 +408,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["json_css_extract"] = q_json_css_extract
 
+    def q_markdown_gen(spark, sf):
+        # G8 DefaultMarkdownGenerator over the same synthesized product
+        # HTML; expected markdown reconstructable in SQL from the
+        # construction rule
+        from crawl4ai_spark.operators.markdown import markdown_stage
+
+        docs = _t(spark, sf, "documents").select("doc_id", "lang")
+
+        def product(j):
+            cents = (F.col("doc_id") * 7 + F.lit(j)) % 1000
+            price = F.concat(
+                F.floor(cents / 100).cast("string"), F.lit("."),
+                F.lpad((cents % 100).cast("string"), 2, "0"),
+            )
+            return F.concat(
+                F.lit('<div class="product"><h2> <b>T</b> '), F.col("lang"),
+                F.lit('</h2><span class="price">$'), price,
+                F.lit("</span></div>"),
+            )
+
+        pages = docs.select(
+            F.concat(F.lit("https://d.test/"), F.col("doc_id").cast("string")).alias("url"),
+            F.concat(F.lit('<div id="c">'), product(0), product(1), F.lit("</div>")).alias("html"),
+        )
+        return markdown_stage(pages).select(
+            "url", "raw_markdown", "markdown_with_citations",
+            "references_markdown",
+        )
+    q["markdown_gen"] = q_markdown_gen
+
     # -------------------------- head-quality filters (P6/P7, SURVEY §2.2)
     def q_bm25_head(spark, sf):
         docs = _t(spark, sf, "documents")
@@ -943,6 +973,26 @@ def oracle_sql() -> dict[str, str]:
                CAST((doc_id*7 + j) % 1000 // 100 AS VARCHAR) || '.' ||
                  lpad(CAST((doc_id*7 + j) % 1000 % 100 AS VARCHAR), 2, '0') AS price
         FROM documents, (SELECT unnest(range(0, 2)) AS j)
+    """
+
+    o["markdown_gen"] = """
+        WITH px AS (
+          SELECT doc_id, lang,
+            CAST((doc_id*7 + 0) % 1000 // 100 AS VARCHAR) || '.' ||
+              lpad(CAST((doc_id*7 + 0) % 1000 % 100 AS VARCHAR), 2, '0') AS p0,
+            CAST((doc_id*7 + 1) % 1000 // 100 AS VARCHAR) || '.' ||
+              lpad(CAST((doc_id*7 + 1) % 1000 % 100 AS VARCHAR), 2, '0') AS p1
+          FROM documents)
+        SELECT 'https://d.test/' || CAST(doc_id AS VARCHAR) AS url,
+               '## **T** ' || lang || chr(10) || chr(10) || '$' || p0 ||
+                 chr(10) || chr(10) || '## **T** ' || lang || chr(10) ||
+                 chr(10) || '$' || p1 || chr(10) AS raw_markdown,
+               '## **T** ' || lang || chr(10) || chr(10) || '$' || p0 ||
+                 chr(10) || chr(10) || '## **T** ' || lang || chr(10) ||
+                 chr(10) || '$' || p1 || chr(10) AS markdown_with_citations,
+               chr(10) || chr(10) || '## References' || chr(10) || chr(10)
+                 AS references_markdown
+        FROM px
     """
 
     o["chunk_sentence"] = """
