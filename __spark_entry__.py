@@ -63,7 +63,12 @@ from crawl4ai_spark.operators.dedup import (
     simhash_pairs,
 )
 from crawl4ai_spark.operators.politeness import apply_host_budget, with_host_slots
-from crawl4ai_spark.operators.similarity import brute_force_topk, cosine_col, lsh_ann_topk
+from crawl4ai_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_col,
+    embedding_neardup_pairs,
+    lsh_ann_topk,
+)
 from crawl4ai_spark.operators.text import (
     fingerprint_md5,
     lang_id,
@@ -634,6 +639,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("cosine", 4).alias("cosine"), F.col("rank").cast("long"),
         )
     q["lsh_ann"] = q_lsh_ann
+
+    def q_embedding_neardup(spark, sf):
+        # 4th dedup tier: embeddings ∪ slightly-perturbed copies → SRP-band
+        # candidates → exact-cosine gate; planted near-dups must surface
+        oracle_expected.ensure_neardup_expected(sf)
+        emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+        pert = emb.select(
+            (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x.cast("double") + F.lit(0.05)).cast("float")
+            ).alias("embedding"),
+        )
+        both = emb.unionByName(pert)
+        return embedding_neardup_pairs(both, threshold=0.9).select(
+            F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    q["embedding_neardup"] = q_embedding_neardup
 
     def _graph(n_pages=240, **kw):
         return synth.GraphParams(n_pages=n_pages, n_domains=12, seed=42, **kw)
@@ -1216,6 +1239,7 @@ def oracle_sql() -> dict[str, str]:
         _gate_sf, np.array([_ANN_QUERY, [-x for x in _ANN_QUERY]]),
         k=10, n_planes=8,
     )
+    oracle_expected.ensure_neardup_expected(_gate_sf)
 
     def _exp(name: str) -> str:
         return oracle_expected.expected_path(name)
@@ -1231,6 +1255,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["lsh_ann"] = (
         f"SELECT query_id, vec_id, cosine, rank FROM read_parquet('{_exp('lsh_ann')}')"
+    )
+    o["embedding_neardup"] = (
+        f"SELECT id_a, id_b, cosine FROM read_parquet('{_exp('embedding_neardup')}')"
     )
     o["bfs_crawl"] = (
         "SELECT superstep, seq, url, depth, parent, score, success, status_code "

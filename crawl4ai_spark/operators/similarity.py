@@ -104,6 +104,72 @@ def srp_bucket_df(embeddings: DataFrame, n_planes: int = 8, seed: int = 42,
     return embeddings.mapInPandas(bucketize, f"{fields}, bucket long")
 
 
+def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.9,
+                            bands: int = 4, band_bits: int = 8,
+                            seed: int = 42, id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the 4th dedup tier,
+    SURVEY training-data pipeline): ``bands`` independent sign-random-
+    projection bands of ``band_bits`` planes each bucket every vector;
+    candidate pairs share a (band, bucket) — O(rows × bands) shuffle, never
+    all-pairs — then the EXACT cosine (pure Catalyst left-fold, JVM) gates
+    at ``threshold``.  Recall follows the SRP collision bound
+    P[bit match] = 1 − θ/π per plane; 4×8 bits catches cos ≥ 0.9 pairs with
+    ≥ ~95% probability while random pairs almost never collide."""
+    spark = embeddings.sparkSession
+    sample = embeddings.select(vec_col).first()
+    dim = len(sample[0])
+    planes = _plane_matrix(dim, bands * band_bits, seed)
+    bc = spark.sparkContext.broadcast(planes)
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in embeddings.schema.fields
+    )
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bc.value
+        weights = 1 << np.arange(band_bits, dtype=np.int64)
+        for b in batches:
+            if not len(b):
+                continue
+            mat = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            bits = (mat @ pl.T) > 0  # (n, bands*band_bits)
+            rows = []
+            for band in range(bands):
+                chunk = bits[:, band * band_bits:(band + 1) * band_bits]
+                buckets = chunk @ weights
+                rows.append(pd.DataFrame({
+                    **{c: b[c].to_numpy() for c in b.columns},
+                    "band": band, "bucket": buckets,
+                }))
+            yield pd.concat(rows, ignore_index=True)
+
+    banded = embeddings.mapInPandas(
+        bucketize, f"{fields}, band int, bucket long"
+    )
+    left = banded.select(F.col(id_col).alias("id_a"),
+                         F.col(vec_col).alias("vec_a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("id_b"),
+                          F.col(vec_col).alias("vec_b"), "band", "bucket")
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dot = F.aggregate(
+        F.zip_with("vec_a", "vec_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    ))
+    cos = dot / (norm(F.col("vec_a")) * norm(F.col("vec_b")))
+    return (
+        cand.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def lsh_ann_topk(embeddings: DataFrame, queries: np.ndarray, k: int = 10,
                  n_planes: int = 8, seed: int = 42, multiprobe: bool = True,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -290,6 +290,65 @@ def ensure_lsh_ann_expected(sf_dir: str, queries: np.ndarray, k=10,
     _done.add(key)
 
 
+def ensure_neardup_expected(sf_dir: str, threshold=0.9, bands=4, band_bits=8,
+                            seed=42) -> None:
+    """embedding_neardup: SRP-banded candidates + exact cosine recomputed
+    sequentially over embeddings ∪ (+0.05 perturbed copies).  The cosine
+    twin folds left-to-right exactly like Spark's F.aggregate."""
+    key = ("neardup", sf_dir)
+    if key in _done:
+        return
+    import math
+
+    from ..operators.similarity import _plane_matrix
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    base = np.stack(emb["embedding"].to_numpy()).astype(np.float32)
+    pert = (base.astype(np.float64) + 0.05).astype(np.float32)
+    mats = np.concatenate([base, pert])
+    ids = np.concatenate([emb["vec_id"].to_numpy(),
+                          emb["vec_id"].to_numpy() + 1_000_000])
+    planes = _plane_matrix(mats.shape[1], bands * band_bits, seed)
+    bits = (mats.astype(np.float64) @ planes.T) > 0
+    weights = 1 << np.arange(band_bits, dtype=np.int64)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for band in range(bands):
+        bk = bits[:, band * band_bits:(band + 1) * band_bits] @ weights
+        for row, b in enumerate(bk):
+            buckets.setdefault((band, int(b)), []).append(row)
+    pairs = set()
+    for rows in buckets.values():
+        rows = sorted(rows, key=lambda r: ids[r])
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a, b = rows[i], rows[j]
+                if ids[a] != ids[b]:
+                    pairs.add((a, b) if ids[a] < ids[b] else (b, a))
+
+    def fold_cos(a: np.ndarray, b: np.ndarray) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        na = 0.0
+        for x in a:
+            na += float(x) * float(x)
+        nb = 0.0
+        for y in b:
+            nb += float(y) * float(y)
+        return acc / (math.sqrt(na) * math.sqrt(nb))
+
+    out = []
+    for a, b in sorted(pairs, key=lambda p: (ids[p[0]], ids[p[1]])):
+        c = fold_cos(mats[a], mats[b])
+        if c >= threshold:
+            out.append({"id_a": int(ids[a]), "id_b": int(ids[b]),
+                        "cosine": spark_round(c, 6)})
+    _write("embedding_neardup", pd.DataFrame(out, columns=["id_a", "id_b",
+                                                           "cosine"]))
+    _done.add(key)
+
+
 def ensure_topic_expected(sf_dir: str, w=20, k=4) -> None:
     """chunk_topic: the per-document TextTiling segmentation recomputed
     sequentially with the shared pure function (checks the distributed

@@ -201,3 +201,24 @@ def test_ngram_hot_shingle_cap(spark, docs):
     unpruned = dedup.ngram_jaccard_pairs(boiler, threshold=0.05)
     assert unpruned.count() > 0
     assert pruned.count() == 0
+
+
+def test_embedding_neardup_pairs(spark, embeddings):
+    # planted near-duplicates: slightly perturbed copies must pair with
+    # their originals at high cosine; SRP banding must not go all-pairs
+    emb = embeddings.select("vec_id", "embedding").limit(200)
+    pert = emb.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") + 0.05).cast("float")
+        ).alias("embedding"),
+    )
+    both = emb.unionByName(pert).cache()
+    pairs = similarity.embedding_neardup_pairs(both, threshold=0.9).collect()
+    planted = {(r["id_a"], r["id_b"]) for r in pairs
+               if r["id_b"] == r["id_a"] + 10_000}
+    n = emb.count()
+    # SRP 4x8-bit banding: expect the vast majority of planted pairs back
+    assert len(planted) >= int(0.85 * n)
+    for r in pairs:
+        assert r["cosine"] >= 0.9
