@@ -41,11 +41,15 @@ def with_global_seq(df: DataFrame, order_cols: list[Column | str],
     This is the scale-safe replacement for
     ``row_number().over(Window.orderBy(...))`` — the naive form funnels the
     whole superstep through one task.
+
+    The upstream pipeline is evaluated exactly ONCE (the eager
+    localCheckpoint); emptiness falls out of the per-partition counts — a
+    ``take(1)`` probe here would run the whole upstream a second time.
     """
-    if not df.take(1):
-        return df.withColumn(out_col, F.lit(start).cast("long"))
     d = _frozen_partitions(df, order_cols, num_partitions)
     sizes = {r["__pid"]: r["count"] for r in d.groupBy("__pid").count().collect()}
+    if not sizes:
+        return d.drop("__pid").withColumn(out_col, F.lit(start).cast("long"))
     offsets = {}
     acc = start
     for pid in sorted(sizes):
@@ -78,9 +82,8 @@ def with_global_cumsum(df: DataFrame, order_cols: list[Column | str],
     WITHOUT a single-partition window (the scale-safe replacement for
     ``sum(x).over(Window.orderBy(...))``): range-partition + sort, collect
     per-partition sums, broadcast prefix offsets, cumsum per partition in
-    one Arrow pass.  ``val_col`` must be numeric; output is long."""
-    if not df.take(1):
-        return df.withColumn(out_col, F.lit(0).cast("long"))
+    one Arrow pass.  ``val_col`` must be numeric; output is long.
+    Upstream evaluated once (see with_global_seq)."""
     d = _frozen_partitions(df, order_cols, num_partitions)
     sums = {
         r["__pid"]: int(r["s"] or 0)
@@ -88,6 +91,8 @@ def with_global_cumsum(df: DataFrame, order_cols: list[Column | str],
             F.sum(F.col(val_col).cast("long")).alias("s")
         ).collect()
     }
+    if not sums:
+        return d.drop("__pid").withColumn(out_col, F.lit(0).cast("long"))
     offsets = {}
     acc = 0
     for pid in sorted(sums):

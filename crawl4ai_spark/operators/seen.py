@@ -205,11 +205,14 @@ class BloomSidecar:
             bucket = int(old["bucket"].iloc[0] if len(old) else fresh["bucket"].iloc[0])
             return pd.DataFrame({"bucket": [bucket], "bits": [acc.tobytes()]})
 
+        # lazy checkpoint: the ≤ n_buckets merged rows materialize inside
+        # the next probe's job (no standalone job launch per add); lineage
+        # truncates at first use
         self.bits_df = (
             self.bits_df.groupBy("bucket")
             .cogroup(new.groupBy("bucket"))
             .applyInPandas(lambda lft, rgt: merge(lft, rgt), "bucket int, bits binary")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
 
     def prefilter(self, cand: DataFrame, url_col: str) -> DataFrame:

@@ -271,8 +271,11 @@ class CrawlEngine:
     def _mark_seen(self, seen: DataFrame, new_urls: DataFrame) -> DataFrame:
         """Append to the URL-seen table AND the Bloom sidecar — the sidecar
         must hold every seen URL before any discovery probe (no false
-        negatives ⇒ the prefilter stays exact)."""
-        seen = seen.unionByName(new_urls).localCheckpoint(eager=True)
+        negatives ⇒ the prefilter stays exact).  Lazy checkpoint: the union
+        materializes inside the same superstep's discovery/commit job
+        instead of paying its own job launch; its lineage is two
+        already-checkpointed inputs either way."""
+        seen = seen.unionByName(new_urls).localCheckpoint(eager=False)
         if self.bloom is not None:
             self.bloom.add(new_urls, url_col="url")
         return seen
@@ -392,7 +395,11 @@ class CrawlEngine:
         # seen URLs that join's probe side shrinks to the dup fraction.
         seen_t = seen.select(F.col("url").alias("target"))
         if self.bloom is not None:
-            flagged = self.bloom.prefilter(cand, "target")
+            # lazy localCheckpoint: both union branches read the SAME
+            # materialization of the cogroup probe (first job caches it;
+            # blocks are GC-released with the plan) instead of running the
+            # canonicalize→cogroup pipeline twice
+            flagged = self.bloom.prefilter(cand, "target").localCheckpoint(eager=False)
             fresh = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
             suspect = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
             cand = fresh.unionByName(suspect.join(seen_t, "target", "left_anti"))
@@ -514,8 +521,10 @@ class CrawlEngine:
         budget = cfg.politeness_budget
         if budget is not None and budget < 1:
             raise ValueError("politeness_budget must be >= 1")
+        # frontier size carried across supersteps (the end-of-superstep agg
+        # already counts the next frontier — no extra count job per loop)
+        n_frontier = len(seeds) if state is None else frontier.count()
         while superstep < cfg.max_supersteps:
-            n_frontier = frontier.count()
             if n_frontier == 0:
                 break
             if cfg.backoff:
@@ -616,6 +625,7 @@ class CrawlEngine:
                          domain_state=domain_state if cfg.backoff else None)
             fetched.unpersist()
             frontier = nxt
+            n_frontier = n_next
             superstep += 1
         return self._finish(result_parts, seen, pages_crawled,
                             order=["superstep", "depth", "seq"])
