@@ -208,21 +208,37 @@ class BloomSidecar:
         # lazy checkpoint: the ≤ n_buckets merged rows materialize inside
         # the next probe's job (no standalone job launch per add); lineage
         # truncates at first use
+        # both sides are ≤ n_buckets tiny rows — single-partition cogroup
+        # (session-wide shuffle width would pay a python worker round trip
+        # per empty partition)
         self.bits_df = (
-            self.bits_df.groupBy("bucket")
-            .cogroup(new.groupBy("bucket"))
+            self.bits_df.repartition(1, "bucket").groupBy("bucket")
+            .cogroup(new.repartition(1, "bucket").groupBy("bucket"))
             .applyInPandas(lambda lft, rgt: merge(lft, rgt), "bucket int, bits binary")
             .localCheckpoint(eager=False)
         )
 
-    def prefilter(self, cand: DataFrame, url_col: str) -> DataFrame:
+    def prefilter(self, cand: DataFrame, url_col: str,
+                  num_partitions: int | None = None) -> DataFrame:
         """Append boolean ``maybe_seen`` via a same-bucket cogroup probe;
-        no bit-array ever reaches the driver."""
+        no bit-array ever reaches the driver.
+
+        ``num_partitions`` pre-partitions BOTH cogroup sides by the bucket
+        key so the cogroup reuses that exchange instead of shuffling to the
+        session-wide ``spark.sql.shuffle.partitions`` — python-stage cost
+        is per partition per job, so small supersteps must not fan a 10^3-
+        row probe across 32 workers (the engine passes its batch-sized
+        partition count)."""
         m, k, nb = self.m, self.k, self.n_buckets
         h = F.xxhash64(F.col(url_col))
         keyed = cand.withColumn("__h", h).withColumn(
             "__bb", F.pmod(F.col("__h"), F.lit(nb)).cast("int")
         )
+        bits_df = self.bits_df
+        if num_partitions is not None:
+            n = max(1, min(num_partitions, nb))
+            keyed = keyed.repartition(n, "__bb")
+            bits_df = bits_df.repartition(n, "bucket")
         fields = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in cand.schema.fields
         )
@@ -242,7 +258,7 @@ class BloomSidecar:
 
         return (
             keyed.groupBy("__bb")
-            .cogroup(self.bits_df.groupBy("bucket"))
+            .cogroup(bits_df.groupBy("bucket"))
             .applyInPandas(probe, f"{fields}, maybe_seen boolean")
         )
 

@@ -399,7 +399,10 @@ class CrawlEngine:
             # materialization of the cogroup probe (first job caches it;
             # blocks are GC-released with the plan) instead of running the
             # canonicalize→cogroup pipeline twice
-            flagged = self.bloom.prefilter(cand, "target").localCheckpoint(eager=False)
+            nparts = self._parts(est_rows) if est_rows is not None else None
+            flagged = self.bloom.prefilter(
+                cand, "target", num_partitions=nparts
+            ).localCheckpoint(eager=False)
             fresh = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
             suspect = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
             cand = fresh.unionByName(suspect.join(seen_t, "target", "left_anti"))
@@ -557,6 +560,7 @@ class CrawlEngine:
             # URL-seen set includes failed fetches; budget-deferred rows
             # are not seen until actually fetched.
             seen = self._mark_seen(seen, marked)
+            t_split = time.time()
             fetched = self._fetch_prepared(within, hot_hosts=hot)
             # duplicate-URL quirk (bfs_strategy.py:174): every result of a
             # URL that appears twice in a superstep reports the parent of
@@ -569,12 +573,14 @@ class CrawlEngine:
                 F.sum(F.col("success").cast("long")).alias("ok"),
                 F.min(F.when(F.col("success"), F.col("depth"))).alias("dmin"),
             ).collect()[0]
+            t_fetch = time.time()
             n_within = int(stat["n"])
             n_success = int(stat["ok"] or 0)
             min_succ_depth = stat["dmin"]
             pages_crawled += n_success
             results_s = fetched.withColumn("superstep", F.lit(superstep)).select(RESULT_COLS)
             result_parts.append(self._persist_results(results_s, superstep))
+            t_results = time.time()
             retries = None
             if cfg.backoff:
                 domain_state = fold_domain_state_dist(
@@ -612,12 +618,19 @@ class CrawlEngine:
             nstat = nxt.agg(F.count("*").alias("n"), F.max("seq").alias("mx")).collect()[0]
             n_next = int(nstat["n"])
             enq_base = max(enq_base, int(nstat["mx"] or -1) + 1)
+            t_disc = time.time()
             self._log(
                 superstep=superstep, popped=n_within, eligible=n_elig,
                 deferred=n_elig - n_within, waiting=n_wait,
                 successes=n_success, pages_crawled=pages_crawled,
                 frontier_out=n_next, hot_hosts=len(hot),
                 wall_ms=int((time.time() - t0) * 1000),
+                phase_ms={
+                    "split": int((t_split - t0) * 1000),
+                    "fetch": int((t_fetch - t_split) * 1000),
+                    "results": int((t_results - t_fetch) * 1000),
+                    "discover": int((t_disc - t_results) * 1000),
+                },
             )
             self._commit(superstep, frontier=nxt, seen=seen,
                          counters={"pages_crawled": pages_crawled,
