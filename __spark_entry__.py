@@ -724,6 +724,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["backoff_crawl"] = q_backoff_crawl
 
+    def q_bff_scheduled_crawl(spark, sf):
+        # D1+D2 on the best-first loop: per-host budget defers popped rows
+        # back to the queue; 429/503 re-push with attempt+1
+        oracle_expected.ensure_crawl_expected()
+        p = _graph(fail_rate=0.25)
+        pages, links, _ = synth.synth_tables(spark, p)
+        pages, links = pages.cache(), links.cache()
+        cfg = CrawlConfig(
+            strategy="best_first", max_depth=2, max_pages=40, batch_size=12,
+            politeness_budget=3, backoff=True,
+            scorer=ScorerSpec(kind="keyword", keywords=["blog", "docs"],
+                              weight=1.0),
+        )
+        run = deep_crawl(spark, [synth.url_of(0, p)], pages, links, cfg)
+        return run.results.select(
+            "superstep", "seq", "url", "host", "depth",
+            F.round("score", 6).alias("score"), "success", "status_code",
+            "attempt",
+        )
+    q["bff_scheduled_crawl"] = q_bff_scheduled_crawl
+
     def q_image_decode(spark, sf):
         oracle_expected.ensure_image_expected(n_pages=200)
         p = _graph(n_pages=200)
@@ -1274,6 +1295,10 @@ def oracle_sql() -> dict[str, str]:
     o["backoff_crawl"] = (
         "SELECT superstep, seq, url, host, depth, success, status_code, attempt "
         f"FROM read_parquet('{_exp('backoff_crawl')}')"
+    )
+    o["bff_scheduled_crawl"] = (
+        "SELECT superstep, seq, url, host, depth, score, success, "
+        f"status_code, attempt FROM read_parquet('{_exp('bff_scheduled_crawl')}')"
     )
     o["image_decode"] = (
         "SELECT image_id, w, h, fmt, decoded_w, decoded_h, invariant_ok, "

@@ -505,3 +505,168 @@ def crawl_bfs_scheduled(graph: OracleGraph, seeds: list[str],
         superstep += 1
     results.sort(key=lambda r: (r["superstep"], r["depth"], r["seq"]))
     return results, seen
+
+
+def crawl_best_first_scheduled(graph: OracleGraph, seeds: list[str],
+                               spec: ScheduleSpec, robots_pdf=None):
+    """Engine twin of run_best_first's scheduled loop (D1 budget deferral
+    back to the queue, D2 retry re-push, robots gate).  Returns (results,
+    seen) with the engine's result columns ordered by seq."""
+    from ..operators.politeness import (
+        RATE_LIMIT_CODES,
+        empty_domain_state,
+        update_domain_state,
+    )
+
+    allowed = (
+        robots_allower(robots_pdf, spec.user_agent)
+        if robots_pdf is not None
+        else (lambda h, u: True)
+    )
+    queue = [
+        {"score": 0.0, "depth": 0, "url": u, "parent": None, "push_seq": i,
+         "attempt": 0, "ready": 0}
+        for i, u in enumerate(seeds)
+    ]
+    heap_key = lambda r: (  # noqa: E731 — engine heap_order
+        r["score"], r["depth"], r["url"],
+        (r["parent"] is not None, r["parent"] or ""), r["push_seq"],
+    )
+    dedup_key = lambda r: (  # engine wdup ordering (no url — it partitions)
+        r["score"], r["depth"], (r["parent"] is not None, r["parent"] or ""),
+        r["push_seq"],
+    )
+    seen: set[str] = set()
+    results: list[dict] = []
+    pages_crawled = 0
+    superstep = 0
+    result_seq = 0
+    push_base = len(seeds)
+    dstate = empty_domain_state()
+    budget = spec.politeness_budget
+    while superstep < spec.max_supersteps and queue:
+        if pages_crawled >= spec.max_pages:
+            break
+        if spec.backoff:
+            eligible = [r for r in queue if r["ready"] <= superstep]
+            if not eligible:
+                superstep = min(r["ready"] for r in queue)
+                continue
+        else:
+            eligible = list(queue)
+        popped = sorted(eligible, key=heap_key)[: spec.batch_size]
+        popped_ids = {id(r) for r in popped}
+        rest = [r for r in queue if id(r) not in popped_ids]
+        # visited check consumes slots; retries exempt; dedup first-per-url
+        survivors = [r for r in popped
+                     if r["attempt"] > 0 or r["url"] not in seen]
+        by_url: dict[str, dict] = {}
+        for r in survivors:
+            cur = by_url.get(r["url"])
+            if cur is None or dedup_key(r) < dedup_key(cur):
+                by_url[r["url"]] = r
+        batch0 = sorted(by_url.values(), key=heap_key)
+        for r in batch0:
+            r["fetch_key"] = normalize_url_for_deep_crawl(r["url"], r["url"])
+            r["host"] = _host_of_py(r["fetch_key"])
+        if budget is not None:
+            taken: dict[str, int] = {}
+            within, deferred = [], []
+            for r in batch0:
+                c = taken.get(r["host"], 0)
+                if c < budget:
+                    within.append(r)
+                    taken[r["host"]] = c + 1
+                else:
+                    deferred.append(r)
+        else:
+            within, deferred = batch0, []
+        if not within:
+            queue = rest + deferred
+            superstep += 1
+            continue
+        for i, r in enumerate(within):
+            r["seq"] = result_seq + i
+            seen.add(r["url"])
+        batch = []
+        for r in within:
+            if not allowed(r["host"], r["fetch_key"]):
+                success, status, page = False, 403, None
+            else:
+                page = graph.fetch(r["url"])
+                success, status = page.success, page.status_code
+                if not success:
+                    page = None
+            results.append(
+                {"superstep": superstep, "seq": r["seq"], "url": r["url"],
+                 "host": r["host"], "depth": r["depth"],
+                 "parent": r["parent"], "score": r["score"],
+                 "success": success, "status_code": status,
+                 "attempt": r["attempt"]}
+            )
+            batch.append((r, page, status))
+        n_success = sum(1 for _, p, _ in batch if p is not None)
+        retries: list[dict] = []
+        if spec.backoff:
+            res_pdf = pd.DataFrame(
+                [{"host": r["host"], "seq": r["seq"], "status_code": st}
+                 for r, _p, st in batch]
+            )
+            dstate = update_domain_state(
+                dstate, res_pdf, seed=spec.seed, superstep=superstep,
+                max_retries=spec.max_retries,
+            )
+            smap = {row.host: row for row in dstate.itertuples()}
+            for r, _p, st in batch:
+                if st in RATE_LIMIT_CODES and r["attempt"] < spec.max_retries:
+                    hs = smap.get(r["host"])
+                    if hs is not None and not hs.give_up:
+                        steps = max(
+                            1, math.ceil(hs.current_delay / spec.superstep_window_s)
+                        )
+                        retries.append(
+                            {"score": r["score"], "depth": r["depth"],
+                             "url": r["url"], "parent": r["parent"],
+                             "push_seq": r["push_seq"],
+                             "attempt": r["attempt"] + 1,
+                             "ready": superstep + steps}
+                        )
+        # discovery in seq order with cumulative remaining (bff :146-149
+        # page budget counts successes as they land)
+        pushes: list[dict] = []
+        running = pages_crawled
+        for r, page, _st in batch:
+            if page is None:
+                continue
+            running += 1
+            remaining = spec.max_pages - running
+            new_depth = r["depth"] + 1
+            if new_depth > spec.max_depth or remaining <= 0:
+                continue
+            valid: list[str] = []
+            for href in _split_links(page, spec):
+                try:
+                    abs_href = normalize_url(href, r["url"])
+                except ValueError:
+                    continue
+                if abs_href in seen:
+                    continue
+                if not _can_process(abs_href, new_depth, spec):
+                    continue
+                valid.append(abs_href)
+            if len(valid) > remaining:
+                valid = valid[: int(remaining)]
+            for u in valid:
+                sc = spec.scorer.py_score(u) if spec.scorer else 0.0
+                pushes.append(
+                    {"score": sc, "depth": new_depth, "url": u,
+                     "parent": r["url"], "push_seq": push_base + len(pushes),
+                     "attempt": 0, "ready": 0}
+                )
+        queue = rest + pushes + deferred + retries
+        push_base += len(pushes)
+        pages_crawled += n_success
+        result_seq += len(within)
+        superstep += 1
+    results.sort(key=lambda r: r["seq"])
+    return results, seen

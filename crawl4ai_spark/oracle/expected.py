@@ -130,6 +130,27 @@ def ensure_crawl_expected() -> None:
           "status_code": r["status_code"]} for r in res]
     ))
 
+    # --- bff_scheduled_crawl (best-first with D1 budget + D2 backoff)
+    from .crawler import crawl_best_first_scheduled
+
+    pbf = _graph(fail_rate=0.25)
+    pages_f, links_f, _ = synth.synth_local(pbf)
+    graph_f = OracleGraph.from_frames(pages_f, links_f)
+    res, _ = crawl_best_first_scheduled(
+        graph_f, [synth.url_of(0, pbf)],
+        ScheduleSpec(strategy="best_first", max_depth=2, max_pages=40,
+                     batch_size=12, politeness_budget=3, backoff=True,
+                     scorer=ScorerSpec(kind="keyword",
+                                       keywords=["blog", "docs"], weight=1.0)),
+    )
+    _write("bff_scheduled_crawl", pd.DataFrame(
+        [{"superstep": r["superstep"], "seq": r["seq"], "url": r["url"],
+          "host": r["host"], "depth": r["depth"],
+          "score": spark_round(r["score"], 6), "success": r["success"],
+          "status_code": r["status_code"], "attempt": r["attempt"]}
+         for r in res]
+    ))
+
     # --- backoff_crawl (D2: fail-heavy graph, retry requeue trajectories)
     pb = _graph(fail_rate=0.25)
     pages_b, links_b, _ = synth.synth_local(pb)

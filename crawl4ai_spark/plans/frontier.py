@@ -310,6 +310,34 @@ class CrawlEngine:
             (F.lit(superstep) + steps).alias("ready"),
         )
 
+    def _retry_rows_bf(self, fetched: DataFrame, domain_state: pd.DataFrame,
+                       superstep: int) -> DataFrame:
+        """D2 requeue for best-first: same rule as _retry_rows but the row
+        returns to the QUEUE with its original push_seq (it re-pops in heap
+        order once ready)."""
+        cfg = self.cfg
+        failed = fetched.filter(
+            F.col("status_code").isin(list(RATE_LIMIT_CODES))
+            & (F.col("attempt") < cfg.max_retries)
+        )
+        state_df = self.spark.createDataFrame(
+            domain_state, schema=DOMAIN_STATE_SCHEMA
+        ).select("host", "current_delay", "give_up")
+        j = failed.join(F.broadcast(state_df), "host", "left")
+        j = j.filter(~F.coalesce(F.col("give_up"), F.lit(False)))
+        steps = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(
+                F.coalesce(F.col("current_delay"), F.lit(0.0))
+                / F.lit(float(cfg.superstep_window_s))
+            ).cast("long"),
+        )
+        return j.select(
+            "score", "depth", "url", "parent", "push_seq",
+            (F.col("attempt") + 1).alias("attempt"),
+            (F.lit(superstep) + steps).alias("ready"),
+        )
+
     # -------------------------------------------------------- discovery
     def _discover(
         self,
@@ -645,21 +673,44 @@ class CrawlEngine:
 
     # ------------------------------------------------------------- BF
     def run_best_first(self, seeds: list[str], resume: bool = False) -> CrawlRun:
+        """Best-first superstep loop with the same D1/D2 schedule as
+        run_bfs (oracle twin: crawl_best_first_scheduled):
+
+          - D1 budget: the post-dedup popped batch splits per host (first
+            `budget` in heap order); deferred rows return to the queue
+            UNMARKED with their push_seq, so they re-pop in heap order;
+          - D2 backoff: rate-limited rows re-push with attempt+1 at their
+            host's ready superstep; retries bypass the visited check at
+            pop (their url is already seen from the failed attempt);
+          - re-discovered URLs of deferred queue rows are NOT excluded —
+            queue multisets with duplicate URLs are reference BF behavior
+            (visited check at pop consumes the dup, bff :153-160)."""
         cfg = self.cfg
         spark = self.spark
         state = self._restore() if resume else None
         if state is not None:
-            queue = state["frontier"].localCheckpoint(eager=True)
+            queue = state["frontier"]
+            if "attempt" not in queue.columns:  # pre-D2 checkpoint
+                queue = queue.withColumn("attempt", F.lit(0)).withColumn(
+                    "ready", F.lit(0).cast("long")
+                )
+            queue = queue.localCheckpoint(eager=True)
             seen = state["seen"]
             pages_crawled = state["counters"]["pages_crawled"]
             push_seq_base = state["counters"]["push_seq_base"]
             result_seq_base = state["counters"]["result_seq_base"]
             superstep = state["superstep"]
             result_parts = state["result_parts"]
+            domain_state = state.get("domain_state")
+            if domain_state is None:
+                domain_state = empty_domain_state()
+            if self.bloom is not None:
+                self.bloom.add(seen.select("url"))
         else:
             queue = spark.createDataFrame(
-                [(0.0, 0, u, None, i) for i, u in enumerate(seeds)],
-                "score double, depth int, url string, parent string, push_seq long",
+                [(0.0, 0, u, None, i, 0, 0) for i, u in enumerate(seeds)],
+                "score double, depth int, url string, parent string, "
+                "push_seq long, attempt int, ready long",
             ).localCheckpoint(eager=True)
             seen = spark.createDataFrame([], "url string")
             pages_crawled = 0
@@ -667,6 +718,12 @@ class CrawlEngine:
             result_seq_base = 0
             superstep = 0
             result_parts = []
+            domain_state = empty_domain_state()
+        QUEUE_COLS = ["score", "depth", "url", "parent", "push_seq",
+                      "attempt", "ready"]
+        budget = cfg.politeness_budget
+        if budget is not None and budget < 1:
+            raise ValueError("politeness_budget must be >= 1")
         heap_order = [
             F.col("score").asc(), F.col("depth").asc(), F.col("url").asc(),
             F.col("parent").asc_nulls_first(), F.col("push_seq").asc(),
@@ -676,14 +733,23 @@ class CrawlEngine:
                 break
             if not queue.take(1):
                 break
+            if cfg.backoff:
+                eligible = queue.filter(F.col("ready") <= F.lit(superstep))
+                if not eligible.take(1):
+                    superstep = int(queue.agg(F.min("ready")).collect()[0][0])
+                    continue
+            else:
+                eligible = queue
             t0 = time.time()
-            popped = queue.orderBy(*heap_order).limit(cfg.batch_size).persist(
+            popped = eligible.orderBy(*heap_order).limit(cfg.batch_size).persist(
                 StorageLevel.MEMORY_AND_DISK
             )
             rest = queue.join(popped.select("push_seq"), "push_seq", "left_anti")
             # visited check at pop consumes batch slots (bff :153-160):
-            # drop already-visited, then first-in-heap-order per duplicate URL
-            batch = popped.join(seen, "url", "left_anti")
+            # drop already-visited (retries exempt), then first-in-heap-order
+            # per duplicate URL
+            fresh0 = popped.filter(F.col("attempt") == 0).join(seen, "url", "left_anti")
+            batch = fresh0.unionByName(popped.filter(F.col("attempt") > 0))
             wdup = Window.partitionBy("url").orderBy(
                 F.col("score"), F.col("depth"), F.col("parent").asc_nulls_first(),
                 F.col("push_seq"),
@@ -691,6 +757,15 @@ class CrawlEngine:
             batch = batch.withColumn("__r", F.row_number().over(wdup)).filter(
                 F.col("__r") == 1
             ).drop("__r")
+            deferred = None
+            if budget is not None:
+                prep = self._prepare(batch, n_rows=cfg.batch_size).localCheckpoint(
+                    eager=True
+                )
+                batch, deferred = split_host_budget(
+                    prep, budget, heap_order, url_col="url",
+                )
+                deferred = deferred.select(*QUEUE_COLS)
             batch = with_global_seq(
                 batch,
                 ["score", "depth", "url", F.col("parent").asc_nulls_first(), "push_seq"],
@@ -699,16 +774,26 @@ class CrawlEngine:
                 num_partitions=self._parts(cfg.batch_size),
             ).persist(StorageLevel.MEMORY_AND_DISK)
             if not batch.take(1):
-                queue = rest.localCheckpoint(eager=True)
+                queue = rest if deferred is None else rest.unionByName(deferred)
+                queue = queue.localCheckpoint(eager=True)
                 popped.unpersist()
                 superstep += 1
                 continue
             seen = self._mark_seen(seen, batch.select("url"))
-            fetched = self._fetch(batch, n_rows=cfg.batch_size).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
+            if budget is not None:
+                fetched = self._fetch_prepared(batch)
+            else:
+                fetched = self._fetch(batch, n_rows=cfg.batch_size)
+            fetched = fetched.persist(StorageLevel.MEMORY_AND_DISK)
             n_success = fetched.filter(F.col("success")).count()
             n_batch = fetched.count()
+            retries = None
+            if cfg.backoff:
+                domain_state = fold_domain_state_dist(
+                    domain_state, fetched, seed=cfg.seed, superstep=superstep,
+                    max_retries=cfg.max_retries,
+                )
+                retries = self._retry_rows_bf(fetched, domain_state, superstep)
             # cumulative successes in batch order → per-result remaining.
             # Two-pass distributed cumsum (per-partition sums + broadcast
             # prefix offsets), NOT Window.orderBy("seq") — the unpartitioned
@@ -732,9 +817,15 @@ class CrawlEngine:
                 est_rows=cfg.batch_size * 8,
             ).withColumnRenamed("seq", "push_seq").select(
                 "score", "depth", "url", "parent", "push_seq"
+            ).withColumn("attempt", F.lit(0)).withColumn(
+                "ready", F.lit(0).cast("long")
             ).persist(StorageLevel.MEMORY_AND_DISK)
             n_pushed = pushes.count()
-            queue = rest.unionByName(pushes).localCheckpoint(eager=True)
+            queue = rest.unionByName(pushes)
+            for part in (deferred, retries):
+                if part is not None:
+                    queue = queue.unionByName(part.select(*QUEUE_COLS))
+            queue = queue.localCheckpoint(eager=True)
             pushes.unpersist()
             results_s = fetched.withColumn("superstep", F.lit(superstep)).select(RESULT_COLS)
             result_parts.append(self._persist_results(results_s, superstep))
@@ -749,7 +840,8 @@ class CrawlEngine:
             self._commit(superstep, frontier=queue, seen=seen,
                          counters={"pages_crawled": pages_crawled,
                                    "push_seq_base": push_seq_base,
-                                   "result_seq_base": result_seq_base})
+                                   "result_seq_base": result_seq_base},
+                         domain_state=domain_state if cfg.backoff else None)
             popped.unpersist()
             fetched.unpersist()
             batch.unpersist()

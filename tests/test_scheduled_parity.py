@@ -177,3 +177,81 @@ def test_domain_state_fold_dist_matches_driver(spark):
         check_dtype=False,
     )
     assert bool(want.loc[want.host == "b.test", "give_up"].iloc[0])
+
+
+# ------------------------- best-first scheduled parity (D1/D2 for BF) ----
+
+
+def _bff_check(spark, world, spec, cfg, robots_pdf=None):
+    from crawl4ai_spark.oracle.crawler import crawl_best_first_scheduled
+
+    graph, pages_df, links_df = world
+    seeds = [url_of(0, PARAMS)]
+    want, want_seen = crawl_best_first_scheduled(graph, seeds, spec,
+                                                robots_pdf=robots_pdf)
+    run = deep_crawl(spark, seeds, pages_df, links_df, cfg,
+                     robots_pdf=robots_pdf)
+    got = [
+        (r["superstep"], r["seq"], r["url"], r["depth"], r["parent"],
+         round(r["score"], 8), r["success"], r["status_code"], r["attempt"])
+        for r in run.results.collect()
+    ]
+    wanted = [
+        (r["superstep"], r["seq"], r["url"], r["depth"], r["parent"],
+         round(r["score"], 8), r["success"], r["status_code"], r["attempt"])
+        for r in want
+    ]
+    assert got == wanted
+    assert {r["url"] for r in run.seen.collect()} == want_seen
+    return want, run
+
+
+def test_bff_scheduled_plain_matches_heap_oracle(spark, world):
+    # budget/backoff off: the scheduled twin must agree with the original
+    # heap oracle (crawl_best_first) AND the engine
+    from crawl4ai_spark.functions.scorers import ScorerSpec
+    from crawl4ai_spark.oracle.crawler import (
+        CrawlSpec,
+        crawl,
+        crawl_best_first_scheduled,
+    )
+
+    graph, _p, _l = world
+    seeds = [url_of(0, PARAMS)]
+    scorer = ScorerSpec(kind="keyword", keywords=["blog", "docs"], weight=1.0)
+    plain, plain_seen = crawl(
+        graph, seeds[0],
+        CrawlSpec(strategy="best_first", max_depth=2, max_pages=15,
+                  scorer=scorer))
+    sched, sched_seen = crawl_best_first_scheduled(
+        graph, seeds,
+        ScheduleSpec(strategy="best_first", max_depth=2, max_pages=15,
+                     scorer=scorer))
+    assert [(r.url, r.depth, r.parent, r.success) for r in plain] == [
+        (r["url"], r["depth"], r["parent"], r["success"]) for r in sched
+    ]
+    assert plain_seen == sched_seen
+
+
+def test_bff_budget_defers_and_matches(spark, world):
+    from crawl4ai_spark.functions.scorers import ScorerSpec
+
+    scorer = ScorerSpec(kind="keyword", keywords=["blog", "docs"], weight=1.0)
+    spec = ScheduleSpec(strategy="best_first", max_depth=2, max_pages=25,
+                        batch_size=12, politeness_budget=2, scorer=scorer)
+    cfg = CrawlConfig(strategy="best_first", max_depth=2, max_pages=25,
+                      batch_size=12, politeness_budget=2, scorer=scorer)
+    want, _run = _bff_check(spark, world, spec, cfg)
+    per = {}
+    for r in want:
+        per[(r["superstep"], r["host"])] = per.get((r["superstep"], r["host"]), 0) + 1
+    assert max(per.values()) == 2, "budget never constrained a host"
+
+
+def test_bff_backoff_retries_and_matches(spark, world):
+    spec = ScheduleSpec(strategy="best_first", max_depth=2, max_pages=40,
+                        batch_size=15, backoff=True)
+    cfg = CrawlConfig(strategy="best_first", max_depth=2, max_pages=40,
+                      batch_size=15, backoff=True)
+    want, _run = _bff_check(spark, world, spec, cfg)
+    assert any(r["attempt"] > 0 for r in want), "no retries — probe vacuous"
