@@ -12,12 +12,18 @@ folds its rows in (superstep, seq) order through the identical
 ``update_domain_state`` code path, and emits one snapshot row per touched
 host per batch.
 
-Determinism: the fold is order-sensitive only WITHIN a host, and rows of a
-host arrive grouped (the operator keys by host) and are sorted by
-(superstep, seq) before folding — so any micro-batch boundary placement
-yields the same final state as the batch engine's per-superstep folds
-(verified in tests/test_streaming_state.py against
-``update_domain_state`` over the concatenated history).
+Determinism contract: the fold is order-sensitive only WITHIN a host; rows
+of a host are sorted by (superstep, seq) inside each micro-batch, so any
+batch-boundary placement yields the batch engine's result PROVIDED a
+host's rows arrive in nondecreasing (superstep, seq) order ACROSS batches.
+Batches must therefore align to whole supersteps: admit a superstep's
+files together (the store manifest marks complete supersteps; a dir's
+loose part files carry no intra-superstep order, so ``maxFilesPerTrigger``
+smaller than a superstep's file count can split and reorder its rows).
+Out-of-order replay would fold stale supersteps onto newer state, like any
+order-dependent stateful stream (verified in
+tests/test_streaming_state.py against ``update_domain_state`` over the
+concatenated history).
 """
 
 from __future__ import annotations

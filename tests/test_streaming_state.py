@@ -26,13 +26,28 @@ def results_store(spark, tmp_path_factory):
         (1, 3, "a.test", 200), (1, 4, "b.test", 503), (1, 5, "b.test", 503),
         (2, 6, "b.test", 503), (2, 7, "b.test", 503), (2, 8, "c.test", 200),
     ]
+    import os
+
     for s in (0, 1, 2):
         df = spark.createDataFrame(
             [(sup, seq, h, st, f"https://{h}/p{seq}")
              for (sup, seq, h, st) in rows if sup == s],
             "superstep int, seq long, host string, status_code int, url string",
         )
-        store.write("results", df, s)
+        # one file per superstep: with maxFilesPerTrigger=1 each micro-batch
+        # is exactly one superstep, matching the operator's in-order
+        # contract (a production tail admits whole committed supersteps via
+        # the store manifest; loose part files of one superstep carry no
+        # intra-superstep order)
+        path = store.write("results", df.coalesce(1), s)
+        # FileStreamSource admits files oldest-mtime-first; same-ms writes
+        # tie-break arbitrarily. The operator's contract is in-order
+        # superstep delivery (the live store commits supersteps seconds
+        # apart) — make the fixture's mtimes strictly increasing.
+        for dirpath, _dirs, files in os.walk(path):
+            for f in files:
+                fp = os.path.join(dirpath, f)
+                os.utime(fp, (1_700_000_000 + s * 10, 1_700_000_000 + s * 10))
     return store, rows
 
 
