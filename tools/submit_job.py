@@ -61,6 +61,27 @@ def main() -> None:
         "wall_sec": round(time.time() - t0, 2),
         "master": spark.sparkContext.master,
     }))
+
+    if "--crawl" in sys.argv:
+        # full scheduled deep crawl through the shipped package: budget
+        # deferral + backoff retries + bloom URL-seen, multi-seed BFS
+        from crawl4ai_spark.plans.frontier import CrawlConfig, deep_crawl
+
+        pages, links2, _ = synth.synth_tables(spark, p)
+        seeds = [synth.url_of(i, p) for i in range(0, n_pages,
+                                                   max(1, n_pages // 200))]
+        t0 = time.time()
+        run = deep_crawl(
+            spark, seeds, pages, links2,
+            CrawlConfig(strategy="bfs", max_depth=2, backoff=True),
+        )
+        n_res = run.results.count()
+        print(json.dumps({
+            "job": "deep_crawl", "seeds": len(seeds),
+            "pages_crawled": run.pages_crawled, "results": n_res,
+            "supersteps": len([m for m in run.metrics if "wall_ms" in m]),
+            "wall_sec": round(time.time() - t0, 2),
+        }))
     spark.stop()
 
 
