@@ -22,6 +22,7 @@ Numeric-parity rules used throughout:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import numpy as np
@@ -1252,15 +1253,24 @@ def oracle_sql() -> dict[str, str]:
     # for their own sf before each DuckDB read.
     oracle_expected.ensure_crawl_expected()
     oracle_expected.ensure_image_expected(n_pages=200)
-    _gate_sf = "/root/testdata/sf0.01"
-    oracle_expected.ensure_topic_expected(_gate_sf, w=20, k=4)
-    oracle_expected.ensure_minhash_expected(_gate_sf)
-    oracle_expected.ensure_simhash_expected(_gate_sf)
-    oracle_expected.ensure_lsh_ann_expected(
-        _gate_sf, np.array([_ANN_QUERY, [-x for x in _ANN_QUERY]]),
-        k=10, n_planes=8,
+    # Best-effort warm-up only: the queries() callables regenerate for the
+    # sf actually under test before each DuckDB read (and the memo in
+    # oracle/expected.py regenerates on any param/sf change), so a machine
+    # without the driver's default sf must not crash here.
+    _gate_sf = next(
+        (d for d in ("/root/testdata/sf0.01", "/root/testdata/sf0.001",
+                     "/root/testdata/sf0.1") if os.path.isdir(d)),
+        None,
     )
-    oracle_expected.ensure_neardup_expected(_gate_sf)
+    if _gate_sf is not None:
+        oracle_expected.ensure_topic_expected(_gate_sf, w=20, k=4)
+        oracle_expected.ensure_minhash_expected(_gate_sf)
+        oracle_expected.ensure_simhash_expected(_gate_sf)
+        oracle_expected.ensure_lsh_ann_expected(
+            _gate_sf, np.array([_ANN_QUERY, [-x for x in _ANN_QUERY]]),
+            k=10, n_planes=8,
+        )
+        oracle_expected.ensure_neardup_expected(_gate_sf)
 
     def _exp(name: str) -> str:
         return oracle_expected.expected_path(name)

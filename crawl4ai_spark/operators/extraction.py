@@ -18,8 +18,10 @@ selector engines implement the documented SUBSETS:
           comma groups: the grammar the reference's own generate_schema
           prompt produces.
   XPath — ``//tag``, ``/tag``, ``*``, attribute predicates
-          ``[@attr='v']``, positional predicates ``[n]`` (1-based), and
-          trailing ``/@attr`` / ``/text()`` value steps: the subset its
+          ``[@attr='v']``, positional predicates ``[n]`` (1-based,
+          evaluated per parent context like lxml: ``//li[1]`` is each
+          list's first item, not the document's first li), and trailing
+          ``/@attr`` / ``/text()`` value steps: the subset its
           _basic_css_to_xpath emits (:1228-1238) plus common hand-written
           forms.
 
@@ -251,31 +253,53 @@ def xpath_select(scope: Node, expr: str):
             raise ValueError(f"unsupported XPath step: {step!r}")
         tag = sm.group("tag")
         preds = re.findall(r"\[([^\]]*)\]", sm.group("preds") or "")
-        cand: list[Node] = []
-        for n in nodes:
-            pool = n.descendants() if axis == "//" else iter(n.children)
-            cand.extend(
-                c for c in pool if tag == "*" or c.tag == tag
-            )
-        # apply predicates in order
+        # Positional predicates are per-context in XPath (`//li[1]` =
+        # descendant-or-self::node()/child::li[1] — each parent's first li,
+        # as lxml evaluates it), so candidates are grouped by the node that
+        # defines position: the parent for `//`, the context node for `/`.
+        groups: list[list[Node]] = []
+        if axis == "//":
+            by_parent: dict[int, list[Node]] = {}
+            order: list[int] = []
+            taken: set[int] = set()
+            for n in nodes:
+                for c in n.descendants():
+                    if (tag == "*" or c.tag == tag) and id(c) not in taken:
+                        taken.add(id(c))
+                        key = id(c.parent)
+                        if key not in by_parent:
+                            by_parent[key] = []
+                            order.append(key)
+                        by_parent[key].append(c)
+            groups = [by_parent[k] for k in order]
+        else:
+            for n in nodes:
+                groups.append(
+                    [c for c in n.children if tag == "*" or c.tag == tag]
+                )
+        # apply predicates in order, within each position context
         for p in preds:
             p = p.strip()
             if p.isdigit():
                 i = int(p) - 1
-                cand = [cand[i]] if 0 <= i < len(cand) else []
+                groups = [[g[i]] for g in groups if 0 <= i < len(g)]
                 continue
             am = re.match(r"^@([\w-]+)\s*=\s*(?:'([^']*)'|\"([^\"]*)\")$", p)
             if am:
                 name = am.group(1)
                 val = am.group(2) if am.group(2) is not None else am.group(3)
-                cand = [c for c in cand if c.attrs.get(name) == val]
+                groups = [
+                    [c for c in g if c.attrs.get(name) == val] for g in groups
+                ]
                 continue
             am = re.match(r"^@([\w-]+)$", p)
             if am:
-                cand = [c for c in cand if am.group(1) in c.attrs]
+                groups = [
+                    [c for c in g if am.group(1) in c.attrs] for g in groups
+                ]
                 continue
             raise ValueError(f"unsupported XPath predicate: {p!r}")
-        nodes = cand
+        nodes = [c for g in groups for c in g]
     if value_step is None:
         return nodes
     if value_step == "text()":

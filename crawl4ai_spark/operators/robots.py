@@ -139,12 +139,14 @@ def robots_gate_df(df: DataFrame, rules_df: DataFrame | None,
     ``robots_gate`` (verified side-by-side in tests)."""
     if rules_df is None:
         return df.withColumn("robots_allowed", F.lit(True))
+    # one row per host, or the left join would duplicate frontier rows
+    # (the dict-based robots_gate can't — its dict keys are unique)
     r = rules_df.select(
         F.col("host").alias("__r_host"),
         F.col("rules").alias("__r_rules"),
         F.col("fetch_time").alias("__r_ftime"),
         F.col("status").alias("__r_status"),
-    )
+    ).dropDuplicates(["__r_host"])
     if broadcast_rules:
         r = F.broadcast(r)
     j = df.join(r, df[host_col] == r["__r_host"], "left").drop("__r_host")

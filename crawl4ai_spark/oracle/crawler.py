@@ -284,17 +284,100 @@ def crawl(graph: OracleGraph, start_url: str, spec: CrawlSpec):
 # Scheduled BFS twin: politeness budget (D1), 429/503 backoff (D2), robots
 # gate (P8) over the superstep loop — the documented batch translation of
 # the reference dispatcher (async_dispatcher.py:30-87: per-domain sleeps
-# become per-superstep deferral; update_delay trajectories are reproduced
-# bit-for-bit via operators.politeness.update_domain_state).  Mirrors
-# plans/frontier.py run_bfs row for row, including result (superstep, seq)
-# conventions, so its output is the expected table for the engine's
-# bfs/robots/backoff probes.
+# become per-superstep deferral).
+#
+# VERIFICATION INDEPENDENCE: nothing below imports from
+# ``crawl4ai_spark.operators`` — the backoff fold, the robots allow logic,
+# and the scheduling loops are re-derived here from the reference source
+# (async_dispatcher.py:67-87, utils.py:276-328) plus the engine's published
+# determinization spec, so a bug in operators/politeness.py or
+# operators/robots.py shows up as a parity mismatch instead of being
+# reproduced on both sides.  The canonicalizer / filters / scorers imported
+# at module top (functions.*) are shared deliberately: each is anchored to
+# the REFERENCE's own golden tables by tests/test_canonical.py,
+# test_filters_golden.py and test_scorers_golden.py, so sharing them cannot
+# mask an engine bug.  Mirrors plans/frontier.py run_bfs row for row,
+# including result (superstep, seq) conventions, so its output is the
+# expected table for the engine's bfs/robots/backoff probes.
 # ---------------------------------------------------------------------------
 
 import math
 import re
 
-import pandas as pd
+
+class OracleRateLimiter:
+    """Independent twin of the reference ``RateLimiter``
+    (async_dispatcher.py:30-87) under the engine's determinization spec.
+
+    Reference semantics, per host (= netloc):
+      - first contact draws delay ~ uniform(base_delay)  (:62-63);
+      - status in rate_limit_codes: fail_count += 1; past max_retries the
+        host gives up (:72-75); else delay = min(delay × 2 × uniform(0.75,
+        1.25), max_delay)  (:77-80);
+      - any other status: delay = max(uniform(base_delay), delay × 0.75),
+        fail_count = 0  (:81-86).
+
+    Determinization spec (shared contract with the engine so parity runs
+    agree on one schedule; each side implements it separately): every
+    ``random.uniform`` draw becomes ``lo + (hi-lo) × u`` with
+    u = xxh64(tag)/2^64 and tags ``base|{seed}|{host}``,
+    ``jit|{seed}|{host}|{superstep}|{fail_count}``,
+    ``succ|{seed}|{host}|{superstep}``.  ``xxh64`` is the shared hash
+    primitive (verified bit-identical to Spark's ``F.xxhash64`` in
+    tests/test_hashing.py), not engine operator logic.
+    """
+
+    BASE_DELAY = (1.0, 3.0)  # async_dispatcher.py:33
+    MAX_DELAY = 60.0  # :34
+    RATE_LIMIT_CODES = (429, 503)  # :36
+
+    def __init__(self, seed: int = 42, max_retries: int = 3):
+        self.seed = seed
+        self.max_retries = max_retries
+        self.state: dict[str, dict] = {}
+
+    @staticmethod
+    def _unit(tag: str) -> float:
+        from ..hashing import xxh64
+
+        return xxh64(tag.encode()) / 2.0**64
+
+    def observe(self, superstep: int, rows) -> None:
+        """Fold one superstep's fetch outcomes; ``rows`` is an iterable of
+        (host, seq, status_code), folded in global seq order (the engine's
+        documented fold order)."""
+        lo, hi = self.BASE_DELAY
+        for host, _seq, status in sorted(rows, key=lambda t: t[1]):
+            st = self.state.setdefault(
+                host, {"delay": 0.0, "fails": 0, "give_up": False}
+            )
+            if st["delay"] == 0.0:  # first contact (:62-63)
+                st["delay"] = lo + (hi - lo) * self._unit(
+                    f"base|{self.seed}|{host}"
+                )
+            if status in self.RATE_LIMIT_CODES:
+                st["fails"] += 1
+                if st["fails"] > self.max_retries:  # :73-75
+                    st["give_up"] = True
+                    continue
+                jit = 0.75 + 0.5 * self._unit(
+                    f"jit|{self.seed}|{host}|{superstep}|{st['fails']}"
+                )
+                st["delay"] = min(st["delay"] * 2 * jit, self.MAX_DELAY)  # :77-80
+            else:
+                base = lo + (hi - lo) * self._unit(
+                    f"succ|{self.seed}|{host}|{superstep}"
+                )
+                st["delay"] = max(base, st["delay"] * 0.75)  # :81-86
+                st["fails"] = 0
+
+    def retry_steps(self, host: str, window_s: float) -> int | None:
+        """Supersteps until a rate-limited row on ``host`` may refetch
+        (ceil(delay / window), ≥ 1), or None if the host gave up."""
+        st = self.state.get(host)
+        if st is None or st["give_up"]:
+            return None
+        return max(1, math.ceil(st["delay"] / window_s))
 
 
 @dataclass
@@ -315,14 +398,14 @@ def _host_of_py(url: str) -> str:
 
 
 def robots_allower(robots_pdf, user_agent: str = "*", now: int = 1_700_000_000):
-    """Driver twin of operators/robots.robots_gate: per-host stdlib
-    RobotFileParser over the effective rules; every failure path allows."""
+    """Independent robots twin, re-derived from the reference can_fetch
+    (utils.py:276-328): only a 200 robots fetch yields rules (any other
+    status / missing body ⇒ allow-all, :304-315); stdlib RobotFileParser
+    longest-match over those rules; every parse/evaluate failure allows."""
     from urllib.robotparser import RobotFileParser
 
-    from ..operators.robots import effective_rules
-
     rules_by_host = {
-        r.host: effective_rules(r.rules, int(r.fetch_time), int(r.status), now)
+        r.host: (r.rules if int(r.status) == 200 and r.rules else None)
         for r in robots_pdf.itertuples()
     }
     parsers: dict[str, object] = {}
@@ -385,12 +468,6 @@ def crawl_bfs_scheduled(graph: OracleGraph, seeds: list[str],
     """Returns (results, seen): results are dicts with the engine's result
     columns (superstep, seq, url, host, depth, parent, score, success,
     status_code, attempt) ordered by (superstep, depth, seq)."""
-    from ..operators.politeness import (
-        RATE_LIMIT_CODES,
-        empty_domain_state,
-        update_domain_state,
-    )
-
     allowed = (
         robots_allower(robots_pdf, spec.user_agent)
         if robots_pdf is not None
@@ -406,7 +483,7 @@ def crawl_bfs_scheduled(graph: OracleGraph, seeds: list[str],
     results: list[dict] = []
     pages_crawled = 0
     superstep = 0
-    dstate = empty_domain_state()
+    limiter = OracleRateLimiter(seed=spec.seed, max_retries=spec.max_retries)
     budget = spec.politeness_budget
     while superstep < spec.max_supersteps and frontier:
         if spec.backoff:
@@ -460,22 +537,16 @@ def crawl_bfs_scheduled(graph: OracleGraph, seeds: list[str],
         pages_crawled += n_success
         retries: list[dict] = []
         if spec.backoff:
-            res_pdf = pd.DataFrame(
-                [{"host": r["host"], "seq": r["seq"], "status_code": st}
-                 for r, _p, st in batch]
+            limiter.observe(
+                superstep, [(r["host"], r["seq"], st) for r, _p, st in batch]
             )
-            dstate = update_domain_state(
-                dstate, res_pdf, seed=spec.seed, superstep=superstep,
-                max_retries=spec.max_retries,
-            )
-            smap = {row.host: row for row in dstate.itertuples()}
             for r, _p, st in batch:
-                if st in RATE_LIMIT_CODES and r["attempt"] < spec.max_retries:
-                    hs = smap.get(r["host"])
-                    if hs is not None and not hs.give_up:
-                        steps = max(
-                            1, math.ceil(hs.current_delay / spec.superstep_window_s)
-                        )
+                if (st in OracleRateLimiter.RATE_LIMIT_CODES
+                        and r["attempt"] < spec.max_retries):
+                    steps = limiter.retry_steps(
+                        r["host"], spec.superstep_window_s
+                    )
+                    if steps is not None:
                         retries.append(
                             {"url": r["url"], "parent": r["parent"],
                              "depth": r["depth"], "seq": r["seq"],
@@ -512,12 +583,6 @@ def crawl_best_first_scheduled(graph: OracleGraph, seeds: list[str],
     """Engine twin of run_best_first's scheduled loop (D1 budget deferral
     back to the queue, D2 retry re-push, robots gate).  Returns (results,
     seen) with the engine's result columns ordered by seq."""
-    from ..operators.politeness import (
-        RATE_LIMIT_CODES,
-        empty_domain_state,
-        update_domain_state,
-    )
-
     allowed = (
         robots_allower(robots_pdf, spec.user_agent)
         if robots_pdf is not None
@@ -542,7 +607,7 @@ def crawl_best_first_scheduled(graph: OracleGraph, seeds: list[str],
     superstep = 0
     result_seq = 0
     push_base = len(seeds)
-    dstate = empty_domain_state()
+    limiter = OracleRateLimiter(seed=spec.seed, max_retries=spec.max_retries)
     budget = spec.politeness_budget
     while superstep < spec.max_supersteps and queue:
         if pages_crawled >= spec.max_pages:
@@ -608,22 +673,16 @@ def crawl_best_first_scheduled(graph: OracleGraph, seeds: list[str],
         n_success = sum(1 for _, p, _ in batch if p is not None)
         retries: list[dict] = []
         if spec.backoff:
-            res_pdf = pd.DataFrame(
-                [{"host": r["host"], "seq": r["seq"], "status_code": st}
-                 for r, _p, st in batch]
+            limiter.observe(
+                superstep, [(r["host"], r["seq"], st) for r, _p, st in batch]
             )
-            dstate = update_domain_state(
-                dstate, res_pdf, seed=spec.seed, superstep=superstep,
-                max_retries=spec.max_retries,
-            )
-            smap = {row.host: row for row in dstate.itertuples()}
             for r, _p, st in batch:
-                if st in RATE_LIMIT_CODES and r["attempt"] < spec.max_retries:
-                    hs = smap.get(r["host"])
-                    if hs is not None and not hs.give_up:
-                        steps = max(
-                            1, math.ceil(hs.current_delay / spec.superstep_window_s)
-                        )
+                if (st in OracleRateLimiter.RATE_LIMIT_CODES
+                        and r["attempt"] < spec.max_retries):
+                    steps = limiter.retry_steps(
+                        r["host"], spec.superstep_window_s
+                    )
+                    if steps is not None:
                         retries.append(
                             {"score": r["score"], "depth": r["depth"],
                              "url": r["url"], "parent": r["parent"],

@@ -37,7 +37,11 @@ import pandas as pd
 
 EXPECTED_DIR = "/root/repo/.oracle_expected"
 
-_done: set[tuple] = set()
+# Regeneration memo: generator-name -> the exact param key last WRITTEN.
+# Keyed by value (not membership) so a process that gates more than one sf
+# regenerates when the params change instead of serving the first sf's
+# parquet to the second (every sf shares EXPECTED_DIR/<name>.parquet).
+_done: dict[str, tuple] = {}
 
 
 def spark_round(x: float, nd: int) -> float:
@@ -69,7 +73,7 @@ def ensure_crawl_expected() -> None:
     """bfs_crawl / best_first_crawl / robots_politeness_crawl /
     backoff_crawl expected tables from the in-memory oracle crawlers."""
     key = ("crawls",)
-    if key in _done:
+    if _done.get("crawls") == key:
         return
     from ..functions.filters import FilterSpec
     from ..functions.scorers import ScorerSpec
@@ -165,10 +169,41 @@ def ensure_crawl_expected() -> None:
           "status_code": r["status_code"], "attempt": r["attempt"]}
          for r in res]
     ))
-    _done.add(key)
+    _done["crawls"] = key
 
 
 # ------------------------------------------------------- dedup (documents)
+#
+# VERIFICATION INDEPENDENCE: nothing below imports from
+# ``crawl4ai_spark.operators`` — the minhash parameter recipe, the SRP
+# plane construction, the TextTiling segmentation and the nearest-neighbour
+# resize are re-derived here from their published specs, so an engine bug
+# in operators/dedup.py, similarity.py, chunking.py or multimodal.py shows
+# up as a gate mismatch instead of being reproduced on both sides.  The
+# shared pieces are the hash primitive (hashing.xxh64, verified
+# bit-identical to Spark's F.xxhash64 against the JVM in
+# tests/test_hashing.py), the input generator (sources/synth — both sides
+# must read the same data) and the codec spec (codecs.py — the format
+# definition itself).
+
+_MINHASH_PRIME = (1 << 61) - 1  # 2^61-1, the classic MinHash modulus
+
+
+def _minhash_params(n_hashes: int, seed: int):
+    """Engine-spec parameter recipe, re-derived: seeded PCG64 draws of
+    (a, b) for the universal hash family h_i(x) = (a_i·x + b_i) mod p."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, _MINHASH_PRIME, size=n_hashes, dtype=np.int64)
+    b = rng.integers(0, _MINHASH_PRIME, size=n_hashes, dtype=np.int64)
+    return a, b
+
+
+def _srp_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Signed-random-projection hyperplanes, re-derived from the engine
+    spec: seeded PCG64 standard normals, row per plane."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((n_planes, dim))
+
 
 def _tokens(text: str) -> list[str]:
     import re
@@ -197,21 +232,20 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 
 def ensure_minhash_expected(sf_dir: str, n_hashes=64, bands=16, shingle_k=3,
                             threshold=0.5, seed=42) -> None:
-    key = ("minhash", sf_dir)
-    if key in _done:
+    key = ("minhash", sf_dir, n_hashes, bands, shingle_k, threshold, seed)
+    if _done.get("minhash") == key:
         return
     from ..hashing import xxh64
-    from ..operators.dedup import _hash_params, _MERSENNE
 
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
-    a, b = _hash_params(n_hashes, seed)
+    a, b = _minhash_params(n_hashes, seed)
     sigs: dict[int, np.ndarray] = {}
     for r in docs.itertuples():
         sh = _shingle_hashes(r.text, shingle_k)
         if sh.size == 0:
             sh = np.zeros(1, dtype=np.int64)
-        vals = (sh[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+        vals = (sh[:, None] * a[None, :] + b[None, :]) % _MINHASH_PRIME
         sigs[int(r.doc_id)] = vals.min(axis=0).astype(np.int64)
     rows_per_band = n_hashes // bands
     buckets: dict[tuple[int, int], list[int]] = {}
@@ -234,12 +268,12 @@ def ensure_minhash_expected(sf_dir: str, n_hashes=64, bands=16, shingle_k=3,
             out.append({"id_a": ia, "id_b": ib, "est_jaccard": est})
     _write("minhash_lsh", pd.DataFrame(out, columns=["id_a", "id_b",
                                                      "est_jaccard"]))
-    _done.add(key)
+    _done["minhash"] = key
 
 
 def ensure_simhash_expected(sf_dir: str, max_hamming=3) -> None:
-    key = ("simhash", sf_dir)
-    if key in _done:
+    key = ("simhash", sf_dir, max_hamming)
+    if _done.get("simhash") == key:
         return
     from ..hashing import xxh64
 
@@ -276,21 +310,19 @@ def ensure_simhash_expected(sf_dir: str, max_hamming=3) -> None:
             out.append({"id_a": ia, "id_b": ib, "hamming": ham})
     _write("simhash_pairs", pd.DataFrame(out, columns=["id_a", "id_b",
                                                        "hamming"]))
-    _done.add(key)
+    _done["simhash"] = key
 
 
 def ensure_lsh_ann_expected(sf_dir: str, queries: np.ndarray, k=10,
                             n_planes=8, seed=42) -> None:
-    key = ("lsh_ann", sf_dir)
-    if key in _done:
+    key = ("lsh_ann", sf_dir, queries.tobytes(), k, n_planes, seed)
+    if _done.get("lsh_ann") == key:
         return
-    from ..operators.similarity import _plane_matrix
-
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
     ids = emb["vec_id"].to_numpy()
-    planes = _plane_matrix(mat.shape[1], n_planes, seed)
+    planes = _srp_planes(mat.shape[1], n_planes, seed)
     weights = 1 << np.arange(n_planes, dtype=np.int64)
     vbuckets = ((mat @ planes.T) > 0) @ weights
     qbuckets = ((queries @ planes.T) > 0) @ weights
@@ -308,7 +340,7 @@ def ensure_lsh_ann_expected(sf_dir: str, queries: np.ndarray, k=10,
                         "cosine": spark_round(float(c), 4), "rank": rank})
     _write("lsh_ann", pd.DataFrame(out, columns=["query_id", "vec_id",
                                                  "cosine", "rank"]))
-    _done.add(key)
+    _done["lsh_ann"] = key
 
 
 def ensure_neardup_expected(sf_dir: str, threshold=0.9, bands=4, band_bits=8,
@@ -316,12 +348,10 @@ def ensure_neardup_expected(sf_dir: str, threshold=0.9, bands=4, band_bits=8,
     """embedding_neardup: SRP-banded candidates + exact cosine recomputed
     sequentially over embeddings ∪ (+0.05 perturbed copies).  The cosine
     twin folds left-to-right exactly like Spark's F.aggregate."""
-    key = ("neardup", sf_dir)
-    if key in _done:
+    key = ("neardup", sf_dir, threshold, bands, band_bits, seed)
+    if _done.get("neardup") == key:
         return
     import math
-
-    from ..operators.similarity import _plane_matrix
 
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
@@ -330,7 +360,7 @@ def ensure_neardup_expected(sf_dir: str, threshold=0.9, bands=4, band_bits=8,
     mats = np.concatenate([base, pert])
     ids = np.concatenate([emb["vec_id"].to_numpy(),
                           emb["vec_id"].to_numpy() + 1_000_000])
-    planes = _plane_matrix(mats.shape[1], bands * band_bits, seed)
+    planes = _srp_planes(mats.shape[1], bands * band_bits, seed)
     bits = (mats.astype(np.float64) @ planes.T) > 0
     weights = 1 << np.arange(band_bits, dtype=np.int64)
     buckets: dict[tuple[int, int], list[int]] = {}
@@ -367,28 +397,81 @@ def ensure_neardup_expected(sf_dir: str, threshold=0.9, bands=4, band_bits=8,
                         "cosine": spark_round(c, 6)})
     _write("embedding_neardup", pd.DataFrame(out, columns=["id_a", "id_b",
                                                            "cosine"]))
-    _done.add(key)
+    _done["neardup"] = key
+
+
+def _texttile_chunks(text: str, w: int, k: int) -> list[str]:
+    """Independent TextTiling twin (Hearst 1997, Computational Linguistics
+    23(1) §3): w-token pseudosentences, cosine of the summed term vectors of
+    the adjacent k-pseudosentence blocks at every gap, depth score = rise to
+    the nearest non-descending peak on each side, boundary where depth >
+    mean + std/2.  Re-derived from the published algorithm — NOT imported
+    from operators/chunking.py.  Bit-equality with the engine holds because
+    every block vector entry is a small integer (exact in float64, so the
+    dot/norm values are identical regardless of summation order) and the
+    mean/std cutoff is computed with the same numpy calls on those values.
+    """
+    import collections
+    import math
+    import re
+
+    toks = [t for t in re.split(r"\s+", text or "") if t]
+    n_ps = len(toks) // w
+    bounds: list[int] = []
+    if n_ps >= 2:
+        counts = [
+            collections.Counter(toks[i * w:(i + 1) * w]) for i in range(n_ps)
+        ]
+
+        def block(a: int, b: int) -> collections.Counter:
+            tot: collections.Counter = collections.Counter()
+            for c in counts[a:b]:
+                tot.update(c)
+            return tot
+
+        sims_l: list[float] = []
+        for gap in range(1, n_ps):
+            left = block(max(0, gap - k), gap)
+            right = block(gap, min(n_ps, gap + k))
+            dot = float(sum(v * right.get(t, 0) for t, v in left.items()))
+            nl = math.sqrt(float(sum(v * v for v in left.values())))
+            nr = math.sqrt(float(sum(v * v for v in right.values())))
+            denom = nl * nr
+            sims_l.append(dot / denom if denom > 0 else 0.0)
+        sims = np.array(sims_l)
+        depths = np.zeros(len(sims))
+        for i in range(len(sims)):
+            lo = i
+            while lo > 0 and sims[lo - 1] >= sims[lo]:
+                lo -= 1
+            hi = i
+            while hi < len(sims) - 1 and sims[hi + 1] >= sims[hi]:
+                hi += 1
+            depths[i] = (sims[lo] - sims[i]) + (sims[hi] - sims[i])
+        if len(depths) and depths.max() > 0.0:
+            cutoff = depths.mean() + depths.std() / 2.0
+            bounds = [int((i + 1) * w) for i in np.nonzero(depths > cutoff)[0]]
+    cuts = [0] + bounds + [len(toks)]
+    return [" ".join(toks[a:b]) for a, b in zip(cuts, cuts[1:]) if b > a]
 
 
 def ensure_topic_expected(sf_dir: str, w=20, k=4) -> None:
     """chunk_topic: the per-document TextTiling segmentation recomputed
-    sequentially with the shared pure function (checks the distributed
-    mapInPandas plumbing reproduces it row-for-row)."""
+    sequentially from the published algorithm (independent of the engine's
+    operators/chunking.py implementation)."""
     key = ("topic", sf_dir, w, k)
-    if key in _done:
+    if _done.get("topic") == key:
         return
-    from ..operators.chunking import py_topic_chunks
-
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     rows = []
     for r in docs.itertuples():
-        for i, seg in enumerate(py_topic_chunks(r.text, w, k)):
+        for i, seg in enumerate(_texttile_chunks(r.text, w, k)):
             rows.append({"doc_id": int(r.doc_id), "chunk_idx": i,
                          "chunk": seg})
     _write("chunk_topic", pd.DataFrame(rows, columns=["doc_id", "chunk_idx",
                                                       "chunk"]))
-    _done.add(key)
+    _done["topic"] = key
 
 
 # ----------------------------------------------------------------- images
@@ -397,12 +480,19 @@ def ensure_image_expected(n_pages=200, grid=4) -> None:
     """image_decode: per-row truth straight from the synth meta (decode must
     restore dims and the pixel/PSNR/phash invariants for EVERY row);
     image_features: encode→decode→grid-means recomputed sequentially."""
-    key = ("images", n_pages)
-    if key in _done:
+    key = ("images", n_pages, grid)
+    if _done.get("images") == key:
         return
     from .. import codecs
-    from ..operators.multimodal import resize_nearest
     from ..sources import synth
+
+    def nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+        # floor-index nearest neighbour (src = (dst·src_len)//dst_len),
+        # re-derived from the spec — independent of operators/multimodal.py
+        h_, w_ = px.shape[:2]
+        ys = [min((i * h_) // out_h, h_ - 1) for i in range(out_h)]
+        xs = [min((j * w_) // out_w, w_ - 1) for j in range(out_w)]
+        return px[np.ix_(ys, xs)]
 
     p = _graph(n_pages=n_pages)
     dec_rows, feat_rows = [], []
@@ -413,11 +503,11 @@ def ensure_image_expected(n_pages=200, grid=4) -> None:
                          "invariant_ok": True, "phash_match": True})
         px = synth.image_pixels(image_id, w, h, p.seed)
         rt = codecs.decode(codecs.encode(px, fmt), fmt, w, h).astype(np.float32)
-        small = resize_nearest(rt, grid, grid)
+        small = nearest(rt, grid, grid)
         f0 = float((small / 255.0).ravel().astype(np.float32)[0])
         feat_rows.append({"image_id": image_id,
                           "f0": spark_round(f0, 4),
                           "n_features": grid * grid * 3})
     _write("image_decode", pd.DataFrame(dec_rows))
     _write("image_features", pd.DataFrame(feat_rows))
-    _done.add(key)
+    _done["images"] = key

@@ -485,9 +485,14 @@ class CrawlEngine:
         self.store.clean_orphans(s)
         frontier = self.store.read_one(self.spark, "frontier", s)
         seen = self.store.read_one(self.spark, "seen", s)
-        parts = [
-            self.store.read_one(self.spark, "results", i) for i in range(s + 1)
-        ]
+        parts = []
+        for i in range(s + 1):
+            p = self.store.read_one(self.spark, "results", i)
+            if p is not None and "attempt" not in p.columns:
+                # pre-D2 checkpoint: historical parts predate the attempt
+                # column; backfill so the RESULT_COLS union in _finish holds
+                p = p.withColumn("attempt", F.lit(0))
+            parts.append(p)
         dstate_df = self.store.read_one(self.spark, "domain_state", s)
         return {
             "superstep": s + 1,
@@ -530,9 +535,18 @@ class CrawlEngine:
                 )
             seen = state["seen"]
             pages_crawled = state["counters"]["pages_crawled"]
-            enq_base = state["counters"].get("enq_base", 0)
+            enq_base = state["counters"].get("enq_base")
             superstep = state["superstep"]
             result_parts = state["result_parts"]
+            if enq_base is None:
+                # pre-enq_base checkpoint: seed from max(seq) over the
+                # restored frontier + results so the first post-resume
+                # discovery can't mint seqs colliding with historical ones
+                seqs = frontier.select("seq")
+                for p in result_parts:
+                    seqs = seqs.unionByName(p.select("seq"))
+                mx = seqs.agg(F.max("seq")).collect()[0][0]
+                enq_base = int(mx) + 1 if mx is not None else 0
             domain_state = state.get("domain_state")
             if domain_state is None:
                 domain_state = empty_domain_state()
@@ -785,8 +799,12 @@ class CrawlEngine:
             else:
                 fetched = self._fetch(batch, n_rows=cfg.batch_size)
             fetched = fetched.persist(StorageLevel.MEMORY_AND_DISK)
-            n_success = fetched.filter(F.col("success")).count()
-            n_batch = fetched.count()
+            bstat = fetched.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("success").cast("long")).alias("ok"),
+            ).collect()[0]
+            n_batch = int(bstat["n"])
+            n_success = int(bstat["ok"] or 0)
             retries = None
             if cfg.backoff:
                 domain_state = fold_domain_state_dist(

@@ -64,8 +64,15 @@ def cached_fetch(
     # hits keep every frontier column and per-request multiplicity: a key
     # requested twice yields two result rows, symmetric with the miss path
     # (the reference serves each arun() call its own cached CrawlResult,
-    # async_webcrawler.py:311-332).
-    hits = frontier.join(cache, key_col, "inner")
+    # async_webcrawler.py:311-332).  The cache contributes only the result
+    # columns the frontier lacks — shared non-key columns (e.g. url) would
+    # otherwise come out duplicate-named and break the unionByName.
+    overlap = [
+        c for c in cache.columns if c != key_col and c in frontier.columns
+    ]
+    hits = frontier.join(
+        cache.drop(*overlap) if overlap else cache, key_col, "inner"
+    )
     fetched = fetch_fn(misses)
     results = hits.unionByName(fetched, allowMissingColumns=True)
     delta = fetched if mode.should_write() else fetched.limit(0)

@@ -82,7 +82,11 @@ def test_xpath_select_engine():
     assert len(xpath_select(root, "//span")) == 3
     assert len(xpath_select(root, "//ul/li")) == 3
     assert xpath_select(root, "//a/@href") == ["/p/a1", "/p/b2"]
-    assert xpath_select(root, "//h2[1]/text()") == ["Widget"]
+    # positional predicates are per parent context (lxml: every h2 that is
+    # its parent's first h2), not a global index into the flattened list
+    assert xpath_select(root, "//h2[1]/text()") == ["Widget", "Gadget"]
+    assert xpath_select(root, "//ul/li[1]/text()") == ["new", "used"]
+    assert xpath_select(root, "//li[2]/text()") == ["sale"]
     assert len(xpath_select(root, "//div[@data-sku]")) == 2
 
 
