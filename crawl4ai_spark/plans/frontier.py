@@ -39,6 +39,7 @@ Scale notes (the 100 TB design):
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from math import inf
 from typing import Any
@@ -47,18 +48,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-import pandas as pd
-
 from ..dist import with_global_cumsum, with_global_seq
 from ..functions.canonical import canonical_col, join_url_udf
 from ..functions.filters import FilterSpec, chain_column, url_validity
 from ..functions.scorers import ScorerSpec
 from ..functions.urlparts import host_of
 from ..operators.politeness import (
-    DOMAIN_STATE_SCHEMA,
     RATE_LIMIT_CODES,
-    empty_domain_state,
-    fold_domain_state_dist,
+    empty_domain_state_df,
+    fold_domain_state_df,
     salt_hot_hosts,
     split_host_budget,
     with_host_slots,
@@ -177,6 +175,10 @@ class CrawlEngine:
         )
         self.links = links  # src_url, pos, href, is_internal
         self.bloom: BloomSidecar | None = None  # set per-run in run()
+        # one background lane for the per-superstep results write (job
+        # submission is thread-safe on a SparkSession); joined before the
+        # superstep's persisted inputs unpersist
+        self._io_pool = ThreadPoolExecutor(max_workers=1)
 
     def _parts(self, n_rows: int) -> int:
         """Partition count sized to the superstep batch."""
@@ -280,22 +282,25 @@ class CrawlEngine:
             self.bloom.add(new_urls, url_col="url")
         return seen
 
-    def _retry_rows(self, fetched: DataFrame, domain_state: pd.DataFrame,
+    def _retry_rows(self, fetched: DataFrame, domain_state: DataFrame,
                     superstep: int) -> DataFrame:
         """D2 requeue: rate-limited rows re-enter the frontier with
         attempt+1, eligible after the host's folded backoff delay
         (ceil(current_delay / superstep_window_s) supersteps); rows on
         gave-up hosts and rows out of attempts are final (reference error
-        'Rate limit retry count exceeded', async_dispatcher.py:364-366)."""
+        'Rate limit retry count exceeded', async_dispatcher.py:364-366).
+
+        ``domain_state`` is a DataFrame keyed by host (never driver
+        pandas); the join shuffles on host — AQE broadcast-converts it
+        while the state is small, and at 10^8 hosts it stays a
+        distributed hash join."""
         cfg = self.cfg
         failed = fetched.filter(
             F.col("status_code").isin(list(RATE_LIMIT_CODES))
             & (F.col("attempt") < cfg.max_retries)
         )
-        state_df = self.spark.createDataFrame(
-            domain_state, schema=DOMAIN_STATE_SCHEMA
-        ).select("host", "current_delay", "give_up")
-        j = failed.join(F.broadcast(state_df), "host", "left")
+        state_df = domain_state.select("host", "current_delay", "give_up")
+        j = failed.join(state_df, "host", "left")
         j = j.filter(~F.coalesce(F.col("give_up"), F.lit(False)))
         steps = F.greatest(
             F.lit(1).cast("long"),
@@ -310,7 +315,7 @@ class CrawlEngine:
             (F.lit(superstep) + steps).alias("ready"),
         )
 
-    def _retry_rows_bf(self, fetched: DataFrame, domain_state: pd.DataFrame,
+    def _retry_rows_bf(self, fetched: DataFrame, domain_state: DataFrame,
                        superstep: int) -> DataFrame:
         """D2 requeue for best-first: same rule as _retry_rows but the row
         returns to the QUEUE with its original push_seq (it re-pops in heap
@@ -320,10 +325,8 @@ class CrawlEngine:
             F.col("status_code").isin(list(RATE_LIMIT_CODES))
             & (F.col("attempt") < cfg.max_retries)
         )
-        state_df = self.spark.createDataFrame(
-            domain_state, schema=DOMAIN_STATE_SCHEMA
-        ).select("host", "current_delay", "give_up")
-        j = failed.join(F.broadcast(state_df), "host", "left")
+        state_df = domain_state.select("host", "current_delay", "give_up")
+        j = failed.join(state_df, "host", "left")
         j = j.filter(~F.coalesce(F.col("give_up"), F.lit(False)))
         steps = F.greatest(
             F.lit(1).cast("long"),
@@ -500,7 +503,7 @@ class CrawlEngine:
             "seen": seen,
             "result_parts": [p for p in parts if p is not None],
             "counters": mf["counters"],
-            "domain_state": None if dstate_df is None else dstate_df.toPandas(),
+            "domain_state": dstate_df,  # DataFrame (never driver pandas)
         }
 
     # ------------------------------------------------------------- BFS
@@ -549,7 +552,7 @@ class CrawlEngine:
                 enq_base = int(mx) + 1 if mx is not None else 0
             domain_state = state.get("domain_state")
             if domain_state is None:
-                domain_state = empty_domain_state()
+                domain_state = empty_domain_state_df(spark)
             if self.bloom is not None:
                 self.bloom.add(seen.select("url"))
         else:
@@ -562,23 +565,40 @@ class CrawlEngine:
             enq_base = len(seeds)
             superstep = 0
             result_parts = []
-            domain_state = empty_domain_state()
+            domain_state = empty_domain_state_df(spark)
         budget = cfg.politeness_budget
         if budget is not None and budget < 1:
             raise ValueError("politeness_budget must be >= 1")
         # frontier size carried across supersteps (the end-of-superstep agg
         # already counts the next frontier — no extra count job per loop)
         n_frontier = len(seeds) if state is None else frontier.count()
+        # end-of-superstep hint (from the fused frontier agg): eligible
+        # count at superstep+1, earliest ready, per-raw-host max and
+        # empty-host count.  Kills the per-loop eligible-count job and the
+        # budget checkpoint+split when no host can exceed the budget.  The
+        # raw-host grouping is exact for the skip decision: for any
+        # absolute URL the lowered host equals the canonical host (C2 only
+        # lowercases the netloc), and rows without a netloc force the
+        # exact path via the empty-host guard.
+        hint: dict | None = None
         while superstep < cfg.max_supersteps:
             if n_frontier == 0:
                 break
+            hint_ok = hint is not None and hint["for"] == superstep
             if cfg.backoff:
-                eligible = frontier.filter(F.col("ready") <= F.lit(superstep))
-                n_elig = eligible.count()
+                n_elig = (
+                    hint["nready"] if hint_ok
+                    else frontier.filter(F.col("ready") <= F.lit(superstep)).count()
+                )
                 if n_elig == 0:
                     # virtual sleep: jump to the earliest ready superstep
-                    superstep = int(frontier.agg(F.min("ready")).collect()[0][0])
+                    superstep = (
+                        hint["minready"] if hint_ok
+                        else int(frontier.agg(F.min("ready")).collect()[0][0])
+                    )
+                    hint = None
                     continue
+                eligible = frontier.filter(F.col("ready") <= F.lit(superstep))
                 waiting = frontier.filter(F.col("ready") > F.lit(superstep))
                 n_wait = n_frontier - n_elig
             else:
@@ -587,7 +607,14 @@ class CrawlEngine:
             t0 = time.time()
             hot = self._hot_hosts(eligible, n_elig)
             prep = self._prepare(eligible, n_rows=n_elig, hot_hosts=hot)
-            if budget is not None:
+            # skip the checkpoint + window split when the hint proves no
+            # host holds more than `budget` frontier rows (the split would
+            # defer nothing) — the common steady-state for wide crawls
+            skip_split = (
+                budget is not None and hint_ok
+                and hint["empty"] == 0 and hint["maxhost"] <= budget
+            )
+            if budget is not None and not skip_split:
                 prep = prep.localCheckpoint(eager=True)
                 within, deferred = split_host_budget(
                     prep, budget, ["depth", "seq"], hot_hosts=hot,
@@ -621,14 +648,21 @@ class CrawlEngine:
             min_succ_depth = stat["dmin"]
             pages_crawled += n_success
             results_s = fetched.withColumn("superstep", F.lit(superstep)).select(RESULT_COLS)
-            result_parts.append(self._persist_results(results_s, superstep))
-            t_results = time.time()
+            # non-blocking: the results write (a job over the persisted
+            # fetch) overlaps the discovery/frontier work below; joined
+            # before fetched.unpersist()
+            res_future = self._io_pool.submit(
+                self._persist_results, results_s, superstep
+            )
             retries = None
             if cfg.backoff:
-                domain_state = fold_domain_state_dist(
+                # lazy checkpoint: materialized by this superstep's retry
+                # join / commit job; keeps cross-superstep lineage flat
+                domain_state = fold_domain_state_df(
                     domain_state, fetched, seed=cfg.seed, superstep=superstep,
                     max_retries=cfg.max_retries,
-                )
+                    num_partitions=self._parts(n_within),
+                ).localCheckpoint(eager=False)
                 retries = self._retry_rows(fetched, domain_state, superstep)
             pending = None
             for part in (deferred, waiting, retries):
@@ -656,22 +690,47 @@ class CrawlEngine:
                 nxt = frontier.limit(0).select(*FRONTIER_COLS)
             if pending is not None:
                 nxt = pending.unionByName(nxt)
-            nxt = nxt.localCheckpoint(eager=True)
-            nstat = nxt.agg(F.count("*").alias("n"), F.max("seq").alias("mx")).collect()[0]
-            n_next = int(nstat["n"])
-            enq_base = max(enq_base, int(nstat["mx"] or -1) + 1)
+            # lazy checkpoint: the fused agg below is the materializing job
+            # (the old eager checkpoint + separate count was two jobs)
+            nxt = nxt.localCheckpoint(eager=False)
+            g = nxt.groupBy(F.lower(host_of(F.col("url"))).alias("__h")).agg(
+                F.count("*").alias("c"),
+                F.max("seq").alias("mx"),
+                F.min("ready").alias("mr"),
+                F.sum((F.col("ready") <= F.lit(superstep + 1)).cast("long")).alias("rdy"),
+            )
+            nstat = g.agg(
+                F.sum("c").alias("n"),
+                F.max("mx").alias("mx"),
+                F.max("c").alias("maxhost"),
+                F.sum(F.when(F.col("__h") == "", F.col("c")).otherwise(F.lit(0))).alias("empty"),
+                F.min("mr").alias("minready"),
+                F.sum("rdy").alias("nready"),
+            ).collect()[0]
+            n_next = int(nstat["n"] or 0)
+            enq_base = max(enq_base, int(nstat["mx"] if nstat["mx"] is not None else -1) + 1)
+            hint = {
+                "for": superstep + 1,
+                "nready": int(nstat["nready"] or 0),
+                "minready": None if nstat["minready"] is None else int(nstat["minready"]),
+                "maxhost": int(nstat["maxhost"] or 0),
+                "empty": int(nstat["empty"] or 0),
+            }
             t_disc = time.time()
+            result_parts.append(res_future.result())
+            t_results = time.time()
             self._log(
                 superstep=superstep, popped=n_within, eligible=n_elig,
                 deferred=n_elig - n_within, waiting=n_wait,
                 successes=n_success, pages_crawled=pages_crawled,
                 frontier_out=n_next, hot_hosts=len(hot),
+                budget_split_skipped=bool(skip_split),
                 wall_ms=int((time.time() - t0) * 1000),
                 phase_ms={
                     "split": int((t_split - t0) * 1000),
                     "fetch": int((t_fetch - t_split) * 1000),
-                    "results": int((t_results - t_fetch) * 1000),
-                    "discover": int((t_disc - t_results) * 1000),
+                    "discover": int((t_disc - t_fetch) * 1000),
+                    "results_wait": int((t_results - t_disc) * 1000),
                 },
             )
             self._commit(superstep, frontier=nxt, seen=seen,
@@ -717,7 +776,7 @@ class CrawlEngine:
             result_parts = state["result_parts"]
             domain_state = state.get("domain_state")
             if domain_state is None:
-                domain_state = empty_domain_state()
+                domain_state = empty_domain_state_df(spark)
             if self.bloom is not None:
                 self.bloom.add(seen.select("url"))
         else:
@@ -732,7 +791,7 @@ class CrawlEngine:
             result_seq_base = 0
             superstep = 0
             result_parts = []
-            domain_state = empty_domain_state()
+            domain_state = empty_domain_state_df(spark)
         QUEUE_COLS = ["score", "depth", "url", "parent", "push_seq",
                       "attempt", "ready"]
         budget = cfg.politeness_budget
@@ -805,12 +864,22 @@ class CrawlEngine:
             ).collect()[0]
             n_batch = int(bstat["n"])
             n_success = int(bstat["ok"] or 0)
+            # non-blocking: the results write (a job over the persisted
+            # fetch) overlaps the discovery/queue work below; joined
+            # before fetched.unpersist()
+            results_s = fetched.withColumn(
+                "superstep", F.lit(superstep)
+            ).select(RESULT_COLS)
+            res_future = self._io_pool.submit(
+                self._persist_results, results_s, superstep
+            )
             retries = None
             if cfg.backoff:
-                domain_state = fold_domain_state_dist(
+                domain_state = fold_domain_state_df(
                     domain_state, fetched, seed=cfg.seed, superstep=superstep,
                     max_retries=cfg.max_retries,
-                )
+                    num_partitions=self._parts(n_batch),
+                ).localCheckpoint(eager=False)
                 retries = self._retry_rows_bf(fetched, domain_state, superstep)
             # cumulative successes in batch order → per-result remaining.
             # Two-pass distributed cumsum (per-partition sums + broadcast
@@ -845,8 +914,7 @@ class CrawlEngine:
                     queue = queue.unionByName(part.select(*QUEUE_COLS))
             queue = queue.localCheckpoint(eager=True)
             pushes.unpersist()
-            results_s = fetched.withColumn("superstep", F.lit(superstep)).select(RESULT_COLS)
-            result_parts.append(self._persist_results(results_s, superstep))
+            result_parts.append(res_future.result())
             pages_crawled += n_success
             push_seq_base += n_pushed
             result_seq_base += n_batch
@@ -962,17 +1030,13 @@ class CrawlEngine:
         return results_s.localCheckpoint(eager=True)
 
     def _commit(self, superstep: int, frontier: DataFrame, seen: DataFrame,
-                counters: dict, domain_state: pd.DataFrame | None = None) -> None:
+                counters: dict, domain_state: DataFrame | None = None) -> None:
         if self.store is None:
             return
         self.store.write("frontier", frontier, superstep)
         self.store.write("seen", seen, superstep)
         if domain_state is not None:
-            self.store.write(
-                "domain_state",
-                self.spark.createDataFrame(domain_state, schema=DOMAIN_STATE_SCHEMA),
-                superstep,
-            )
+            self.store.write("domain_state", domain_state, superstep)
         if self.metrics:
             # per-superstep fetch/dedup metrics + partition lineage
             self.store.write_json("metrics", superstep, self.metrics[-1])
