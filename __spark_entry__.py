@@ -414,6 +414,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["json_css_extract"] = q_json_css_extract
 
+    def q_cosine_extract(spark, sf):
+        # G10 CosineStrategy (extraction_strategy.py:118-474): 20-word
+        # chunks -> pluggable (hash) embeddings -> semantic pre-filter vs
+        # the query embedding -> ward clusters cut at max_dist -> clusters
+        # joined + word-count filtered.  Oracle: independent sequential
+        # twin (oracle/expected.py ensure_cosine_expected).
+        from crawl4ai_spark.functions.embed import (
+            py_hash_embedding,
+            with_hash_embedding,
+        )
+        from crawl4ai_spark.operators.cosine import cosine_extract_stage
+
+        oracle_expected.ensure_cosine_expected(sf)
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        chunks = fixed_word_chunks(docs, chunk_size=20)
+        emb = with_hash_embedding(chunks, "chunk", dim=6)
+        out = cosine_extract_stage(
+            emb, page_col="doc_id",
+            query_vec=py_hash_embedding("spark join window batch", 6),
+            sim_threshold=0.1, word_count_threshold=10, max_dist=1.0,
+        )
+        return out.select(
+            F.col("doc_id").cast("long"),
+            F.col("cluster_idx").cast("long"), "content",
+        )
+    q["cosine_extract"] = q_cosine_extract
+
+    def q_rules_extract(spark, sf):
+        # G10 adjunct: RuleBasedExtractionStrategy default regulatory
+        # patterns (rule_based_extraction.py:80-511) over deterministic
+        # synthesized regulatory paragraphs; threshold 0.6 so the
+        # proximity-relation rows (conf 0.65) surface.  Oracle: independent
+        # sequential twin (oracle/expected.py ensure_rules_expected).
+        from crawl4ai_spark.operators.rules import rules_extract_stage
+
+        oracle_expected.ensure_rules_expected(sf)
+        docs = _t(spark, sf, "documents").select("doc_id", "lang")
+        n = F.lit(10) + F.col("doc_id") % 30
+        k = F.lit(1) + F.col("doc_id") % 4
+        m = F.lit(5) + F.col("doc_id") % 10
+        pages = docs.select(
+            F.concat(F.lit("https://rules.test/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            F.concat(
+                F.lit('<html><head><script>var x = "skip";</script></head>'
+                      "<body><p>Members complete "),
+                n.cast("string"),
+                F.lit(" CE hours for license renewal every "),
+                k.cast("string"), F.lit(" years.</p><p>"),
+                m.cast("string"), F.lit(" hours of "), F.col("lang"),
+                F.lit(" safety training.</p></body></html>"),
+            ).alias("html"),
+        )
+        out = rules_extract_stage(pages, patterns=None,
+                                  confidence_threshold=0.6)
+        return out.select(
+            "url", F.col("rank").cast("long"), "rtype", "value", "raw_match",
+            "confidence", "verification_score", "verified", "context",
+            "span_start", "span_end", "extra",
+        )
+    q["rules_extract"] = q_rules_extract
+
     def q_markdown_gen(spark, sf):
         # G8 DefaultMarkdownGenerator over the same synthesized product
         # HTML; expected markdown reconstructable in SQL from the
@@ -1271,12 +1333,23 @@ def oracle_sql() -> dict[str, str]:
             k=10, n_planes=8,
         )
         oracle_expected.ensure_neardup_expected(_gate_sf)
+        oracle_expected.ensure_cosine_expected(_gate_sf)
+        oracle_expected.ensure_rules_expected(_gate_sf)
 
     def _exp(name: str) -> str:
         return oracle_expected.expected_path(name)
 
     o["chunk_topic"] = (
         f"SELECT doc_id, chunk_idx, chunk FROM read_parquet('{_exp('chunk_topic')}')"
+    )
+    o["cosine_extract"] = (
+        "SELECT doc_id, cluster_idx, content "
+        f"FROM read_parquet('{_exp('cosine_extract')}')"
+    )
+    o["rules_extract"] = (
+        "SELECT url, rank, rtype, value, raw_match, confidence, "
+        "verification_score, verified, context, span_start, span_end, extra "
+        f"FROM read_parquet('{_exp('rules_extract')}')"
     )
     o["minhash_lsh"] = (
         f"SELECT id_a, id_b, est_jaccard FROM read_parquet('{_exp('minhash_lsh')}')"

@@ -474,6 +474,141 @@ def ensure_topic_expected(sf_dir: str, w=20, k=4) -> None:
     _done["topic"] = key
 
 
+def _cosine_twin_clusters(texts: list[str], emb: np.ndarray, qvec,
+                          sim_threshold: float, word_count_threshold: int,
+                          max_dist: float, at_least_k: int = 20):
+    """Independent CosineStrategy twin (reference
+    extraction_strategy.py:225-426 semantics; shared clustering recipe from
+    operators/cosine.py's docstring, re-implemented here as a dict-based
+    sequential ward instead of the engine's masked-matrix version).  The
+    numpy expressions named by the recipe (U @ U.T, the Lance-Williams
+    formula) are part of the spec — same IEEE ops on both sides."""
+    n = len(texts)
+    if n and qvec is not None:
+        a = emb.astype(np.float64)
+        u = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-30)
+        q = np.asarray(qvec, dtype=np.float64)
+        q = q / max(np.linalg.norm(q), 1e-30)
+        sims = u @ q
+        k = at_least_k if n >= at_least_k else n // 2
+        kept = [i for i in range(n) if sims[i] >= sim_threshold]
+        if len(kept) < k:
+            rest = sorted((i for i in range(n) if sims[i] < sim_threshold),
+                          key=lambda i: -sims[i])
+            kept += rest[: k - len(kept)]
+        kept = kept[:k]
+        texts = [texts[i] for i in kept]
+        emb = emb[kept]
+        n = len(texts)
+    if n == 0:
+        return []
+    if n == 1:
+        labels = {0: 1}
+    else:
+        a = emb.astype(np.float64)
+        u = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-30)
+        d2m = (1.0 - u @ u.T) ** 2
+        # clusters: id -> dict(size, first, leaves, maxh); pair dists in d
+        clus = {i: {"size": 1.0, "first": i, "leaves": [i], "maxh": 0.0}
+                for i in range(n)}
+        d = {(i, j): float(d2m[i, j]) for i in range(n) for j in range(i + 1, n)}
+        groups: list[list[int]] = []  # flat subtrees cut at max_dist
+
+        def pd_(x, y):
+            return d[(x, y) if x < y else (y, x)]
+
+        flat = {i: [i] for i in range(n)}  # current flat grouping by rep
+        while len(clus) > 1:
+            best = None
+            for (x, y), dist in d.items():
+                key = (dist, min(clus[x]["first"], clus[y]["first"]),
+                       max(clus[x]["first"], clus[y]["first"]))
+                if best is None or key < best[0]:
+                    best = (key, x, y)
+            _, x, y = best
+            if clus[y]["first"] < clus[x]["first"]:
+                x, y = y, x
+            dxy = pd_(x, y)
+            h = float(np.sqrt(max(dxy, 0.0)))
+            new_maxh = max(clus[x]["maxh"], clus[y]["maxh"], h)
+            nx, ny = clus[x]["size"], clus[y]["size"]
+            for z in list(clus):
+                if z in (x, y):
+                    continue
+                nz = clus[z]["size"]
+                nd = ((nx + nz) * pd_(x, z) + (ny + nz) * pd_(y, z)
+                      - nz * dxy) / (nx + ny + nz)
+                d[(x, z) if x < z else (z, x)] = nd
+                d.pop((y, z) if y < z else (z, y))
+            d.pop((x, y) if x < y else (y, x))
+            if new_maxh <= max_dist:
+                flat[x] = flat.pop(x) + flat.pop(y)
+            clus[x] = {"size": nx + ny,
+                       "first": min(clus[x]["first"], clus[y]["first"]),
+                       "leaves": clus[x]["leaves"] + clus[y]["leaves"],
+                       "maxh": new_maxh}
+            del clus[y]
+        groups = sorted(flat.values(), key=min)
+        labels = {}
+        for gi, g in enumerate(groups, start=1):
+            for leaf in g:
+                labels[leaf] = gi
+    by_label: dict[int, list[str]] = {}
+    for i in range(n):
+        by_label.setdefault(labels[i], []).append(texts[i])
+    out = []
+    for label in sorted(by_label):
+        content = " ".join(by_label[label])
+        if len(content.split()) >= word_count_threshold:
+            out.append((label, content))
+    return out
+
+
+def ensure_cosine_expected(sf_dir: str, chunk_size=20, dim=6, max_dist=1.0,
+                           query="spark join window batch",
+                           sim_threshold=0.1,
+                           word_count_threshold=10) -> None:
+    """cosine_extract: fixed-word chunks -> hash embeddings -> semantic
+    pre-filter -> ward clusters, all recomputed here from the documented
+    specs (chunking = \\s+ split into chunk_size word blocks joined by ' ';
+    embedding component c = xxh64('emb|c|text')/2^63 - 1)."""
+    key = ("cosine", sf_dir, chunk_size, dim, max_dist, query,
+           sim_threshold, word_count_threshold)
+    if _done.get("cosine") == key:
+        return
+    import re
+
+    from ..hashing import xxh64
+
+    def embed(text: str) -> np.ndarray:
+        return np.array(
+            [xxh64(f"emb|{c}|{text}".encode()) / 2.0**63 - 1.0
+             for c in range(dim)],
+            dtype=np.float64,
+        )
+
+    qvec = embed(query)
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    rows = []
+    for r in docs.itertuples():
+        toks = [t for t in re.split(r"\s+", r.text or "") if t]
+        chunks = [" ".join(toks[i:i + chunk_size])
+                  for i in range(0, len(toks), chunk_size)]
+        if not chunks:
+            continue
+        emb = np.stack([embed(c) for c in chunks])
+        for label, content in _cosine_twin_clusters(
+            chunks, emb, qvec, sim_threshold, word_count_threshold, max_dist,
+        ):
+            rows.append({"doc_id": int(r.doc_id), "cluster_idx": label,
+                         "content": content})
+    _write("cosine_extract", pd.DataFrame(
+        rows, columns=["doc_id", "cluster_idx", "content"]
+    ))
+    _done["cosine"] = key
+
+
 # ----------------------------------------------------------------- images
 
 def ensure_image_expected(n_pages=200, grid=4) -> None:
@@ -511,3 +646,143 @@ def ensure_image_expected(n_pages=200, grid=4) -> None:
     _write("image_decode", pd.DataFrame(dec_rows))
     _write("image_features", pd.DataFrame(feat_rows))
     _done["images"] = key
+
+
+# ------------------------------------------------------------------ rules
+
+def _rules_twin(url: str, text: str, threshold: float) -> list[dict]:
+    """Independent sequential twin of the reference
+    RuleBasedExtractionStrategy default-pattern pipeline
+    (rule_based_extraction.py:80-511), transcribed from the reference
+    semantics — NOT imported from operators/rules.py.  Input is the
+    already-extracted plain text (the probe HTML is built from a known
+    construction rule, so the twin derives the text directly)."""
+    import re as _re
+
+    t = _re.sub(r"\s+", " ", text).strip().lower()
+    t = _re.sub(r"[^\w\s]", "", t)
+
+    def ctx(s, e):
+        return f"{t[max(0, s - 100):s].strip()} [EXTRACTION] {t[e:min(len(t), e + 100)].strip()}"
+
+    res: list[dict] = []
+    for m in _re.finditer(
+        r"(\d+)\s*(?:hours?|hrs?|credit\s*hours?|CE\s*hours?|contact\s*hours?|CEUs?)",
+        t, _re.IGNORECASE,
+    ):
+        res.append({"type": "ce_hours", "value": m.group(1),
+                    "raw_match": m.group(0), "confidence": 0.85,
+                    "context": ctx(m.start(), m.end()),
+                    "span": (m.start(), m.end())})
+    for m in _re.finditer(
+        r"(?:renewal|license renewal|renew).{0,30}(?:every|each)\s+(\d+)\s*(years?|months?)",
+        t, _re.IGNORECASE,
+    ):
+        res.append({"type": "renewal_period",
+                    "value": f"{m.group(1)} {m.group(2)}",
+                    "raw_match": m.group(0), "confidence": 0.8,
+                    "context": ctx(m.start(), m.end()),
+                    "span": (m.start(), m.end())})
+    for m in _re.finditer(
+        r"(\d+)\s*(?:hours?|credits?).{0,50}(?:in|of|for)\s+([a-zA-Z\s]{3,50})",
+        t, _re.IGNORECASE,
+    ):
+        res.append({"type": "specialized_requirement", "hours": m.group(1),
+                    "topic": m.group(2).strip(), "raw_match": m.group(0),
+                    "confidence": 0.75,
+                    "context": ctx(m.start(), m.end()),
+                    "span": (m.start(), m.end())})
+    res = [r for r in res if r["confidence"] >= threshold]
+    if len(res) > 1:
+        rels = []
+        se = sorted(res, key=lambda x: x["span"][0])
+        for i in range(len(se) - 1):
+            e1, e2 = se[i], se[i + 1]
+            if e2["span"][0] - e1["span"][1] <= 50:
+                between = t[e1["span"][1]:e2["span"][0]]
+                for ind in ["of", "for", "in", "requires", "must have"]:
+                    if ind in between.lower():
+                        rels.append({
+                            "type": "relation", "entity1": e1.get("value"),
+                            "entity1_type": e1["type"],
+                            "entity2": e2.get("value"),
+                            "entity2_type": e2["type"], "relation": ind,
+                            "text": t[e1["span"][0]:e2["span"][1]],
+                            "confidence": 0.65,
+                            "span": (e1["span"][0], e2["span"][1]),
+                        })
+                        break
+        res += [r for r in rels if r["confidence"] >= threshold]
+    for r in res:
+        score = r["confidence"]
+        value = r.get("value", "")
+        if isinstance(value, str) and len(value) > 0:
+            if _re.match(r"^\d+\s*[a-zA-Z]+$", value):
+                score += 0.2
+            occ = t.count(value.lower())
+            if occ > 1:
+                score += min(0.1 * occ, 0.2)
+            if r.get("groups"):
+                score += 0.1
+        r["verification_score"] = min(1.0, score)
+        r["verified"] = r["verification_score"] >= threshold
+    seen: set[str] = set()
+    unique: list[dict] = []
+    for r in res:
+        key = f"{r['type']}:{r.get('value', '')}"
+        if key not in seen:
+            seen.add(key)
+            unique.append(r)
+        else:
+            for i, ex in enumerate(unique):
+                if f"{ex['type']}:{ex.get('value', '')}" == key:
+                    if r["confidence"] > ex["confidence"]:
+                        unique[i] = r
+                    break
+    out = sorted(unique, key=lambda x: x["confidence"], reverse=True)
+    import json as _json
+
+    rows = []
+    core = {"type", "value", "raw_match", "confidence", "verification_score",
+            "verified", "context", "span"}
+    for rank, d in enumerate(out):
+        extra = {k: v for k, v in d.items() if k not in core}
+        rows.append({
+            "url": url, "rank": rank, "rtype": d["type"],
+            "value": d.get("value"), "raw_match": d.get("raw_match"),
+            "confidence": float(d["confidence"]),
+            "verification_score": float(d["verification_score"]),
+            "verified": bool(d["verified"]),
+            "context": d.get("context", ""),
+            "span_start": d["span"][0], "span_end": d["span"][1],
+            "extra": _json.dumps(extra, sort_keys=True) if extra else None,
+        })
+    return rows
+
+
+def ensure_rules_expected(sf_dir: str, threshold: float = 0.6) -> None:
+    """rules_extract probe: the synthesized regulatory paragraphs per
+    document (same construction rule as the Spark probe) through the
+    sequential twin."""
+    key = ("rules", sf_dir, threshold)
+    if _done.get("rules") == key:
+        return
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    rows = []
+    for r in docs.itertuples():
+        n = 10 + int(r.doc_id) % 30
+        k = 1 + int(r.doc_id) % 4
+        m = 5 + int(r.doc_id) % 10
+        text = (
+            f"Members complete {n} CE hours for license renewal "
+            f"every {k} years. {m} hours of {r.lang} safety training."
+        )
+        url = f"https://rules.test/{int(r.doc_id)}"
+        rows.extend(_rules_twin(url, text, threshold))
+    _write("rules_extract", pd.DataFrame(
+        rows, columns=["url", "rank", "rtype", "value", "raw_match",
+                       "confidence", "verification_score", "verified",
+                       "context", "span_start", "span_end", "extra"],
+    ))
+    _done["rules"] = key
