@@ -205,16 +205,9 @@ def frontier_schedule_bloom(spark, n_pages: int) -> dict:
     }
 
 
-def crawl_e2e(spark, n_pages: int = 50_000, n_seeds: int = 500) -> dict:
-    """Integrated engine-loop throughput: a multi-seed BFS deep crawl with
-    the full schedule wired in (bloom URL-seen, canonicalize, robots off,
-    capacity windows, snapshot-free) over a ``n_pages``-page graph.
-    Reports end-to-end pages/s and the per-superstep wall times from
-    CrawlRun.metrics — the integration number the stage benches can't show.
-    For context, the reference's asyncio crawler is politeness-bound at
-    1-3 s/domain (async_dispatcher.py:33): tens of pages/s single-node."""
-    from crawl4ai_spark.plans.frontier import CrawlConfig, deep_crawl
-
+def _ensure_crawl_graph(spark, n_pages: int):
+    """Materialize (once per n_pages) the synthetic crawl graph both
+    engine-loop benches read; returns (params, pages, links)."""
     p = synth.GraphParams(n_pages=n_pages, n_domains=max(16, n_pages // 5000),
                           hot_fraction=0.3, seed=42)
     gdir = f"{BENCH_CACHE}/crawl_n{n_pages}"
@@ -227,8 +220,21 @@ def crawl_e2e(spark, n_pages: int = 50_000, n_seeds: int = 500) -> dict:
         links.repartition(32).write.mode("overwrite").parquet(f"{gdir}/links.parquet")
         with open(marker, "w") as fh:
             fh.write("ok")
-    pages = spark.read.parquet(f"{gdir}/pages.parquet")
-    links = spark.read.parquet(f"{gdir}/links.parquet")
+    return (p, spark.read.parquet(f"{gdir}/pages.parquet"),
+            spark.read.parquet(f"{gdir}/links.parquet"))
+
+
+def crawl_e2e(spark, n_pages: int = 50_000, n_seeds: int = 500) -> dict:
+    """Integrated engine-loop throughput: a multi-seed BFS deep crawl with
+    the full schedule wired in (bloom URL-seen, canonicalize, robots off,
+    capacity windows, snapshot-free) over a ``n_pages``-page graph.
+    Reports end-to-end pages/s and the per-superstep wall times from
+    CrawlRun.metrics — the integration number the stage benches can't show.
+    For context, the reference's asyncio crawler is politeness-bound at
+    1-3 s/domain (async_dispatcher.py:33): tens of pages/s single-node."""
+    from crawl4ai_spark.plans.frontier import CrawlConfig, deep_crawl
+
+    p, pages, links = _ensure_crawl_graph(spark, n_pages)
     seeds = [synth.url_of(i, p) for i in range(0, n_pages, n_pages // n_seeds)]
     cfg = CrawlConfig(strategy="bfs", max_depth=2)
     t0 = time.time()
@@ -271,6 +277,65 @@ def fetch_decode(spark, n_images: int) -> tuple[float, int]:
     return secs, row["n"]
 
 
+def bf_batch(spark, n_pages: int = 50_000, n_seeds: int = 500,
+             batch_size: int = 100_000) -> dict:
+    """Best-first loop at a SCALE batch (VERDICT r2 #7): batch_size=10^5
+    pops per superstep — the regime the distributed TakeOrdered pop,
+    cumulative-capacity cumsum and anti-join queue subtraction are built
+    for (parity mode runs batch_size=10)."""
+    from crawl4ai_spark.plans.frontier import CrawlConfig, deep_crawl
+
+    p, pages, links = _ensure_crawl_graph(spark, n_pages)
+    seeds = [synth.url_of(i, p) for i in range(0, n_pages, n_pages // n_seeds)]
+    cfg = CrawlConfig(strategy="best_first", max_depth=2,
+                      batch_size=batch_size)
+    t0 = time.time()
+    run = deep_crawl(spark, seeds, pages, links, cfg)
+    n_results = run.results.count()
+    secs = time.time() - t0
+    return {
+        "sec": round(secs, 3),
+        "batch_size": batch_size,
+        "results": n_results,
+        "pages_crawled": run.pages_crawled,
+        "pages_per_sec": round(run.pages_crawled / secs, 1),
+        "supersteps": len([m for m in run.metrics if m.get("wall_ms")]),
+    }
+
+
+def host_calibration(spark) -> dict:
+    """Fixed micro-workloads recorded per run so round-over-round deltas
+    can be normalized for host drift (this VM's per-core throughput moves
+    between rounds — BASELINE.md).  Three lanes: JVM codegen, a python
+    Arrow stage, and raw numpy BLAS."""
+    t0 = time.time()
+    spark.range(0, 50_000_000, 1, 32).select(
+        # shiftright keeps the per-row hash work but bounds the ANSI sum
+        F.sum(F.shiftright(F.xxhash64("id"), 32))
+    ).collect()
+    jvm_s = time.time() - t0
+
+    def _ident(bs):
+        for b in bs:
+            yield b
+
+    df = spark.range(0, 2_000_000, 1, 32)
+    t0 = time.time()
+    df.mapInPandas(_ident, "id long").count()
+    py_s = time.time() - t0
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    a = rng.standard_normal((2048, 2048))
+    t0 = time.time()
+    (a @ a).sum()
+    gemm_s = time.time() - t0
+    return {
+        "jvm_hash_50m_s": round(jvm_s, 3),
+        "py_stage_2m_s": round(py_s, 3),
+        "numpy_gemm_2048_s": round(gemm_s, 3),
+    }
+
+
 def warm_python_workers(spark) -> None:
     """Spawn the full Python-worker pool once before timing.
 
@@ -310,6 +375,9 @@ def main() -> None:
     n_link_pages = max(2000, int(LINK_PAGES_PER_SF * sf))
     n_image_rows = max(1000, int(IMAGE_ROWS_PER_SF * sf))
 
+    # recorded per run so round deltas can be normalized for host drift
+    calibration = host_calibration(spark)
+
     secs, n_sched = frontier_schedule(spark, n_link_pages)
     queries["frontier_schedule"] = round(secs, 3)
     extras["frontier_urls_per_sec"] = round(n_sched / secs, 1)  # input links/s
@@ -317,13 +385,6 @@ def main() -> None:
     secs, n_img = fetch_decode(spark, n_image_rows)
     queries["fetch_decode"] = round(secs, 3)
     extras["fetch_images_per_sec"] = round(n_img / secs, 1)
-
-    # T6 Bloom sidecar variant: probe-side reduction evidence (not part of
-    # the headline total — frontier_schedule stays round-comparable)
-    extras["frontier_bloom"] = frontier_schedule_bloom(spark, n_link_pages)
-
-    # integrated engine loop (multi-seed deep crawl, full schedule)
-    extras["crawl_e2e"] = crawl_e2e(spark, n_pages=max(5_000, int(500_000 * sf)))
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t0 = time.time()
@@ -349,6 +410,20 @@ def main() -> None:
     ).collect()
     queries["pricing_summary"] = round(time.time() - t0, 3)
 
+    # ---- extras AFTER the headline block (VERDICT r2 #4: the 107 s
+    # crawl_e2e used to run before exact_dedup/minhash in the same JVM,
+    # polluting round-over-round headline deltas with cache/GC state)
+
+    # T6 Bloom sidecar variant: probe-side reduction evidence (not part of
+    # the headline total — frontier_schedule stays round-comparable)
+    extras["frontier_bloom"] = frontier_schedule_bloom(spark, n_link_pages)
+
+    # integrated engine loop (multi-seed deep crawl, full schedule)
+    extras["crawl_e2e"] = crawl_e2e(spark, n_pages=max(5_000, int(500_000 * sf)))
+
+    # best-first at a scale batch (10^5 pops per superstep)
+    extras["bf_batch"] = bf_batch(spark, n_pages=max(5_000, int(500_000 * sf)))
+
     total = round(sum(queries.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -356,6 +431,7 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         "sf": sf,
+        "host_calibration": calibration,
         "throughput": extras,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "frontier_rows": n_sched,

@@ -97,7 +97,11 @@ class _Scraper(HTMLParser):
 
     # ------------------------------------------------------------- tags
     def handle_starttag(self, tag, attrs):
-        a = dict(attrs)
+        # duplicate attributes: FIRST occurrence wins (HTML5 tree builder
+        # semantics, what bs4/lxml recovery yields; dict(attrs) kept last)
+        a: dict = {}
+        for k, v in attrs:
+            a.setdefault(k, v)
         if tag == "body":
             self._head_done = True
         if tag == "meta":
@@ -120,6 +124,11 @@ class _Scraper(HTMLParser):
         if tag == "title":
             self._in_title = True
         elif tag == "a":
+            # a new <a> implicitly closes an unclosed previous one (HTML5
+            # "in body" insertion mode; bs4/lxml recovery keeps BOTH links,
+            # the old state machine silently dropped the first)
+            if self._anchor is not None:
+                self._emit_link()
             href = (a.get("href") or "").strip()
             if href:
                 self._anchor = {"href": href, "title": (a.get("title") or "").strip()}
