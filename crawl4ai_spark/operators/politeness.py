@@ -209,14 +209,21 @@ def fold_domain_state_df(state_df: DataFrame, results: DataFrame,
     host so the exchange is one-sided; the caller localCheckpoints the
     result to keep superstep lineage flat.
 
-    ``num_partitions`` sizes the cogroup's Arrow stage (callers pass their
-    batch-sized partition count): pre-partitioning both sides on host at
-    that width makes the cogroup reuse the exchange instead of fanning a
-    tiny superstep out to spark.sql.shuffle.partitions python workers."""
-    res = results.select("host", "seq", "status_code")
-    if num_partitions is not None:
-        state_df = state_df.repartition(num_partitions, "host")
-        res = res.repartition(num_partitions, "host")
+    The cogroup key is a HASH BUCKET of the host, not the host itself:
+    ``applyInPandas`` makes one Python call per key, so keying by host
+    would pay one pandas round-trip per host — 10^8 calls at 10^8 hosts.
+    Bucketing keeps the per-call unit a batch of hosts (the sequential
+    fold inside already handles any number of hosts per frame; hosts are
+    independent, so bucket boundaries cannot change results).
+
+    ``num_partitions`` sizes both the bucket count and the exchange
+    (callers pass their batch-sized partition count); defaults to the
+    session's shuffle parallelism."""
+    spark = results.sparkSession
+    nb = num_partitions or spark.sparkContext.defaultParallelism
+    bucket = F.pmod(F.xxhash64(F.col("host")), F.lit(nb)).alias("bucket")
+    st = state_df.select("*", bucket)
+    res = results.select("host", "seq", "status_code", bucket)
 
     def fold(state_pdf: pd.DataFrame, res_pdf: pd.DataFrame) -> pd.DataFrame:
         cols = ["host", "current_delay", "fail_count", "give_up"]
@@ -229,8 +236,8 @@ def fold_domain_state_df(state_df: DataFrame, results: DataFrame,
         )
 
     return (
-        state_df.groupBy("host")
-        .cogroup(res.groupBy("host"))
+        st.groupBy("bucket")
+        .cogroup(res.groupBy("bucket"))
         .applyInPandas(fold, DOMAIN_STATE_SCHEMA)
     )
 
