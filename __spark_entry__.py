@@ -61,8 +61,10 @@ from crawl4ai_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    phash_pairs,
     simhash_pairs,
 )
+from crawl4ai_spark.operators.llm import llm_content_filter_stage, llm_extract_stage
 from crawl4ai_spark.operators.politeness import apply_host_budget, with_host_slots
 from crawl4ai_spark.operators.similarity import (
     brute_force_topk,
@@ -832,6 +834,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["image_features"] = q_image_features
 
+    def q_phash_neardup(spark, sf):
+        # near-duplicate images by perceptual-hash Hamming ≤ 4 (pigeonhole
+        # blocking join); expected table is an independent brute-force
+        # O(n²) popcount over the same synthetic payload table
+        oracle_expected.ensure_phash_expected(n_pages=280, max_hamming=4)
+        p = _graph(n_pages=280)
+        _, _, images = synth.synth_tables(spark, p)
+        return phash_pairs(images, max_hamming=4).select(
+            "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+        )
+    q["phash_neardup"] = q_phash_neardup
+
+    def q_llm_extract(spark, sf):
+        # LLMExtractionStrategy plumbing with the deterministic fake model
+        # (oracle/expected.py fake_llm_extract defines the "model"; the
+        # merge/prompt/parse/explode path is engine-vs-independent-twin)
+        oracle_expected.ensure_llm_expected(sf)
+        docs = _t(spark, sf, "documents").select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("long").cast("string")
+                     ).alias("url"),
+            "text",
+        )
+        out = llm_extract_stage(
+            docs, complete_fn=oracle_expected.fake_llm_extract,
+            chunk_token_threshold=64, overlap_rate=0.25,
+        )
+        return out.select(
+            "url", F.col("section_idx").cast("long").alias("section_idx"),
+            F.col("block_idx").cast("long").alias("block_idx"),
+            F.array_join("tags", ",").alias("tags"), "content", "error",
+        )
+    q["llm_extract"] = q_llm_extract
+
+    def q_llm_filter(spark, sf):
+        oracle_expected.ensure_llm_expected(sf)
+        docs = _t(spark, sf, "documents").select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("long").cast("string")
+                     ).alias("url"),
+            "text",
+        )
+        out = llm_content_filter_stage(
+            docs, complete_fn=oracle_expected.fake_llm_filter,
+        )
+        return out.select(
+            "url", F.col("section_idx").cast("long").alias("section_idx"),
+            "markdown",
+        )
+    q["llm_filter"] = q_llm_filter
+
     return q
 
 
@@ -1389,6 +1440,16 @@ def oracle_sql() -> dict[str, str]:
     )
     o["image_features"] = (
         f"SELECT image_id, f0, n_features FROM read_parquet('{_exp('image_features')}')"
+    )
+    o["phash_neardup"] = (
+        f"SELECT id_a, id_b, hamming FROM read_parquet('{_exp('phash_neardup')}')"
+    )
+    o["llm_extract"] = (
+        "SELECT url, section_idx, block_idx, tags, content, error "
+        f"FROM read_parquet('{_exp('llm_extract')}')"
+    )
+    o["llm_filter"] = (
+        f"SELECT url, section_idx, markdown FROM read_parquet('{_exp('llm_filter')}')"
     )
 
     return o

@@ -35,7 +35,11 @@ from crawl4ai_spark.functions.canonical import canonical_col, url_hash_col
 from crawl4ai_spark.functions.images import decode_stage
 from crawl4ai_spark.functions.scorers import freshness_score
 from crawl4ai_spark.functions.urlparts import host_of
-from crawl4ai_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+from crawl4ai_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    phash_pairs,
+)
 from crawl4ai_spark.operators.politeness import with_salted_host_slots
 from crawl4ai_spark.operators.similarity import brute_force_topk
 from crawl4ai_spark.session import get_spark
@@ -79,7 +83,8 @@ def _ensure_graph(spark, n_pages: int, with_images: bool):
     """Materialize the synthetic link graph (and image payloads) once."""
     p = synth.GraphParams(n_pages=n_pages, n_domains=max(16, n_pages // 5000),
                           hot_fraction=0.3, seed=42)
-    gdir = f"{BENCH_CACHE}/graph_n{n_pages}" + ("_img" if with_images else "")
+    gdir = (f"{BENCH_CACHE}/graph_r{synth.FIXTURE_REV}_n{n_pages}"
+            + ("_img" if with_images else ""))
     marker = f"{gdir}/_done"
     if not os.path.exists(marker):
         # 128 output files: with the bench session's file-split sizing the
@@ -210,7 +215,7 @@ def _ensure_crawl_graph(spark, n_pages: int):
     engine-loop benches read; returns (params, pages, links)."""
     p = synth.GraphParams(n_pages=n_pages, n_domains=max(16, n_pages // 5000),
                           hot_fraction=0.3, seed=42)
-    gdir = f"{BENCH_CACHE}/crawl_n{n_pages}"
+    gdir = f"{BENCH_CACHE}/crawl_r{synth.FIXTURE_REV}_n{n_pages}"
     marker = f"{gdir}/_done"
     if not os.path.exists(marker):
         pages, links, _ = synth.synth_tables(spark, p)
@@ -300,6 +305,36 @@ def bf_batch(spark, n_pages: int = 50_000, n_seeds: int = 500,
         "pages_crawled": run.pages_crawled,
         "pages_per_sec": round(run.pages_crawled / secs, 1),
         "supersteps": len([m for m in run.metrics if m.get("wall_ms")]),
+    }
+
+
+def phash_neardup_bench(spark, n_rows: int = 200_000,
+                        max_hamming: int = 4) -> dict:
+    """Image near-dup at scale: the pigeonhole Hamming join over n
+    UNIFORM-RANDOM 64-bit phashes (worst case for the blocking — real
+    corpora cluster) with a planted near-dup every 7th row (base hash with
+    ≤2 bits flipped).  All generation and joining is Catalyst codegen; no
+    Python anywhere."""
+    dup = (F.col("id") % 7) == 6
+    base_id = (F.col("id") - (F.col("id") % 7)).cast("string")
+    flip = lambda salt: F.expr(
+        "shiftleft(1L, cast(pmod(xxhash64(concat(cast(id as string), "
+        f"'{salt}')), 64) as int))")
+    flipped = (F.xxhash64(base_id)
+               .bitwiseXOR(flip("a")).bitwiseXOR(flip("b")))
+    images = spark.range(n_rows).select(
+        F.col("id").cast("string").alias("image_id"),
+        F.when(dup, flipped)
+        .otherwise(F.xxhash64(F.col("id").cast("string"))).alias("phash"),
+    )
+    t0 = time.time()
+    n_pairs = phash_pairs(images, max_hamming=max_hamming).count()
+    secs = time.time() - t0
+    return {
+        "sec": round(secs, 3),
+        "rows": n_rows,
+        "pairs": n_pairs,
+        "rows_per_sec": round(n_rows / secs, 1),
     }
 
 
@@ -423,6 +458,10 @@ def main() -> None:
 
     # best-first at a scale batch (10^5 pops per superstep)
     extras["bf_batch"] = bf_batch(spark, n_pages=max(5_000, int(500_000 * sf)))
+
+    # image near-dup join at scale (uniform-random worst case + planted dups)
+    extras["phash_neardup"] = phash_neardup_bench(
+        spark, n_rows=max(20_000, int(2_000_000 * sf)))
 
     total = round(sum(queries.values()), 3)
     print(json.dumps({

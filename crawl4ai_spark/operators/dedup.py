@@ -195,26 +195,34 @@ def simhash_col(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return hashed.mapInPandas(run, f"{id_col} long, simhash long")
 
 
-def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+def hamming_pairs(df: DataFrame, hash_col: str, id_col: str,
                   max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming. Pigeonhole
-    blocking: split 64 bits into (max_hamming+1) chunks — any qualifying
-    pair shares ≥1 exact chunk, so candidates come from equal-chunk joins."""
+    """EXACT pairs with Hamming(hash) ≤ max_hamming over any int64 hash
+    column. Pigeonhole blocking: split 64 bits into (max_hamming+1)
+    chunks — a qualifying pair has fewer differing bits than chunks, so it
+    shares ≥1 exact chunk and every true pair survives the equal-chunk
+    candidate join (bits above n_chunks·chunk_bits stay uncovered, which
+    only widens the candidate set; the final `bit_count(xor)` gate is
+    exact over all 64 bits).
+
+    Scale: candidates ≈ rows² · (k+1) / 2^(64//(k+1)) for uniform hashes —
+    k=3 → /16384, k=4 → /819.  Near-dup corpora cluster far below that.
+    All joins/gates are native Catalyst (codegen `bit_count`); nothing
+    leaves the JVM."""
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
-    sh = simhash_col(df, text_col, id_col)
     mask = (1 << chunk_bits) - 1
     chunk_exprs = [
-        F.shiftrightunsigned(F.col("simhash"), i * chunk_bits).bitwiseAND(F.lit(mask))
+        F.shiftrightunsigned(F.col(hash_col), i * chunk_bits).bitwiseAND(F.lit(mask))
         for i in range(n_chunks)
     ]
-    chunks = sh.select(
-        F.col(id_col), F.col("simhash"),
+    chunks = df.select(
+        F.col(id_col), F.col(hash_col).alias("__h"),
         F.posexplode(F.array(*chunk_exprs)).alias("chunk_idx", "chunk_val"),
     )
-    left = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"),
+    left = chunks.select(F.col(id_col).alias("id_a"), F.col("__h").alias("h_a"),
                          "chunk_idx", "chunk_val")
-    right = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"),
+    right = chunks.select(F.col(id_col).alias("id_b"), F.col("__h").alias("h_b"),
                           "chunk_idx", "chunk_val")
     cand = (
         left.join(right, ["chunk_idx", "chunk_val"])
@@ -227,6 +235,31 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming (pigeonhole
+    blocking via :func:`hamming_pairs`)."""
+    return hamming_pairs(simhash_col(df, text_col, id_col), "simhash",
+                         id_col, max_hamming)
+
+
+def phash_pairs(images: DataFrame, max_hamming: int = 4,
+                id_col: str = "image_id", hash_col: str = "phash") -> DataFrame:
+    """Near-duplicate IMAGES by perceptual-hash Hamming distance.
+
+    The payload table (BASELINE.json input_hint) carries a 64-bit
+    ``phash`` per image precisely so web-scale image dedup never has to
+    touch pixel bytes: re-served / re-encoded / lightly-edited copies of
+    the same picture land within a few bits of each other while unrelated
+    images sit near Hamming 32.  Same pigeonhole construction as SimHash
+    (reference analog: crawl4ai keys images by content URL only —
+    content_scraping_strategy.py:217-241 — so this is the added
+    training-pipeline tier, not a port).  Zero Python: the blocking join
+    and the `bit_count` gate are whole-stage-codegen Catalyst."""
+    return hamming_pairs(images.select(id_col, hash_col), hash_col,
+                         id_col, max_hamming)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

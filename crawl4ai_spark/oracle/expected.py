@@ -786,3 +786,148 @@ def ensure_rules_expected(sf_dir: str, threshold: float = 0.6) -> None:
                        "context", "span_start", "span_end", "extra"],
     ))
     _done["rules"] = key
+
+
+def ensure_phash_expected(n_pages: int = 280, max_hamming: int = 4) -> None:
+    """phash_neardup probe: brute-force O(n²) popcount over the synthetic
+    image table's phash column — independent of the engine's pigeonhole
+    blocking join (operators/dedup.py hamming_pairs); any blocking bug
+    (missed chunk, wrong mask width) diverges from this exhaustive twin."""
+    key = ("phash", n_pages, max_hamming)
+    if _done.get("phash") == key:
+        return
+    from ..sources import synth
+
+    p = _graph(n_pages=n_pages)
+    ids, hashes = [], []
+    for i in range(n_pages):
+        image_id, w, h, _fmt = synth.image_meta_of(i, p)
+        px = synth.image_pixels(image_id, w, h, p.seed)
+        ids.append(image_id)
+        hashes.append(np.uint64(synth.codecs.phash64(px) % (1 << 64)))
+    h = np.array(hashes, dtype=np.uint64)
+    x = h[:, None] ^ h[None, :]
+    pop = np.unpackbits(x.view(np.uint8).reshape(len(h), len(h), 8), axis=2).sum(
+        axis=2, dtype=np.int64)
+    ia, ib = np.nonzero(np.triu(pop <= max_hamming, k=1))
+    rows = [{"id_a": min(ids[a], ids[b]), "id_b": max(ids[a], ids[b]),
+             "hamming": int(pop[a, b])} for a, b in zip(ia.tolist(), ib.tolist())]
+    _write("phash_neardup", pd.DataFrame(
+        rows, columns=["id_a", "id_b", "hamming"]).astype(
+        {"hamming": "int64"}))
+    _done["phash"] = key
+
+
+# ------------------------------------------------------------------- llm
+
+def _prompt_escape_twin(s: str) -> str:
+    """Re-derivation of the reference's sanitize_html ∘ escape_json_string
+    composition (utils.py:716-780) — independent of operators/llm.py."""
+    s = s.replace('"', '\\"').replace("'", "\\'")
+    s = s.replace("\\", "\\\\").replace('"', '\\"')
+    for raw, esc in (("\b", "\\b"), ("\f", "\\f"), ("\n", "\\n"),
+                     ("\r", "\\r"), ("\t", "\\t")):
+        s = s.replace(raw, esc)
+    return s
+
+
+def _merge_twin(text: str, target: int, overlap: int, ratio: float) -> list:
+    """Independent deque-style re-derivation of merge_chunks
+    (reference utils.py:132-188): scaled counts fix the chunk ceiling,
+    raw tokens are dealt with overlap carry."""
+    toks = text.split()
+    scaled = int(len(toks) * ratio)
+    if not scaled:
+        return []
+    import math
+    ceiling = max(1, math.ceil(scaled / target))
+    out, cur = [], []
+    size = 0
+    i = 0
+    while i < len(toks):
+        if size >= target and len(out) + 1 < ceiling:
+            out.append(cur)
+            cur = cur[-overlap:] if overlap > 0 else []
+            size = len(cur)
+            cur = list(cur)
+        cur.append(toks[i])
+        size += 1
+        i += 1
+    if cur:
+        out.append(cur)
+    return [" ".join(c) for c in out]
+
+
+def fake_llm_extract(prompts):
+    """Deterministic 'model' for the llm_extract probe: reads the CONTENT
+    span out of the prompt, answers two <blocks> JSON blocks (head tokens
+    + token count).  Shared fixture between probe and twin — it DEFINES
+    the model; everything around it (merge/prompt/parse/explode) is
+    checked engine-vs-twin."""
+    import json as _j
+    out = []
+    for p in prompts:
+        content = p.split("CONTENT:\n", 1)[1].split("\nINSTRUCTION:", 1)[0]
+        toks = content.split()
+        blocks = [
+            {"index": 0, "tags": ["head"], "content": [" ".join(toks[:5])]},
+            {"index": 1, "tags": ["stats"], "content": [str(len(toks))]},
+        ]
+        out.append("<blocks>" + _j.dumps(blocks) + "</blocks>")
+    return out
+
+
+def fake_llm_filter(prompts):
+    """Deterministic 'model' for the llm_filter probe: echoes the CONTENT
+    span uppercased inside <content>."""
+    out = []
+    for p in prompts:
+        content = p.split("CONTENT:\n", 1)[1]
+        out.append("<content># KEPT\n" + content.upper() + "</content>")
+    return out
+
+
+def ensure_llm_expected(sf_dir: str, threshold: int = 64,
+                        overlap_rate: float = 0.25,
+                        word_token_rate: float = 1.3) -> None:
+    """llm_extract + llm_filter probes: documents through the independent
+    merge/prompt twins and the shared fake models; blocks/sections
+    constructed directly from the fakes' intent (the engine must arrive at
+    the same rows through its own merge → prompt → parse → explode)."""
+    key = ("llm", sf_dir, threshold, overlap_rate, word_token_rate)
+    if _done.get("llm") == key:
+        return
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    overlap = int(threshold * overlap_rate)
+    ex_rows, fl_rows = [], []
+    for r in docs.itertuples():
+        url = f"doc://{int(r.doc_id)}"
+        text = r.text or ""
+        for ix, sec in enumerate(_merge_twin(text, threshold, overlap,
+                                             word_token_rate)):
+            esc = _prompt_escape_twin(sec)
+            toks = esc.split()
+            ex_rows.append({"url": url, "section_idx": ix, "block_idx": 0,
+                            "tags": "head", "content": " ".join(toks[:5]),
+                            "error": False})
+            ex_rows.append({"url": url, "section_idx": ix, "block_idx": 1,
+                            "tags": "stats", "content": str(len(toks)),
+                            "error": False})
+        # filter twin: reference default = one giant section per page
+        if text:
+            for ix, sec in enumerate(_merge_twin(text, int(1e9),
+                                                 int(1e9 * 0.1),
+                                                 word_token_rate)):
+                fl_rows.append({
+                    "url": url, "section_idx": ix,
+                    "markdown": "# KEPT\n" + _prompt_escape_twin(sec).upper(),
+                })
+    _write("llm_extract", pd.DataFrame(
+        ex_rows, columns=["url", "section_idx", "block_idx", "tags",
+                          "content", "error"]).astype(
+        {"section_idx": "int64", "block_idx": "int64"}))
+    _write("llm_filter", pd.DataFrame(
+        fl_rows, columns=["url", "section_idx", "markdown"]).astype(
+        {"section_idx": "int64"}))
+    _done["llm"] = key

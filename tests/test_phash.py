@@ -1,0 +1,66 @@
+"""phash near-dup image dedup: the pigeonhole Hamming join on the payload
+table's 64-bit perceptual-hash column must equal a brute-force O(n²)
+popcount (exactness of the blocking, not just recall)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.operators import dedup
+from crawl4ai_spark.sources import synth
+
+
+def _brute(hashes, k):
+    h = np.array([np.uint64(x % (1 << 64)) for x in hashes], dtype=np.uint64)
+    x = h[:, None] ^ h[None, :]
+    pop = np.unpackbits(x.view(np.uint8).reshape(len(h), len(h), 8), axis=2).sum(
+        axis=2, dtype=np.int64)
+    return {(a, b): int(pop[a, b])
+            for a, b in zip(*np.nonzero(np.triu(pop <= k, k=1)))}
+
+
+def test_phash_pairs_exact_vs_bruteforce(spark):
+    p = synth.GraphParams(n_pages=140, n_domains=12, seed=42)
+    _, _, images = synth.synth_tables(spark, p)
+    rows = images.select("image_id", "phash").orderBy("image_id").collect()
+    ids = [r["image_id"] for r in rows]
+    want = {(ids[a], ids[b]): h
+            for (a, b), h in _brute([r["phash"] for r in rows], 4).items()}
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dedup.phash_pairs(images, max_hamming=4).collect()}
+    assert got == want
+    assert len(want) > 0  # synth injects near-dup images — corpus not trivial
+
+
+def test_synth_injects_near_dup_images(spark):
+    """Every 7th image is a perturbed copy of its group base: phash within
+    a few bits, pixels NOT byte-identical (near-dup, not exact)."""
+    p = synth.GraphParams(n_pages=70, n_domains=12, seed=42)
+    hams, exact = [], 0
+    for i in range(6, 70, 7):
+        j = synth.image_dup_base(i)
+        assert j == i - 6
+        iid, w, h, _ = synth.image_meta_of(i, p)
+        jid, wj, hj, _ = synth.image_meta_of(j, p)
+        assert (w, h) == (wj, hj)  # dup inherits base dims
+        a = synth.image_pixels(iid, w, h, p.seed)
+        b = synth.image_pixels(jid, w, h, p.seed)
+        assert not (a == b).all()
+        ha = synth.codecs.phash64(a)
+        hb = synth.codecs.phash64(b)
+        hams.append(bin((ha ^ hb) % (1 << 64)).count("1"))
+    assert max(hams) <= 12 and np.mean(hams) <= 5  # near, not random (~32)
+
+
+def test_hamming_pairs_threshold_is_exact(spark):
+    """Pairs straddling the threshold: k and k+1 distances split exactly."""
+    base = 0x0123456789ABCDEF
+    vals = [("a", base), ("b", base ^ 0b111), ("c", base ^ 0b11111),
+            ("d", base ^ (1 << 63))]
+    df = spark.createDataFrame(
+        [(i, v - (1 << 64) if v >= (1 << 63) else v) for i, v in vals],
+        "image_id string, phash long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dedup.phash_pairs(df, max_hamming=3).collect()}
+    # a-b: 3 bits (kept), a-c: 5 (dropped), a-d: 1 (kept, sign bit),
+    # b-c: 2 (kept), b-d: 4 (dropped), c-d: 6 (dropped)
+    assert got == {("a", "b"): 3, ("a", "d"): 1, ("b", "c"): 2}
