@@ -65,6 +65,7 @@ from crawl4ai_spark.operators.dedup import (
     simhash_pairs,
 )
 from crawl4ai_spark.operators.llm import llm_content_filter_stage, llm_extract_stage
+from crawl4ai_spark.operators.pdf import pdf_extract_stage
 from crawl4ai_spark.operators.politeness import apply_host_budget, with_host_slots
 from crawl4ai_spark.operators.similarity import (
     brute_force_topk,
@@ -82,7 +83,7 @@ from crawl4ai_spark.operators.text import (
 from crawl4ai_spark.operators.multimodal import feature_stage
 from crawl4ai_spark.oracle import expected as oracle_expected
 from crawl4ai_spark.plans.frontier import CrawlConfig, deep_crawl
-from crawl4ai_spark.sources import synth
+from crawl4ai_spark.sources import pdfsynth, synth
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -846,6 +847,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["phash_neardup"] = q_phash_neardup
 
+    def q_pdf_extract(spark, sf):
+        # PDF tier (reference processors/pdf/): build a deterministic PDF
+        # per document (sources/pdfsynth.py recipes), parse it back with
+        # the from-scratch stdlib parser in one Arrow stage; the expected
+        # table is derived from the BUILDER INPUTS, never the parser
+        oracle_expected.ensure_pdf_expected(sf)
+        docs = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text")
+        out = pdf_extract_stage(pdfsynth.pdf_corpus(docs))
+        return out.select(
+            "doc_id", F.col("page_number").cast("long").alias("page_number"),
+            "raw_text", F.array_join("links", ",").alias("links"),
+            "title", "author", "created",
+            F.col("n_pages").cast("long").alias("n_pages"),
+            "encrypted", "file_size",
+        )
+    q["pdf_extract"] = q_pdf_extract
+
     def q_llm_extract(spark, sf):
         # LLMExtractionStrategy plumbing with the deterministic fake model
         # (oracle/expected.py fake_llm_extract defines the "model"; the
@@ -1450,6 +1469,11 @@ def oracle_sql() -> dict[str, str]:
     )
     o["llm_filter"] = (
         f"SELECT url, section_idx, markdown FROM read_parquet('{_exp('llm_filter')}')"
+    )
+    o["pdf_extract"] = (
+        "SELECT doc_id, page_number, raw_text, links, title, author, "
+        "created, n_pages, encrypted, file_size "
+        f"FROM read_parquet('{_exp('pdf_extract')}')"
     )
 
     return o

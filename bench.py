@@ -338,6 +338,53 @@ def phash_neardup_bench(spark, n_rows: int = 200_000,
     }
 
 
+def pdf_extract_bench(spark, n_docs: int = 2_000) -> dict:
+    """PDF tier at scale: parse-stage throughput over a cached synthetic
+    corpus (~4 pages/doc, half FlateDecode / half plain).  The corpus is
+    built once per (rev, n_docs); the timed region is ONLY the stdlib
+    parse stage (operators/pdf.py) — the number that matters for a
+    100 TB document-payload backfill."""
+    from crawl4ai_spark.operators.pdf import pdf_extract_stage
+    from crawl4ai_spark.sources import pdfsynth
+
+    pdir = f"{BENCH_CACHE}/pdfs_r{synth.FIXTURE_REV}_n{n_docs}"
+    marker = f"{pdir}/_done"
+    if not os.path.exists(marker):
+        def build(batches):
+            import pandas as pd
+            for b in batches:
+                rows = []
+                for i in b["id"]:
+                    i = int(i)
+                    text = " ".join(
+                        f"w{(i * 2654435761 + k * 97) % 4093}"
+                        for k in range(600))
+                    rows.append({"doc_id": str(i),
+                                 "pdf": pdfsynth.pdf_bytes_of(i, text)})
+                yield pd.DataFrame(rows, columns=["doc_id", "pdf"])
+
+        n_parts = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        (spark.range(0, n_docs, 1, n_parts)
+         .mapInPandas(build, "doc_id string, pdf binary")
+         .write.mode("overwrite").parquet(f"{pdir}/pdfs.parquet"))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    pdfs = spark.read.parquet(f"{pdir}/pdfs.parquet")
+    t0 = time.time()
+    row = (pdf_extract_stage(pdfs)
+           .agg(F.count("*").alias("pages"),
+                F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
+                .alias("errs")).collect()[0])
+    secs = time.time() - t0
+    assert row["errs"] == 0, f"{row['errs']} documents failed to parse"
+    return {
+        "sec": round(secs, 3),
+        "docs": n_docs,
+        "pages": row["pages"],
+        "pages_per_sec": round(row["pages"] / secs, 1),
+    }
+
+
 def host_calibration(spark) -> dict:
     """Fixed micro-workloads recorded per run so round-over-round deltas
     can be normalized for host drift (this VM's per-core throughput moves
@@ -462,6 +509,10 @@ def main() -> None:
     # image near-dup join at scale (uniform-random worst case + planted dups)
     extras["phash_neardup"] = phash_neardup_bench(
         spark, n_rows=max(20_000, int(2_000_000 * sf)))
+
+    # PDF parse-stage throughput over a cached synthetic corpus
+    extras["pdf_extract"] = pdf_extract_bench(
+        spark, n_docs=max(1_000, int(50_000 * sf)))
 
     total = round(sum(queries.values()), 3)
     print(json.dumps({

@@ -931,3 +931,42 @@ def ensure_llm_expected(sf_dir: str, threshold: int = 64,
         fl_rows, columns=["url", "section_idx", "markdown"]).astype(
         {"section_idx": "int64"}))
     _done["llm"] = key
+
+
+# ------------------------------------------------------------------- pdf
+
+def ensure_pdf_expected(sf_dir: str) -> None:
+    """pdf_extract probe: the expected table is reconstructed from the
+    BUILDER INPUTS (sources/pdfsynth.py recipes — page-ification, link and
+    metadata recipes), never from operators/pdf.py: text in == text out.
+    Only file_size touches the built artifact (len of the bytes)."""
+    key = ("pdf", sf_dir)
+    if _done.get("pdf") == key:
+        return
+    from ..sources import pdfsynth
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    rows = []
+    for r in docs.itertuples():
+        i = int(r.doc_id)
+        text = r.text if isinstance(r.text, str) else ""
+        pages = pdfsynth.doc_pages_of(text)
+        meta = pdfsynth.doc_meta_of(i)
+        links = pdfsynth.doc_links_of(i, len(pages))
+        size = len(pdfsynth.pdf_bytes_of(i, text))
+        for pno, lines in enumerate(pages, start=1):
+            rows.append({
+                "doc_id": str(i), "page_number": pno,
+                "raw_text": "\n".join(lines),
+                "links": ",".join(links[pno - 1]),
+                "title": meta["title"], "author": meta["author"],
+                "created": meta["created_iso"], "n_pages": len(pages),
+                "encrypted": False, "file_size": size,
+            })
+    _write("pdf_extract", pd.DataFrame(
+        rows, columns=["doc_id", "page_number", "raw_text", "links",
+                       "title", "author", "created", "n_pages",
+                       "encrypted", "file_size"]).astype(
+        {"page_number": "int64", "n_pages": "int64", "file_size": "int64"}))
+    _done["pdf"] = key
