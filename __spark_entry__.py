@@ -58,6 +58,7 @@ from crawl4ai_spark.functions.scorers import (
 from crawl4ai_spark.functions.images import decode_stage
 from crawl4ai_spark.operators.extraction import extract_stage
 from crawl4ai_spark.operators.dedup import (
+    dedup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -847,6 +848,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["phash_neardup"] = q_phash_neardup
 
+    def q_image_dedup_clusters(spark, sf):
+        # pairs → clusters: hash-min label propagation over the phash
+        # near-dup graph + singleton backfill; expected table is a
+        # sequential union-find over the brute-force expected pairs
+        oracle_expected.ensure_phash_expected(n_pages=280, max_hamming=4)
+        p = _graph(n_pages=280)
+        _, _, images = synth.synth_tables(spark, p)
+        pairs = phash_pairs(images, max_hamming=4)
+        return dedup_clusters(images, pairs, "image_id")
+    q["image_dedup_clusters"] = q_image_dedup_clusters
+
     def q_pdf_extract(spark, sf):
         # PDF tier (reference processors/pdf/): build a deterministic PDF
         # per document (sources/pdfsynth.py recipes), parse it back with
@@ -1462,6 +1474,10 @@ def oracle_sql() -> dict[str, str]:
     )
     o["phash_neardup"] = (
         f"SELECT id_a, id_b, hamming FROM read_parquet('{_exp('phash_neardup')}')"
+    )
+    o["image_dedup_clusters"] = (
+        "SELECT image_id, component, canonical "
+        f"FROM read_parquet('{_exp('image_dedup_clusters')}')"
     )
     o["llm_extract"] = (
         "SELECT url, section_idx, block_idx, tags, content, error "

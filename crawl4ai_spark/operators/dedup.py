@@ -316,3 +316,86 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iters: int = 50) -> DataFrame:
+    """(id, component) for every id in ``pairs``; component = the minimum
+    id in the connected component (hash-min label propagation).
+
+    This is the pairs→clusters step every near-dup dedup pipeline needs:
+    pair emitters (phash_pairs / simhash_pairs / minhash_lsh_pairs /
+    embedding_neardup_pairs) produce EDGES, but "keep one copy" requires
+    transitive closure — a∼b, b∼c must collapse a,b,c into one group even
+    when a∼c was never emitted.
+
+    Per iteration each node takes the min label over itself and its
+    neighbors (two shuffles: edge join + groupBy-min), with an eager
+    localCheckpoint to keep lineage flat and a changed-count early exit.
+    Convergence is O(graph diameter) rounds — near-dup components are
+    star-ish (copies cluster around an original), so real corpora
+    converge in 2-4 rounds regardless of corpus size; the per-round cost
+    is two hash shuffles of the EDGE set, never anything quadratic.  For
+    adversarially chain-shaped graphs swap in the two-phase
+    large-star/small-star variant (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14) — same join primitives, O(log n)
+    rounds; not needed for dedup-shaped graphs.
+
+    No reference analog (crawl4ai dedups by exact URL/content key only);
+    added for the training-data pipeline tier.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"),
+                        F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.withColumnRenamed("comp", "comp_new")
+            .join(labels.withColumnRenamed("comp", "comp_old"), "id")
+            .where(F.col("comp_new") != F.col("comp_old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
+                   id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Full-corpus cluster assignment: every row of ``df`` gets
+    (id, component, canonical) — rows in no pair are their own singleton
+    component; ``canonical`` marks the one row per component to keep
+    (the minimum id).  One broadcast-or-hash join over the label table
+    (labels ≈ #ids-in-pairs ≪ corpus)."""
+    labels = connected_components(pairs, id_a, id_b)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("comp", F.col("id")).alias("component"),
+            (F.coalesce("comp", F.col("id")) == F.col("id")).alias("canonical"),
+        )
+    )

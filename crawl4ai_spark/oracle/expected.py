@@ -815,6 +815,25 @@ def ensure_phash_expected(n_pages: int = 280, max_hamming: int = 4) -> None:
     _write("phash_neardup", pd.DataFrame(
         rows, columns=["id_a", "id_b", "hamming"]).astype(
         {"hamming": "int64"}))
+
+    # clusters twin: sequential union-find over the SAME brute-force
+    # pairs — independent of the engine's label-propagation joins
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        ra, rb = find(r["id_a"]), find(r["id_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    _write("image_dedup_clusters", pd.DataFrame(
+        [{"image_id": i, "component": find(i), "canonical": find(i) == i}
+         for i in ids],
+        columns=["image_id", "component", "canonical"]))
     _done["phash"] = key
 
 

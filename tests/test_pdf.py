@@ -159,3 +159,29 @@ def test_stage_stream_noise_immunity(spark):
         res = parse_pdf(_mk([lines], title="T", compress=compress))
         assert res["pages"][0]["raw_text"] == "\n".join(lines)
         assert res["metadata"]["title"] == "T"
+
+
+# ------------------------------------------------------------- properties
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crawl4ai_spark.sources.pdfsynth import pdf_bytes_of
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=4000), st.integers(min_value=0, max_value=10_000))
+def test_build_parse_roundtrip_property(text, i):
+    """For ANY text: parse(pdf_bytes_of(i, text)) reproduces exactly the
+    page/line recipe (doc_pages_of) and the metadata recipe — the same
+    identity the pdf_extract gate oracle relies on."""
+    from crawl4ai_spark.sources.pdfsynth import doc_meta_of
+
+    res = parse_pdf(pdf_bytes_of(i, text))
+    pages = doc_pages_of(text)
+    meta = doc_meta_of(i)
+    assert res["metadata"]["n_pages"] == len(pages)
+    assert res["metadata"]["title"] == meta["title"]
+    assert res["metadata"]["created"] == meta["created_iso"]
+    for want, got in zip(pages, res["pages"]):
+        assert got["raw_text"] == "\n".join(want)

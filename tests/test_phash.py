@@ -64,3 +64,59 @@ def test_hamming_pairs_threshold_is_exact(spark):
     # a-b: 3 bits (kept), a-c: 5 (dropped), a-d: 1 (kept, sign bit),
     # b-c: 2 (kept), b-d: 4 (dropped), c-d: 6 (dropped)
     assert got == {("a", "b"): 3, ("a", "d"): 1, ("b", "c"): 2}
+
+
+# ------------------------------------------------------ cluster formation
+
+def _uf(ids, edges):
+    """Independent union-find twin."""
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in ids}
+
+
+def test_connected_components_transitive(spark):
+    # a-b, b-c, plus isolated pair x-y: a,b,c collapse via transitivity
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "id_a string, id_b string")
+    got = {r["id"]: r["comp"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_chain_converges(spark):
+    # worst-case shape for hash-min: a 30-node path (diameter 29)
+    ids = [f"n{i:02d}" for i in range(30)]
+    pairs = spark.createDataFrame(
+        list(zip(ids, ids[1:])), "id_a string, id_b string")
+    got = {r["id"]: r["comp"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {i: "n00" for i in ids}
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    p = synth.GraphParams(n_pages=105, n_domains=12, seed=42)
+    _, _, images = synth.synth_tables(spark, p)
+    pairs = dedup.phash_pairs(images, max_hamming=4)
+    got = {r["image_id"]: (r["component"], r["canonical"])
+           for r in dedup.dedup_clusters(images, pairs, "image_id").collect()}
+    ids = [r["image_id"]
+           for r in images.select("image_id").orderBy("image_id").collect()]
+    edges = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    want = _uf(ids, edges)
+    assert len(got) == len(ids)
+    for i in ids:
+        assert got[i] == (want[i], want[i] == i), i
+    # most planted dups (every 7th image) land within the k=4 gate —
+    # those groups must come out non-singleton
+    assert sum(1 for i in ids if got[i][0] != i) >= len(ids) // 10
