@@ -144,6 +144,52 @@ def main() -> None:
         plan_of(within), ["Window", "hashpartitioning"],
     ))
 
+    # 8. phash near-dup pigeonhole join: equality join on (chunk_idx,
+    # chunk_val) — a real hash shuffle join, NEVER a cartesian/nested-loop;
+    # the Hamming gate is codegen bit_count over the joined hashes
+    from crawl4ai_spark.operators.dedup import phash_pairs
+
+    imgs = spark.range(4000).select(
+        F.col("id").cast("string").alias("image_id"),
+        F.xxhash64(F.col("id").cast("string")).alias("phash"),
+    )
+    pp = phash_pairs(imgs, max_hamming=4)
+    pp_plan = plan_of(pp)
+    sections.append((
+        "phash near-dup (pigeonhole equality join + bit_count gate)",
+        pp_plan, ["hashpartitioning", "bit_count"],
+    ))
+    assert "CartesianProduct" not in pp_plan and \
+        "BroadcastNestedLoopJoin" not in pp_plan, \
+        "phash blocking degenerated to an all-pairs join"
+
+    # 9. connected-components single round: edge⋈label join + min-agg —
+    # two hash exchanges over the EDGE set, nothing quadratic
+    edges = pp.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("comp"))
+    nbr_min = (
+        edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.min("comp").alias("nbr_comp"))
+    )
+    sections.append((
+        "Connected-components round (edge join → min aggregate)",
+        plan_of(nbr_min), ["hashpartitioning", "HashAggregate"],
+    ))
+
+    # 10. PDF extract stage: column-pruned scan feeding one Arrow stage
+    from crawl4ai_spark.operators.pdf import pdf_extract_stage
+    from crawl4ai_spark.sources.pdfsynth import pdf_bytes_of
+
+    pdf_df = spark.createDataFrame(
+        [("1", bytearray(pdf_bytes_of(1, "alpha beta")))],
+        "doc_id string, pdf binary")
+    sections.append((
+        "PDF extract (single Arrow stage, no per-row Python)",
+        plan_of(pdf_extract_stage(pdf_df)), ["MapInPandas"],
+    ))
+
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)\n"]
     out.append(
         "Generated by tools/explain_audit.py. Verdict lines check the "
