@@ -1038,8 +1038,14 @@ class CrawlEngine:
         if domain_state is not None:
             self.store.write("domain_state", domain_state, superstep)
         if self.metrics:
-            # per-superstep fetch/dedup metrics + partition lineage
-            self.store.write_json("metrics", superstep, self.metrics[-1])
+            # per-superstep fetch/dedup metrics + per-partition lineage
+            # (part-file → rows/bytes, read from parquet footers driver-side)
+            entry = dict(self.metrics[-1])
+            entry["lineage"] = {
+                t: self.store.partition_lineage(t, superstep)
+                for t in ("results", "frontier", "seen")
+            }
+            self.store.write_json("metrics", superstep, entry)
         self.store.commit(superstep, counters)
 
     def _log(self, **kw) -> None:

@@ -47,6 +47,18 @@ def test_bfs_kill_resume(spark, tables, tmp_path):
     assert _rows(resumed) == want
     # metrics snapshots exist per committed superstep
     assert os.path.isdir(str(tmp_path / "ckpt" / "metrics" / "000000"))
+    # per-partition lineage: one record per part file, rows sum to the
+    # snapshot's actual row count (north_rule lineage requirement)
+    import json
+
+    with open(str(tmp_path / "ckpt" / "metrics" / "000000" / "data.json")) as f:
+        m = json.load(f)
+    lin = m["lineage"]
+    for table in ("results", "frontier", "seen"):
+        snap = store.read_one(spark, table, 0)
+        assert sum(p["rows"] for p in lin[table]) == snap.count()
+        assert all(p["bytes"] > 0 and p["file"].endswith(".parquet")
+                   for p in lin[table])
 
 
 def test_best_first_kill_resume(spark, tables, tmp_path):
