@@ -58,8 +58,10 @@ from crawl4ai_spark.functions.scorers import (
 from crawl4ai_spark.functions.images import decode_stage
 from crawl4ai_spark.operators.extraction import extract_stage
 from crawl4ai_spark.operators.dedup import (
+    caption_dedup,
     dedup_clusters,
     exact_dedup,
+    image_joint_neardup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     phash_pairs,
@@ -859,6 +861,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup_clusters(images, pairs, "image_id")
     q["image_dedup_clusters"] = q_image_dedup_clusters
 
+    def q_caption_dedup(spark, sf):
+        # exact image-caption dedup: normalized-caption fingerprint groups
+        # (dup images inherit their base's alt text, half reformatted);
+        # oracle re-derives the grouping from scratch in DuckDB over the
+        # (image_id, caption, phash) input parquet
+        oracle_expected.ensure_images_input(n_pages=280)
+        p = _graph(n_pages=280)
+        _, _, images = synth.synth_tables(spark, p)
+        return caption_dedup(images)
+    q["caption_dedup"] = q_caption_dedup
+
+    def q_image_joint_neardup(spark, sf):
+        # joint tier: phash Hamming ≤ 8 AND normalized-caption equality;
+        # oracle is a brute-force O(n²) bit_count(xor()) self-join in
+        # DuckDB — fully independent of the pigeonhole blocking join
+        oracle_expected.ensure_images_input(n_pages=280)
+        p = _graph(n_pages=280)
+        _, _, images = synth.synth_tables(spark, p)
+        return image_joint_neardup(images, max_hamming=8).select(
+            "id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+    q["image_joint_neardup"] = q_image_joint_neardup
+
     def q_pdf_extract(spark, sf):
         # PDF tier (reference processors/pdf/): build a deterministic PDF
         # per document (sources/pdfsynth.py recipes), parse it back with
@@ -1397,6 +1421,7 @@ def oracle_sql() -> dict[str, str]:
     # for their own sf before each DuckDB read.
     oracle_expected.ensure_crawl_expected()
     oracle_expected.ensure_image_expected(n_pages=200)
+    oracle_expected.ensure_images_input(n_pages=280)
     # Best-effort warm-up only: the queries() callables regenerate for the
     # sf actually under test before each DuckDB read (and the memo in
     # oracle/expected.py regenerates on any param/sf change), so a machine
@@ -1479,6 +1504,24 @@ def oracle_sql() -> dict[str, str]:
         "SELECT image_id, component, canonical "
         f"FROM read_parquet('{_exp('image_dedup_clusters')}')"
     )
+    cap_norm = _NORM_SQL.format(c="caption")
+    o["caption_dedup"] = f"""
+        SELECT md5({cap_norm}) AS caption_fp,
+               min(image_id) AS keep_id,
+               count(*) AS n_rows,
+               count(DISTINCT phash) AS n_phash
+        FROM read_parquet('{_exp('images_input')}')
+        GROUP BY 1
+    """
+    o["image_joint_neardup"] = f"""
+        WITH t AS (
+          SELECT image_id, phash, md5({cap_norm}) AS cfp
+          FROM read_parquet('{_exp('images_input')}'))
+        SELECT a.image_id AS id_a, b.image_id AS id_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        FROM t a JOIN t b ON a.image_id < b.image_id AND a.cfp = b.cfp
+        WHERE bit_count(xor(a.phash, b.phash)) <= 8
+    """
     o["llm_extract"] = (
         "SELECT url, section_idx, block_idx, tags, content, error "
         f"FROM read_parquet('{_exp('llm_extract')}')"

@@ -262,6 +262,59 @@ def phash_pairs(images: DataFrame, max_hamming: int = 4,
                          id_col, max_hamming)
 
 
+def caption_fp_col(caption_col):
+    """Fingerprint of the NORMALIZED caption (lowercase, whitespace
+    collapsed) — byte-exact copies and case/whitespace reformats of the
+    same alt text share one fingerprint."""
+    return F.md5(normalized_text(caption_col))
+
+
+def caption_dedup(images: DataFrame, caption_col: str = "caption",
+                  id_col: str = "image_id",
+                  phash_col: str = "phash") -> DataFrame:
+    """Exact image-caption dedup over the payload table (BASELINE.json
+    input_hint shape): group by normalized-caption fingerprint, keep the
+    lowest image_id, report group size and how many DISTINCT perceptual
+    hashes share the caption (>1 ⇒ same alt text on visually different
+    images — the classic alt-text-boilerplate signal in image-caption
+    training sets).  One hash shuffle on the fingerprint with map-side
+    partial aggregation; no skew expected (captions are near-unique), and
+    a pathological single-caption corpus degrades to one hot key, not a
+    cross join."""
+    return (
+        images.groupBy(caption_fp_col(F.col(caption_col)).alias("caption_fp"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct(phash_col).cast("long").alias("n_phash"),
+        )
+    )
+
+
+def image_joint_neardup(images: DataFrame, max_hamming: int = 4,
+                        id_col: str = "image_id",
+                        hash_col: str = "phash",
+                        caption_col: str = "caption") -> DataFrame:
+    """Joint image+caption near-dup: pairs whose phash Hamming distance is
+    ≤ max_hamming AND whose normalized captions are byte-equal — the
+    high-precision "same picture re-served with its alt text" tier a
+    web-scale image-caption pipeline drops first.  Candidate generation is
+    the pigeonhole blocking join (never all-pairs); the caption gate is two
+    hash joins against a tiny (id, fingerprint) projection."""
+    pairs = phash_pairs(images, max_hamming, id_col=id_col, hash_col=hash_col)
+    fp = images.select(
+        F.col(id_col), caption_fp_col(F.col(caption_col)).alias("__cfp"))
+    return (
+        pairs
+        .join(fp.withColumnRenamed(id_col, "id_a")
+                .withColumnRenamed("__cfp", "__cfp_a"), "id_a")
+        .join(fp.withColumnRenamed(id_col, "id_b")
+                .withColumnRenamed("__cfp", "__cfp_b"), "id_b")
+        .filter(F.col("__cfp_a") == F.col("__cfp_b"))
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.8,
                         max_shingle_df: int | None = None) -> DataFrame:

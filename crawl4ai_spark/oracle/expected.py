@@ -837,6 +837,34 @@ def ensure_phash_expected(n_pages: int = 280, max_hamming: int = 4) -> None:
     _done["phash"] = key
 
 
+def ensure_images_input(n_pages: int = 280) -> None:
+    """INPUT table for the caption-dedup / joint-neardup oracles:
+    (image_id, caption, phash) from the deterministic fixture generator.
+    Unlike the expected-OUTPUT tables above, this carries no dedup logic —
+    the oracle SQL re-derives the grouping / brute-force pairing from
+    scratch in DuckDB, so the probes stay independent of the engine's
+    operators."""
+    key = ("images_input", n_pages)
+    if _done.get("images_input") == key:
+        return
+    from ..sources import synth
+
+    p = _graph(n_pages=n_pages)
+    rows = []
+    for i in range(n_pages):
+        image_id, w, h, _fmt = synth.image_meta_of(i, p)
+        px = synth.image_pixels(image_id, w, h, p.seed)
+        rows.append({
+            "image_id": image_id,
+            "caption": synth._caption_of(i, p),
+            "phash": int(synth.codecs.phash64(px)),
+        })
+    _write("images_input", pd.DataFrame(
+        rows, columns=["image_id", "caption", "phash"]).astype(
+        {"phash": "int64"}))
+    _done["images_input"] = key
+
+
 # ------------------------------------------------------------------- llm
 
 def _prompt_escape_twin(s: str) -> str:

@@ -120,3 +120,44 @@ def test_dedup_clusters_matches_union_find(spark):
     # most planted dups (every 7th image) land within the k=4 gate —
     # those groups must come out non-singleton
     assert sum(1 for i in ids if got[i][0] != i) >= len(ids) // 10
+
+
+def test_caption_dedup_groups_dup_alt_text(spark):
+    """Dup images inherit their base caption (half reformatted) — the
+    normalized-caption groups must contain exactly the planted dup pairs,
+    keep the lowest image_id, and count distinct phashes per group."""
+    p = synth.GraphParams(n_pages=70, n_domains=12, seed=42)
+    _, _, images = synth.synth_tables(spark, p)
+    got = {r["keep_id"]: (r["n_rows"], r["n_phash"])
+           for r in dedup.caption_dedup(images).collect()}
+    # pure-Python twin over the same generator
+    import collections
+    norm = lambda s: " ".join(s.split()).lower()
+    groups = collections.defaultdict(list)
+    for i in range(70):
+        iid, w, h, _ = synth.image_meta_of(i, p)
+        ph = synth.codecs.phash64(synth.image_pixels(iid, w, h, p.seed))
+        groups[norm(synth._caption_of(i, p))].append((iid, ph))
+    want = {min(x[0] for x in g): (len(g), len({x[1] for x in g}))
+            for g in groups.values()}
+    assert got == want
+    # planted: every 7th image shares its base's normalized caption
+    assert any(n == 2 for n, _ in got.values())
+
+
+def test_image_joint_neardup_is_caption_gated_subset(spark):
+    p = synth.GraphParams(n_pages=105, n_domains=12, seed=42)
+    _, _, images = synth.synth_tables(spark, p)
+    all_pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in dedup.phash_pairs(images, max_hamming=8).collect()}
+    joint = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.image_joint_neardup(images, max_hamming=8).collect()}
+    assert set(joint) <= set(all_pairs)
+    assert all(joint[k] == all_pairs[k] for k in joint)
+    # the caption gate keeps only same-alt-text pairs
+    caps = {r["image_id"]: r["caption"]
+            for r in images.select("image_id", "caption").collect()}
+    norm = lambda s: " ".join(s.split()).lower()
+    for (a, b), _ in all_pairs.items():
+        assert ((a, b) in joint) == (norm(caps[a]) == norm(caps[b]))
+    assert len(joint) > 0  # planted dups carry their base caption
