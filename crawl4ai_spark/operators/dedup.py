@@ -208,26 +208,37 @@ def hamming_pairs(df: DataFrame, hash_col: str, id_col: str,
     Scale: candidates ≈ rows² · (k+1) / 2^(64//(k+1)) for uniform hashes —
     k=3 → /16384, k=4 → /819.  Near-dup corpora cluster far below that.
     All joins/gates are native Catalyst (codegen `bit_count`); nothing
-    leaves the JVM."""
+    leaves the JVM.  Candidate dedup is the CANONICAL-CHUNK rule — a pair
+    is emitted only from its first agreeing chunk (for every earlier chunk
+    the two hashes must differ), a pure-codegen predicate on (h_a, h_b) —
+    so the candidate stream never pays a dropDuplicates shuffle: the only
+    exchange in the whole operator is the equality join itself."""
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
     mask = (1 << chunk_bits) - 1
-    chunk_exprs = [
-        F.shiftrightunsigned(F.col(hash_col), i * chunk_bits).bitwiseAND(F.lit(mask))
-        for i in range(n_chunks)
-    ]
+
+    def chunk_of(col, i: int):
+        return F.shiftrightunsigned(col, i * chunk_bits).bitwiseAND(F.lit(mask))
+
     chunks = df.select(
         F.col(id_col), F.col(hash_col).alias("__h"),
-        F.posexplode(F.array(*chunk_exprs)).alias("chunk_idx", "chunk_val"),
+        F.posexplode(
+            F.array(*[chunk_of(F.col(hash_col), i) for i in range(n_chunks)])
+        ).alias("chunk_idx", "chunk_val"),
     )
     left = chunks.select(F.col(id_col).alias("id_a"), F.col("__h").alias("h_a"),
                          "chunk_idx", "chunk_val")
     right = chunks.select(F.col(id_col).alias("id_b"), F.col("__h").alias("h_b"),
                           "chunk_idx", "chunk_val")
+    first_agreeing = None
+    for j in range(n_chunks - 1):
+        disagree_before_j = (F.col("chunk_idx") <= j) | (
+            chunk_of(F.col("h_a"), j) != chunk_of(F.col("h_b"), j))
+        first_agreeing = (disagree_before_j if first_agreeing is None
+                          else first_agreeing & disagree_before_j)
     cand = (
         left.join(right, ["chunk_idx", "chunk_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .filter((F.col("id_a") < F.col("id_b")) & first_agreeing)
     )
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (
