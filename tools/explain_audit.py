@@ -155,9 +155,14 @@ def main() -> None:
     )
     pp = phash_pairs(imgs, max_hamming=4)
     pp_plan = plan_of(pp)
+    # canonical-chunk dedup means NO exchange beyond the equality join
+    # itself; at audit scale that join is a broadcast (zero shuffle) —
+    # at scale AQE shuffles on (chunk_idx, chunk_val).  Assert the join is
+    # an equality HashJoin with the codegen bit_count gate, never an
+    # all-pairs nested loop.
     sections.append((
         "phash near-dup (pigeonhole equality join + bit_count gate)",
-        pp_plan, ["hashpartitioning", "bit_count"],
+        pp_plan, ["HashJoin", "bit_count"],
     ))
     assert "CartesianProduct" not in pp_plan and \
         "BroadcastNestedLoopJoin" not in pp_plan, \
