@@ -116,3 +116,21 @@ def with_global_cumsum(df: DataFrame, order_cols: list[Column | str],
             yield b.drop(columns=["__pid"])
 
     return d.mapInPandas(assign, f"{fields}, {out_col} long")
+
+def widen(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition a NARROW input up to the session parallelism
+    before a compute-heavy per-row stage.
+
+    Parquet scans cannot split below row-group granularity, so a small
+    single-row-group file yields 1-2 partitions no matter how low
+    ``spark.sql.files.maxPartitionBytes`` is set — and a heavy expression
+    or Arrow stage then grinds on 2 of 32 cores.  At 100 TB the scan has
+    thousands of splits and this is a no-op (``getNumPartitions`` already
+    ≥ cores); the repartition only ever fires on narrow inputs, where the
+    one extra row shuffle is far cheaper than the serialized compute.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from crawl4ai_spark.dist import widen
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -81,23 +83,43 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
                        n_hashes: int = 64, shingle_k: int = 3,
                        seed: int = 42) -> DataFrame:
     """(id, sig array<long>) — shingle hashing in Catalyst (codegen), then
-    one numpy (a·h + b) mod p min-reduction per Arrow batch."""
+    one numpy (a·h + b) mod p min-reduction per Arrow batch.  The
+    reduction is vectorized ACROSS documents (concatenate all shingle
+    arrays, one (total_shingles × n_hashes) pass, segment-min via
+    ``np.minimum.reduceat``) — no per-row Python loop — and chunked so the
+    intermediate stays ≲128 MB regardless of batch size.  Arithmetic is
+    bit-identical to the sequential oracle twin (int64 wrap + mod p)."""
     a, b = _hash_params(n_hashes, seed)
+    # tile size: keep the (tile × n_hashes) int64 intermediate ~4 MB so it
+    # stays cache-resident — large tiles are memory-bound and LOSE to the
+    # per-row loop; tiny tiles pay Python overhead per doc
+    chunk_shingles = max(1, 524_288 // n_hashes)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            ids, sigs = [], []
-            for r in batch.itertuples():
-                sh = np.asarray(r.sh, dtype=np.int64)
-                if sh.size == 0:
-                    sh = np.zeros(1, dtype=np.int64)
-                # (n_shingles, n_hashes) permuted values, min over shingles
-                vals = (sh[:, None] * a[None, :] + b[None, :]) % _MERSENNE
-                sigs.append(vals.min(axis=0).astype(np.int64).tolist())
-                ids.append(getattr(r, id_col))
-            yield pd.DataFrame({id_col: ids, "sig": sigs})
+            ids = batch[id_col].to_numpy()
+            # empty docs get one zero shingle (same padding as the twin)
+            arrs = [np.asarray(x, dtype=np.int64) if len(x) else
+                    np.zeros(1, dtype=np.int64) for x in batch["sh"]]
+            sig_rows: list[np.ndarray] = []
+            i = 0
+            while i < len(arrs):
+                j, tot = i, 0
+                while j < len(arrs) and (tot == 0 or tot + len(arrs[j]) <= chunk_shingles):
+                    tot += len(arrs[j]); j += 1
+                vals = np.concatenate(arrs[i:j])[:, None] * a[None, :]
+                vals += b[None, :]
+                vals %= _MERSENNE
+                lens = np.array([len(x) for x in arrs[i:j]], dtype=np.int64)
+                offs = np.zeros(len(lens), dtype=np.int64)
+                np.cumsum(lens[:-1], out=offs[1:])
+                sig_rows.extend(np.minimum.reduceat(vals, offs, axis=0))
+                i = j
+            yield pd.DataFrame({id_col: ids, "sig": sig_rows})
 
-    hashed = df.select(
+    # widen BEFORE the shingle expr: a single-row-group parquet scan gives
+    # 1-2 splits and the codegen'd k-gram/xxhash work serializes on them
+    hashed = widen(df.select(id_col, text_col)).select(
         F.col(id_col), _shingle_hash_col(text_col, shingle_k).alias("sh")
     )
     return hashed.mapInPandas(run, f"{id_col} long, sig array<long>")
@@ -117,9 +139,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     sigs = minhash_signatures(
         df, text_col, id_col, n_hashes, shingle_k, seed
     ).localCheckpoint(eager=True)
+    # the ×bands exploded join ships ONLY (id, band, bucket) — never the
+    # n_hashes-long signature array (that would multiply shuffle volume by
+    # bands); the two compact sig lookups below rejoin it once per side
     banded = sigs.select(
         F.col(id_col),
-        F.col("sig"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -134,16 +158,18 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
             )
         ).alias("band", "bucket"),
     )
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
-    )
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cand = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = (
+        cand.join(sigs.select(F.col(id_col).alias("id_a"),
+                              F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col(id_col).alias("id_b"),
+                          F.col("sig").alias("sig_b")), "id_b")
     )
     est = F.size(
         F.filter(
