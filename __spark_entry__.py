@@ -74,6 +74,7 @@ from crawl4ai_spark.operators.similarity import (
     brute_force_topk,
     cosine_col,
     embedding_neardup_pairs,
+    ivf_ann_topk,
     lsh_ann_topk,
 )
 from crawl4ai_spark.operators.text import (
@@ -708,6 +709,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("cosine", 4).alias("cosine"), F.col("rank").cast("long"),
         )
     q["lsh_ann"] = q_lsh_ann
+
+    def q_ivf_ann(spark, sf):
+        qs = np.array([_ANN_QUERY, [-x for x in _ANN_QUERY]])
+        oracle_expected.ensure_ivf_ann_expected(sf, qs, k=10, n_centroids=16,
+                                                nprobe=4, iters=3)
+        emb = _t(spark, sf, "embeddings")
+        return ivf_ann_topk(emb, qs, k=10, n_centroids=16, nprobe=4,
+                            iters=3).select(
+            F.col("query_id").cast("long"), F.col("vec_id").cast("long"),
+            F.round("cosine", 4).alias("cosine"), F.col("rank").cast("long"),
+        )
+    q["ivf_ann"] = q_ivf_ann
 
     def q_embedding_neardup(spark, sf):
         # 4th dedup tier: embeddings ∪ slightly-perturbed copies → SRP-band
@@ -1439,6 +1452,10 @@ def oracle_sql() -> dict[str, str]:
             _gate_sf, np.array([_ANN_QUERY, [-x for x in _ANN_QUERY]]),
             k=10, n_planes=8,
         )
+        oracle_expected.ensure_ivf_ann_expected(
+            _gate_sf, np.array([_ANN_QUERY, [-x for x in _ANN_QUERY]]),
+            k=10, n_centroids=16, nprobe=4, iters=3,
+        )
         oracle_expected.ensure_neardup_expected(_gate_sf)
         oracle_expected.ensure_cosine_expected(_gate_sf)
         oracle_expected.ensure_rules_expected(_gate_sf)
@@ -1466,6 +1483,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["lsh_ann"] = (
         f"SELECT query_id, vec_id, cosine, rank FROM read_parquet('{_exp('lsh_ann')}')"
+    )
+    o["ivf_ann"] = (
+        f"SELECT query_id, vec_id, cosine, rank FROM read_parquet('{_exp('ivf_ann')}')"
     )
     o["embedding_neardup"] = (
         f"SELECT id_a, id_b, cosine FROM read_parquet('{_exp('embedding_neardup')}')"

@@ -194,18 +194,25 @@ def simhash_col(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         shifts = np.arange(64, dtype=np.uint64)
         weights = (np.uint64(1) << shifts).astype(np.uint64)
         for batch in batches:
-            ids, hashes = [], []
-            for r in batch.itertuples():
-                h = np.asarray(r.th, dtype=np.int64).view(np.uint64)
-                if h.size:
-                    bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1))
-                    acc = 2 * bits.sum(axis=0).astype(np.int64) - h.size
-                else:
-                    acc = np.full(64, 0, dtype=np.int64)
-                val = int((weights[acc > 0]).sum(dtype=np.uint64))
-                ids.append(getattr(r, id_col))
-                hashes.append(val - (1 << 64) if val >= (1 << 63) else val)
-            yield pd.DataFrame({id_col: ids, "simhash": hashes})
+            # vectorized ACROSS docs: concatenate all token-hash arrays,
+            # one (total_tokens × 64) bit expansion, segment-sum via
+            # np.add.reduceat — identical bit-vote arithmetic, no per-row
+            # Python loop
+            arrs = [np.asarray(x, dtype=np.int64) for x in batch["th"]]
+            lens = np.array([len(x) for x in arrs], dtype=np.int64)
+            acc = np.zeros((len(arrs), 64), dtype=np.int64)
+            nz = lens > 0
+            if nz.any():
+                h = np.concatenate([a for a in arrs if len(a)]).view(np.uint64)
+                bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+                offs = np.zeros(int(nz.sum()), dtype=np.int64)
+                np.cumsum(lens[nz][:-1], out=offs[1:])
+                acc[nz] = 2 * np.add.reduceat(bits, offs, axis=0) - lens[nz, None]
+            # subset-of-bit-weights sum never wraps uint64; the int64 view
+            # IS the old `val - 2^64 if val >= 2^63` two's-complement fold
+            vals = ((acc > 0) * weights).sum(axis=1, dtype=np.uint64).view(np.int64)
+            yield pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                                "simhash": vals})
 
     # NULL text → '' → empty token array (simhash 0), matching the
     # pre-vectorization `(text or '')` behavior on failed fetches.
@@ -215,7 +222,7 @@ def simhash_col(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             lambda t: t != "",
         )
     )
-    hashed = df.select(
+    hashed = widen(df.select(id_col, text_col)).select(
         F.col(id_col), F.transform(toks, lambda t: F.xxhash64(t)).alias("th")
     )
     return hashed.mapInPandas(run, f"{id_col} long, simhash long")
@@ -380,9 +387,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         ),
         lambda g: g != "",
     )
-    g = df.select(F.col(id_col), grams.alias("grams")).withColumn(
-        "n_grams", F.size("grams")
-    )
+    g = widen(df.select(id_col, text_col)).select(
+        F.col(id_col), grams.alias("grams")
+    ).withColumn("n_grams", F.size("grams"))
     posting = g.select(id_col, "n_grams", F.explode("grams").alias("gram"))
     if max_shingle_df is not None:
         hot = (

@@ -217,3 +217,153 @@ def lsh_ann_topk(embeddings: DataFrame, queries: np.ndarray, k: int = 10,
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path.
+#
+# Build: deterministic Lloyd k-means over unit vectors.  The centroid
+# UPDATE is done in fixed-point int64 (scale 2^20): per-cluster component
+# sums of round(unit*2^20) are exact and ORDER-INDEPENDENT, so the
+# distributed Spark sum and the sequential oracle twin produce
+# bit-identical centroids — float partial-agg order can never diverge the
+# index.  Assignment (argmax of unit·centroid, tie -> lowest id) is
+# row-local float64 numpy on both sides.
+#
+# Search: queries probe their nprobe nearest centroids (driver-side — the
+# centroid table is tiny), candidates come from ONE broadcast join on the
+# centroid id, exact cosine in an Arrow batch stage, global top-k window.
+# Shuffle cost ~ rows/n_centroids × nprobe per query vs brute force's full
+# scan; at 10^10 rows the assignment pass is the one-time index build
+# (production would train on a deterministic sample and that is exposed
+# via ``train_rows``).
+# ---------------------------------------------------------------------------
+
+_IVF_SCALE = 1 << 20
+
+
+def ivf_index(embeddings: DataFrame, n_centroids: int = 16, iters: int = 3,
+              seed: int = 42, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              train_rows: int | None = None) -> tuple[DataFrame, np.ndarray]:
+    """K-means coarse quantizer: returns (assignments df ``(id, centroid)``,
+    float64 centroid matrix).  Init = unit vectors of the ``n_centroids``
+    lowest ids (deterministic, seed-free); ``train_rows`` limits the update
+    passes to the lowest-id prefix (the 100 TB path — assignment of the
+    full table still happens once at the end)."""
+    spark = embeddings.sparkSession
+    base = embeddings.select(id_col, vec_col)
+    train = (base.orderBy(id_col).limit(train_rows)
+             if train_rows else base)
+
+    init = (base.orderBy(id_col).limit(n_centroids)
+            .select(vec_col).collect())
+    cent_fx = np.stack([
+        _unit_fixed(np.asarray(r[0], dtype=np.float64)) for r in init
+    ])  # (n_centroids, dim) int64
+
+    for _ in range(iters):
+        cent_f = cent_fx.astype(np.float64) / _IVF_SCALE
+        bc = spark.sparkContext.broadcast(cent_f)
+
+        def assign_fx(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = bc.value
+            for b in batches:
+                if not len(b):
+                    continue
+                mat = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+                unit = mat / np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+                cid = np.argmax(unit @ c.T, axis=1)  # tie -> lowest id
+                fx = np.round(unit * _IVF_SCALE).astype(np.int64)
+                yield pd.DataFrame({"centroid": cid.astype(np.int32),
+                                    "fx": list(fx)})
+
+        assigned = train.mapInPandas(assign_fx, "centroid int, fx array<long>")
+        # exact int64 component sums: posexplode -> one hash shuffle on
+        # (centroid, pos); counts ride along on pos==0
+        stats = (
+            assigned.select("centroid", F.posexplode("fx").alias("pos", "v"))
+            .groupBy("centroid", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        sums = np.zeros_like(cent_fx)
+        cnts = np.zeros(n_centroids, dtype=np.int64)
+        for r in stats:
+            sums[r["centroid"], r["pos"]] = r["s"]
+            if r["pos"] == 0:
+                cnts[r["centroid"]] = r["n"]
+        live = cnts > 0  # empty clusters keep their previous centroid
+        cent_fx[live] = np.floor_divide(sums[live], cnts[live, None])
+
+    cent_f = cent_fx.astype(np.float64) / _IVF_SCALE
+    bc = spark.sparkContext.broadcast(cent_f)
+    vec_t = dict((f.name, f.dataType.simpleString())
+                 for f in base.schema.fields)[vec_col]
+
+    def assign_all(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            mat = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            unit = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            b = b.copy()
+            b["centroid"] = np.argmax(unit @ c.T, axis=1).astype(np.int32)
+            yield b
+
+    # the vector rides along so search never re-joins the base table
+    assign = base.mapInPandas(
+        assign_all, f"{id_col} long, {vec_col} {vec_t}, centroid int"
+    )
+    return assign, cent_f
+
+
+def _unit_fixed(v: np.ndarray) -> np.ndarray:
+    u = v / max(float(np.linalg.norm(v)), 1e-30)
+    return np.round(u * _IVF_SCALE).astype(np.int64)
+
+
+def ivf_ann_topk(embeddings: DataFrame, queries: np.ndarray, k: int = 10,
+                 n_centroids: int = 16, nprobe: int = 4, iters: int = 3,
+                 seed: int = 42, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: (query_id, vec_id, cosine, rank).  Only the
+    vectors assigned to each query's ``nprobe`` nearest centroids are
+    scored — candidate volume ~ nprobe/n_centroids of the table."""
+    spark = embeddings.sparkSession
+    assign, cent_f = ivf_index(embeddings, n_centroids, iters, seed,
+                               id_col, vec_col)
+    qn = queries / np.maximum(
+        np.linalg.norm(queries, axis=1, keepdims=True), 1e-30)
+    sims = qn.astype(np.float64) @ cent_f.T  # (nq, n_centroids)
+    probes = [
+        (qi, int(c))
+        for qi in range(len(qn))
+        for c in np.argsort(-sims[qi], kind="stable")[:nprobe]
+    ]
+    probe_df = spark.createDataFrame(probes, "query_id int, centroid int")
+    cand = assign.join(F.broadcast(probe_df), "centroid")
+    bc = spark.sparkContext.broadcast(qn.astype(np.float64))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            mat = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            unit = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            qs = q[b["query_id"].to_numpy()]
+            yield pd.DataFrame({
+                "query_id": b["query_id"].to_numpy(),
+                id_col: b[id_col].to_numpy(),
+                "cosine": np.einsum("ij,ij->i", unit, qs),
+            })
+
+    scored = cand.select("query_id", id_col, vec_col).mapInPandas(
+        score, f"query_id int, {id_col} long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

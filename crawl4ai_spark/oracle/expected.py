@@ -343,6 +343,51 @@ def ensure_lsh_ann_expected(sf_dir: str, queries: np.ndarray, k=10,
     _done["lsh_ann"] = key
 
 
+
+def ensure_ivf_ann_expected(sf_dir: str, queries: np.ndarray, k=10,
+                            n_centroids=16, nprobe=4, iters=3) -> None:
+    """Sequential IVF twin — pure numpy, NO engine imports.  Centroid
+    updates are fixed-point int64 (scale 2^20) floor-division, matching the
+    engine's order-independent distributed sums bit-for-bit."""
+    key = ("ivf_ann", sf_dir, queries.tobytes(), k, n_centroids, nprobe, iters)
+    if _done.get("ivf_ann") == key:
+        return
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_numpy()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    scale = 1 << 20
+    fx = np.round(unit * scale).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    cent_fx = fx[order[:n_centroids]].copy()
+    for _ in range(iters):
+        cent_f = cent_fx.astype(np.float64) / scale
+        cid = np.argmax(unit @ cent_f.T, axis=1)
+        sums = np.zeros_like(cent_fx)
+        cnts = np.zeros(n_centroids, dtype=np.int64)
+        np.add.at(sums, cid, fx)
+        np.add.at(cnts, cid, 1)
+        live = cnts > 0  # empty clusters keep their previous centroid
+        cent_fx[live] = np.floor_divide(sums[live], cnts[live, None])
+    cent_f = cent_fx.astype(np.float64) / scale
+    cid = np.argmax(unit @ cent_f.T, axis=1)
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-30)
+    sims = qn.astype(np.float64) @ cent_f.T
+    out = []
+    for qi in range(len(qn)):
+        probes = [int(c) for c in np.argsort(-sims[qi], kind="stable")[:nprobe]]
+        sel = np.isin(cid, probes)
+        cos = np.einsum("ij,j->i", unit[sel], qn[qi])
+        cand = sorted(zip(cos, ids[sel]), key=lambda t: (-t[0], t[1]))[:k]
+        for rank, (c, vid) in enumerate(cand, start=1):
+            out.append({"query_id": qi, "vec_id": int(vid),
+                        "cosine": spark_round(float(c), 4), "rank": rank})
+    _write("ivf_ann", pd.DataFrame(out, columns=["query_id", "vec_id",
+                                                 "cosine", "rank"]))
+    _done["ivf_ann"] = key
+
+
 def ensure_neardup_expected(sf_dir: str, threshold=0.9, bands=4, band_bits=8,
                             seed=42) -> None:
     """embedding_neardup: SRP-banded candidates + exact cosine recomputed

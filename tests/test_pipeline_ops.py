@@ -222,3 +222,55 @@ def test_embedding_neardup_pairs(spark, embeddings):
     assert len(planted) >= int(0.85 * n)
     for r in pairs:
         assert r["cosine"] >= 0.9
+
+
+def test_ivf_ann_recall_and_twin_parity(spark):
+    # planted clusters (recall only meaningful with real neighbors), plus
+    # the fixed-point k-means must match a sequential numpy twin exactly
+    rng = np.random.Generator(np.random.PCG64(11))
+    centers = rng.standard_normal((5, 64))
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(40):
+            v = c + 0.05 * rng.standard_normal(64)
+            rows.append((vid, v.astype(np.float32).tolist()))
+            vid += 1
+    embeddings = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = np.stack(centers)
+
+    exact = similarity.brute_force_topk(embeddings, queries, k=10).collect()
+    approx = similarity.ivf_ann_topk(
+        embeddings, queries, k=10, n_centroids=8, nprobe=3, iters=3
+    ).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert np.mean(recalls) >= 0.9, recalls  # nprobe=3/8 on tight clusters
+
+    # ---- index parity: distributed fixed-point k-means == sequential twin
+    _, cent_f = similarity.ivf_index(embeddings, n_centroids=8, iters=3)
+    mat = np.stack([np.asarray(v, dtype=np.float32) for _, v in rows]).astype(np.float64)
+    ids = np.arange(len(rows))
+    unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    scale = 1 << 20
+    fx = np.round(unit * scale).astype(np.int64)
+    cent_fx = fx[np.argsort(ids, kind="stable")[:8]].copy()
+    for _ in range(3):
+        cf = cent_fx.astype(np.float64) / scale
+        cid = np.argmax(unit @ cf.T, axis=1)
+        sums = np.zeros_like(cent_fx)
+        cnts = np.zeros(8, dtype=np.int64)
+        np.add.at(sums, cid, fx)
+        np.add.at(cnts, cid, 1)
+        live = cnts > 0
+        cent_fx[live] = np.floor_divide(sums[live], cnts[live, None])
+    assert np.array_equal(
+        np.round(cent_f * scale).astype(np.int64), cent_fx
+    ), "distributed centroid arithmetic diverged from the sequential twin"
