@@ -444,6 +444,23 @@ def warm_python_workers(spark) -> None:
     df.mapInPandas(_ident, "id long").count()
 
 
+def section_reset(spark) -> None:
+    """Drop cross-section JVM state so each bench section times ITS plan,
+    not the previous section's leftovers: unpersist every lingering RDD
+    block (localCheckpoints whose DataFrames are garbage), clear the SQL
+    cache, and run one JVM GC cycle so the ContextCleaner releases
+    shuffle files.  crawl_e2e measured 2x slower after the 1.6M-row
+    frontier sections than standalone before this."""
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        try:
+            rdd.unpersist()
+        except Exception:
+            pass
+    spark._jvm.System.gc()
+    time.sleep(1.0)  # let the async ContextCleaner drain
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _sf_of(sf_dir)
@@ -498,19 +515,24 @@ def main() -> None:
 
     # T6 Bloom sidecar variant: probe-side reduction evidence (not part of
     # the headline total — frontier_schedule stays round-comparable)
+    section_reset(spark)
     extras["frontier_bloom"] = frontier_schedule_bloom(spark, n_link_pages)
 
     # integrated engine loop (multi-seed deep crawl, full schedule)
+    section_reset(spark)
     extras["crawl_e2e"] = crawl_e2e(spark, n_pages=max(5_000, int(500_000 * sf)))
 
     # best-first at a scale batch (10^5 pops per superstep)
+    section_reset(spark)
     extras["bf_batch"] = bf_batch(spark, n_pages=max(5_000, int(500_000 * sf)))
 
     # image near-dup join at scale (uniform-random worst case + planted dups)
+    section_reset(spark)
     extras["phash_neardup"] = phash_neardup_bench(
         spark, n_rows=max(20_000, int(2_000_000 * sf)))
 
     # PDF parse-stage throughput over a cached synthetic corpus
+    section_reset(spark)
     extras["pdf_extract"] = pdf_extract_bench(
         spark, n_docs=max(1_000, int(50_000 * sf)))
 
