@@ -84,7 +84,7 @@ from crawl4ai_spark.operators.text import (
     stopword_hits,
     token_count,
 )
-from crawl4ai_spark.operators.multimodal import feature_stage
+from crawl4ai_spark.operators.multimodal import curate_image_captions, feature_stage
 from crawl4ai_spark.oracle import expected as oracle_expected
 from crawl4ai_spark.plans.frontier import CrawlConfig, deep_crawl
 from crawl4ai_spark.sources import pdfsynth, synth
@@ -885,6 +885,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return caption_dedup(images)
     q["caption_dedup"] = q_caption_dedup
 
+    def q_image_curation(spark, sf):
+        # LAION-style curation gate: resolution floor, aspect cap, caption
+        # token window, repetition + alpha-density screens.  Oracle is a
+        # fully independent DuckDB CASE chain over the (image_id, w, h,
+        # caption) input parquet — no engine code anywhere near it.
+        oracle_expected.ensure_images_input(n_pages=280)
+        p = _graph(n_pages=280)
+        _, _, images = synth.synth_tables(spark, p)
+        return curate_image_captions(images).select(
+            "image_id", F.col("w").cast("long").alias("w"),
+            F.col("h").cast("long").alias("h"), "keep", "drop_reason",
+        )
+    q["image_curation"] = q_image_curation
+
     def q_image_joint_neardup(spark, sf):
         # joint tier: phash Hamming ≤ 8 AND normalized-caption equality;
         # oracle is a brute-force O(n²) bit_count(xor()) self-join in
@@ -1541,6 +1555,33 @@ def oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
         FROM t a JOIN t b ON a.image_id < b.image_id AND a.cfp = b.cfp
         WHERE bit_count(xor(a.phash, b.phash)) <= 8
+    """
+    o["image_curation"] = f"""
+        WITH t AS (
+          SELECT image_id, w, h,
+                 list_filter(string_split_regex(caption, '\\s+'),
+                             x -> x <> '') AS toks,
+                 length(regexp_replace(caption, '\\s', '', 'g')) AS nonspace,
+                 length(regexp_replace(caption, '[^a-zA-Z]', '', 'g')) AS alpha
+          FROM read_parquet('{_exp('images_input')}')
+        ), r AS (
+          SELECT image_id, w, h,
+            CASE
+              WHEN least(w, h) < 24 THEN 'too_small'
+              WHEN CAST(greatest(w, h) AS DOUBLE) > 2.0 * least(w, h)
+                THEN 'bad_aspect'
+              WHEN len(toks) < 3 THEN 'caption_short'
+              WHEN len(toks) > 30 THEN 'caption_long'
+              WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) < 0.7
+                THEN 'repetitive'
+              WHEN CAST(alpha AS DOUBLE) / nonspace < 0.5 THEN 'low_alpha'
+              ELSE NULL
+            END AS drop_reason
+          FROM t
+        )
+        SELECT image_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+               drop_reason IS NULL AS keep, drop_reason
+        FROM r
     """
     o["llm_extract"] = (
         "SELECT url, section_idx, block_idx, tags, content, error "

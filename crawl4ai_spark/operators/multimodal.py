@@ -16,6 +16,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .. import codecs
 
@@ -97,4 +98,47 @@ def frame_sample_stage(videos: DataFrame, every_n: int = 30) -> DataFrame:
 
     return videos.mapInPandas(
         run, "video_id string, frame_idx int, bytes binary, w int, h int, fmt string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# LAION-style image+caption curation gate
+# ---------------------------------------------------------------------------
+
+CURATION_RULES = ("too_small", "bad_aspect", "caption_short",
+                  "caption_long", "repetitive", "low_alpha")
+
+
+def curate_image_captions(images: DataFrame, min_side: int = 24,
+                          max_aspect: float = 2.0, min_tokens: int = 3,
+                          max_tokens: int = 30, min_distinct_ratio: float = 0.7,
+                          min_alpha_ratio: float = 0.5) -> DataFrame:
+    """Training-set curation gate over the (image_id, w, h, caption, ...)
+    table: resolution floor, aspect-ratio cap, caption token-count window,
+    repetition filter (distinct/total tokens), alphabetic-density floor —
+    the standard LAION/DataComp-style pre-dedup screens.
+
+    Adds ``keep boolean`` and ``drop_reason string`` (the FIRST failing
+    rule in CURATION_RULES order; NULL when kept).  Pure Catalyst column
+    expressions — whole-stage codegen, zero shuffle, filter-pushdown
+    friendly; run it before the dedup tiers so they never see dropped
+    rows."""
+    toks = F.filter(F.split(F.col("caption"), r"\s+"), lambda t: t != "")
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    nonspace = F.length(F.regexp_replace(F.col("caption"), r"\s", ""))
+    alpha = F.length(F.regexp_replace(F.col("caption"), "[^a-zA-Z]", ""))
+    reason = (
+        F.when(F.least("w", "h") < F.lit(min_side), "too_small")
+        .when(F.greatest("w", "h").cast("double")
+              > F.lit(float(max_aspect)) * F.least("w", "h"), "bad_aspect")
+        .when(n_tok < F.lit(min_tokens), "caption_short")
+        .when(n_tok > F.lit(max_tokens), "caption_long")
+        .when(n_distinct.cast("double") / n_tok < F.lit(float(min_distinct_ratio)),
+              "repetitive")
+        .when(alpha.cast("double") / nonspace < F.lit(float(min_alpha_ratio)),
+              "low_alpha")
+    )
+    return images.withColumn("drop_reason", reason).withColumn(
+        "keep", F.col("drop_reason").isNull()
     )

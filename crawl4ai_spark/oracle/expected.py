@@ -897,16 +897,19 @@ def ensure_images_input(n_pages: int = 280) -> None:
     p = _graph(n_pages=n_pages)
     rows = []
     for i in range(n_pages):
-        image_id, w, h, _fmt = synth.image_meta_of(i, p)
+        image_id, w, h, fmt = synth.image_meta_of(i, p)
         px = synth.image_pixels(image_id, w, h, p.seed)
         rows.append({
             "image_id": image_id,
+            "w": w,
+            "h": h,
+            "fmt": fmt,
             "caption": synth._caption_of(i, p),
             "phash": int(synth.codecs.phash64(px)),
         })
     _write("images_input", pd.DataFrame(
-        rows, columns=["image_id", "caption", "phash"]).astype(
-        {"phash": "int64"}))
+        rows, columns=["image_id", "w", "h", "fmt", "caption", "phash"]).astype(
+        {"phash": "int64", "w": "int32", "h": "int32"}))
     _done["images_input"] = key
 
 

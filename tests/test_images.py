@@ -106,3 +106,25 @@ def test_image_score_golden(spark):
     assert got == want
     kept = [r["k"] for r in df.select(image_keep(col).alias("k")).collect()]
     assert kept == [s > 2 for s in want]
+
+
+def test_image_curation_rules(spark):
+    from crawl4ai_spark.operators.multimodal import curate_image_captions
+
+    rows = [
+        ("ok", 32, 32, "one small brown fox jumps"),
+        ("tiny", 8, 200, "one small brown fox jumps"),      # too_small wins over aspect
+        ("wide", 64, 24, "one small brown fox jumps"),       # 64 > 2*24
+        ("short", 32, 32, "hi there"),
+        ("long", 32, 32, " ".join(f"w{i}" for i in range(31))),
+        ("repeat", 32, 32, "spam spam spam spam eggs"),      # 2/5 distinct
+        ("digits", 32, 32, "123 456 789 000 111"),           # alpha ratio 0
+    ]
+    df = spark.createDataFrame(rows, "image_id string, w int, h int, caption string")
+    got = {r["image_id"]: r["drop_reason"]
+           for r in curate_image_captions(df).collect()}
+    assert got == {
+        "ok": None, "tiny": "too_small", "wide": "bad_aspect",
+        "short": "caption_short", "long": "caption_long",
+        "repeat": "repetitive", "digits": "low_alpha",
+    }
