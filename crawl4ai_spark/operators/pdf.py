@@ -42,6 +42,7 @@ truth table in tests/test_pdf.py):
 from __future__ import annotations
 
 import re
+import warnings
 import zlib
 from typing import Iterator
 
@@ -414,7 +415,11 @@ def _html_escape(s: str) -> str:
 def _predecode(text: str) -> str:
     """utils.py:215-219 — unicode-escape + surrogate-pair recovery."""
     try:
-        d = text.encode("latin-1").decode("unicode-escape")
+        with warnings.catch_warnings():
+            # invalid escapes (e.g. "\F") intentionally pass through unchanged,
+            # matching the reference; newer CPython deprecation-warns on them.
+            warnings.simplefilter("ignore", DeprecationWarning)
+            d = text.encode("latin-1").decode("unicode-escape")
         return d.encode("utf-16", "surrogatepass").decode("utf-16")
     except Exception:
         return text
