@@ -60,6 +60,7 @@ from crawl4ai_spark.operators.extraction import extract_stage
 from crawl4ai_spark.operators.dedup import (
     caption_dedup,
     dedup_clusters,
+    dup_ngram_stats,
     exact_dedup,
     image_joint_neardup,
     minhash_lsh_pairs,
@@ -67,6 +68,12 @@ from crawl4ai_spark.operators.dedup import (
     phash_pairs,
     simhash_pairs,
 )
+from crawl4ai_spark.operators.sampling import (
+    sample_threshold_hex,
+    shard_pack,
+    stratified_sample,
+)
+from crawl4ai_spark.operators.sessions import session_stats
 from crawl4ai_spark.operators.llm import llm_content_filter_stage, llm_extract_stage
 from crawl4ai_spark.operators.pdf import pdf_extract_stage
 from crawl4ai_spark.operators.politeness import apply_host_budget, with_host_slots
@@ -108,6 +115,9 @@ _ANN_QNORM = float(np.sqrt(np.dot(_ANN_QUERY, _ANN_QUERY)))
 _KEYWORDS = ["blue", "widget", "rod"]
 
 _STOP_EN = ["the", "and", "of", "to", "in", "is", "a", "that", "it", "for"]
+
+# language-rebalancing rates for the stratified_sample probe (fr → default)
+_SAMPLE_RATES = {"en": 0.9, "es": 0.5, "de": 0.25, "zh": 0.1}
 _NORM_SQL = "lower(trim(regexp_replace({c}, '\\s+', ' ', 'g')))"
 
 
@@ -197,6 +207,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             quality_score(F.col("text")).alias("quality"),
         )
     q["lang_quality"] = q_lang_quality
+
+    # --------- sampling / packing / dup-span / sessionization (§2.10 tiers)
+    def q_stratified_sample(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return stratified_sample(
+            docs, "doc_id", "lang", _SAMPLE_RATES, default_rate=0.05, seed=7
+        ).select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+    q["stratified_sample"] = q_stratified_sample
+
+    def q_shard_pack(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return shard_pack(
+            docs, "doc_id", "n_chars", shard_bytes=32_000, seed=7
+        ).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("shard_id").alias("shard_id"),
+            F.col("shard_offset").alias("shard_offset"),
+        )
+    q["shard_pack"] = q_shard_pack
+
+    def q_dup_ngrams(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return dup_ngram_stats(docs, n=8).select(
+            F.col("id").cast("long").alias("doc_id"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_dup").cast("long").alias("n_dup"),
+            F.col("dup_frac"),
+        )
+    q["dup_ngrams"] = q_dup_ngrams
+
+    def q_sessionize(spark, sf):
+        ev = _t(spark, sf, "events")
+        return session_stats(ev, gap_s=1800).select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("session_idx"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "start_ts", "end_ts", "duration_us", "total_value",
+        )
+    q["sessionize"] = q_sessionize
 
     # --------------------------------- URL canonicalizer (C2, utils.py:2162)
     def q_url_canonicalize(spark, sf):
@@ -1087,6 +1136,81 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang_pred, count(*) AS n_docs,
                CAST(sum(n_toks) AS BIGINT) AS total_tokens
         FROM s WHERE q >= 0.5 GROUP BY lang_pred
+    """
+
+    # ------- sampling / packing / dup-span / sessionization (§2.10 tiers)
+    thr_case = "CASE " + " ".join(
+        f"WHEN lang = '{v}' THEN '{sample_threshold_hex(r)}'"
+        for v, r in sorted(_SAMPLE_RATES.items())
+    ) + f" ELSE '{sample_threshold_hex(0.05)}' END"
+    o["stratified_sample"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE md5(CAST(doc_id AS VARCHAR) || '#7') < {thr_case}
+    """
+
+    o["shard_pack"] = """
+        WITH keyed AS (
+          SELECT doc_id, n_chars,
+                 md5(CAST(doc_id AS VARCHAR) || '#7') AS pack_key
+          FROM documents),
+        cum AS (
+          SELECT doc_id,
+                 sum(n_chars) OVER (ORDER BY pack_key, doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) - n_chars AS before
+          FROM keyed)
+        SELECT doc_id,
+               CAST(floor(CAST(before AS DOUBLE) / 32000) AS BIGINT) AS shard_id,
+               CAST(before - CAST(floor(CAST(before AS DOUBLE) / 32000) AS BIGINT)
+                    * 32000 AS BIGINT) AS shard_offset
+        FROM cum
+    """
+
+    o["dup_ngrams"] = f"""
+        WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+        g AS (SELECT doc_id,
+                     CASE WHEN len(tk) >= 8 THEN
+                       list_distinct(list_transform(range(0, len(tk)-8+1),
+                                     i -> array_to_string(tk[i+1:i+8], ' ')))
+                     ELSE [] END AS grams
+              FROM t),
+        post AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        dfc AS (SELECT gram, count(*) AS df FROM post GROUP BY gram),
+        per_doc AS (
+          SELECT post.doc_id, count(*) AS n_grams,
+                 sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup
+          FROM post JOIN dfc USING (gram) GROUP BY post.doc_id)
+        SELECT g.doc_id,
+               CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup,
+               CAST(CASE WHEN coalesce(n_grams, 0) > 0
+                    THEN CAST(coalesce(n_dup, 0) AS DOUBLE) / n_grams
+                    ELSE 0.0 END AS DOUBLE) AS dup_frac
+        FROM g LEFT JOIN per_doc USING (doc_id)
+    """
+
+    o["sessionize"] = """
+        WITH e AS (
+          SELECT user_id, event_id, value, ts,
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_ts
+          FROM events),
+        tagged AS (
+          SELECT user_id, value, ts,
+                 sum(CASE WHEN prev_ts IS NULL
+                          OR date_diff('microseconds', prev_ts, ts)
+                             > 1800000000 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - 1 AS session_idx
+          FROM e)
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               count(*) AS n_events,
+               min(ts) AS start_ts, max(ts) AS end_ts,
+               CAST(date_diff('microseconds', min(ts), max(ts)) AS BIGINT)
+                 AS duration_us,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM tagged GROUP BY user_id, session_idx
     """
 
     o["url_canonicalize"] = """

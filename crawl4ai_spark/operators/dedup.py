@@ -415,6 +415,63 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
+def dup_ngram_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                    n: int = 8, min_df: int = 2) -> DataFrame:
+    """Per-document duplicated-substring signal (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" exact-
+    substring criterion, at n-gram granularity): for every document,
+    how many of its distinct token n-grams also appear in at least
+    ``min_df - 1`` OTHER documents (document frequency >= min_df), and the
+    duplicated fraction.  Pipelines drop or trim documents whose
+    ``dup_frac`` exceeds a policy threshold.
+
+    Returns (id, n_grams, n_dup, dup_frac); documents with fewer than
+    ``n`` tokens carry n_grams = 0 and dup_frac = 0.
+
+    Scale shape: explode distinct grams → ONE partial-aggregating groupBy
+    to count per-gram document frequency (map-side combine makes hot
+    boilerplate grams cheap — unlike a pair join, counting is O(df), not
+    O(df²)) → join postings back to the df table (sort-merge; AQE skew
+    split handles a pathological gram) → ONE groupBy per doc.  No pair
+    blowup anywhere, so no hot-shingle cap is needed."""
+    toks = F.filter(F.split(normalized_text(F.col(text_col)), " "), lambda t: t != "")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = widen(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"), grams.alias("grams")
+    )
+    posting = g.select("id", F.explode("grams").alias("gram"))
+    gram_df = posting.groupBy("gram").agg(F.count("*").alias("df"))
+    per_doc = (
+        posting.join(gram_df, "gram")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("df") >= min_df).cast("long")).alias("n_dup"),
+        )
+    )
+    return (
+        g.select("id")
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.coalesce("n_dup", F.lit(0)).cast("double") / F.col("n_grams"),
+            ).otherwise(F.lit(0.0)).alias("dup_frac"),
+        )
+    )
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iters: int = 50) -> DataFrame:

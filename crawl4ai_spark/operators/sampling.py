@@ -1,0 +1,148 @@
+"""Deterministic sampling + training-shard packing (SURVEY §2.10).
+
+Training-data pipelines over a curated corpus need three things the
+reference (a single-process crawler) never grows: reproducible sampling
+at corpus scale, per-stratum rate control (domain / language rebalancing
+a la data-mixing recipes), and packing the survivors into byte-balanced
+shards for the training loader.  All three are built scale-first:
+
+- ``bernoulli_sample`` / ``stratified_sample`` are pure Catalyst filters:
+  keep a row iff ``md5(key '#' seed)`` — a uniform 128-bit hex string —
+  is lexicographically below a per-row threshold.  Lowercase-hex string
+  order IS numeric order, the md5 is portable across engines (the DuckDB
+  oracle evaluates the identical expression), the decision is a pure
+  function of (key, seed), so the sample is reproducible under
+  re-partitioning, retries and cluster-size changes, and the whole thing
+  is one whole-stage-codegen filter: ZERO shuffle, 10^10 rows is just a
+  scan.  (Spark's native ``df.sample`` is partition-order-dependent and
+  not portable to an oracle — deliberately avoided.)
+
+- ``shard_pack`` assigns each row a shard id so every shard holds a
+  contiguous ``shard_bytes`` run of the corpus in deterministic shuffled
+  order (hash of the key, ties broken by the key): global running sum of
+  the size column via the two-pass distributed cumsum (range-partition +
+  broadcast prefix offsets — ``dist.with_global_cumsum``), then
+  ``shard_id = floor(bytes_before / shard_bytes)``.  A row lands in the
+  shard where its first byte falls (greedy packing; a row longer than
+  ``shard_bytes`` still gets exactly one shard).  No single-partition
+  window anywhere; the only wide op is the range shuffle the sort needs.
+
+Reference anchor: crawl4ai has no corpus-sampling surface (its unit is
+one crawl); these are the post-crawl curation stages a 100 TB corpus
+needs before training.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..dist import with_global_cumsum
+
+__all__ = [
+    "sample_threshold_hex",
+    "hash_uniform_hex",
+    "bernoulli_sample",
+    "stratified_sample",
+    "shard_pack",
+]
+
+_HEX_DIGITS = 16  # compare on the first 16 hex digits (64 bits) of md5
+
+
+def sample_threshold_hex(rate: float) -> str:
+    """Hex threshold t such that P[md5_hex < t] == rate (to 2^-64).
+
+    rate >= 1 returns 'g' (greater than every hex string → keep all);
+    rate <= 0 returns '' (empty string precedes everything → keep none).
+    """
+    if rate >= 1.0:
+        return "g"
+    if rate <= 0.0:
+        return ""
+    return format(int(rate * (16 ** _HEX_DIGITS)), f"0{_HEX_DIGITS}x")
+
+
+def hash_uniform_hex(key: Column, seed: int) -> Column:
+    """The portable per-row uniform draw: md5 of ``key '#' seed``."""
+    return F.md5(F.concat(key.cast("string"), F.lit(f"#{seed}")))
+
+
+def bernoulli_sample(
+    df: DataFrame, key_col: str, rate: float, seed: int = 0
+) -> DataFrame:
+    """Deterministic Bernoulli(rate) sample keyed on ``key_col``.
+
+    Pure filter — no shuffle, no RNG state, stable under re-partitioning
+    and task retries; the same (key, seed) row set survives on any
+    cluster size.
+    """
+    return df.filter(
+        hash_uniform_hex(F.col(key_col), seed) < F.lit(sample_threshold_hex(rate))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum Bernoulli rates (language/domain rebalancing).
+
+    ``rates`` maps stratum value → keep rate; unseen strata use
+    ``default_rate``.  The threshold is a CASE ladder over the stratum
+    column — still a single codegen'd filter, zero shuffle.
+    """
+    thr: Column = F.lit(sample_threshold_hex(default_rate))
+    for value in sorted(rates):  # deterministic ladder order
+        thr = F.when(
+            F.col(stratum_col) == F.lit(value),
+            F.lit(sample_threshold_hex(rates[value])),
+        ).otherwise(thr)
+    return df.filter(hash_uniform_hex(F.col(key_col), seed) < thr)
+
+
+def shard_pack(
+    df: DataFrame,
+    key_col: str,
+    size_col: str,
+    shard_bytes: int,
+    seed: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign byte-balanced training-shard ids in deterministic shuffled
+    order.
+
+    Adds three columns:
+      - ``pack_key``   — the md5 shuffle key (kept so the order is auditable),
+      - ``shard_id``   — floor(bytes_before_this_row / shard_bytes),
+      - ``shard_offset`` — bytes_before_this_row - shard_id * shard_bytes.
+
+    Global order is (pack_key, key) — a reproducible corpus shuffle, which
+    a training loader wants anyway (no correlated neighbors).  The running
+    sum is the two-pass distributed cumsum; no single-partition window.
+    """
+    if shard_bytes <= 0:
+        raise ValueError("shard_bytes must be positive")
+    keyed = df.withColumn("pack_key", hash_uniform_hex(F.col(key_col), seed))
+    packed = with_global_cumsum(
+        keyed,
+        ["pack_key", key_col],
+        size_col,
+        out_col="__cum",
+        num_partitions=num_partitions,
+    )
+    before = F.col("__cum") - F.col(size_col).cast("long")
+    return (
+        packed.withColumn(
+            "shard_id", F.floor(before / F.lit(shard_bytes)).cast("long")
+        )
+        .withColumn(
+            "shard_offset",
+            (before - F.col("shard_id") * F.lit(shard_bytes)).cast("long"),
+        )
+        .drop("__cum")
+    )

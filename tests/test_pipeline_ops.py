@@ -274,3 +274,100 @@ def test_ivf_ann_recall_and_twin_parity(spark):
     assert np.array_equal(
         np.round(cent_f * scale).astype(np.int64), cent_fx
     ), "distributed centroid arithmetic diverged from the sequential twin"
+
+
+def test_stratified_sample_deterministic_and_rated(spark, docs):
+    from crawl4ai_spark.operators import sampling
+
+    rates = {"en": 1.0, "es": 0.5, "zh": 0.0}
+    out = sampling.stratified_sample(
+        docs, "doc_id", "lang", rates, default_rate=0.25, seed=3
+    )
+    a = {r["doc_id"] for r in out.select("doc_id").collect()}
+    b = {r["doc_id"] for r in
+         out.repartition(7).select("doc_id").collect()}
+    assert a == b, "sample must be invariant under re-partitioning"
+    kept = out.groupBy("lang").count().collect()
+    kept = {r["lang"]: r["count"] for r in kept}
+    total = docs.groupBy("lang").count().collect()
+    total = {r["lang"]: r["count"] for r in total}
+    assert kept.get("en", 0) == total["en"]          # rate 1.0 keeps all
+    assert "zh" not in kept                           # rate 0.0 drops all
+    # rate 0.5 binomial(80, .5): 3-sigma band
+    assert 18 <= kept.get("es", 0) <= 62, kept
+    # seed changes the surviving set
+    other = sampling.stratified_sample(
+        docs, "doc_id", "lang", rates, default_rate=0.25, seed=4
+    )
+    c = {r["doc_id"] for r in other.select("doc_id").collect()}
+    assert a != c
+
+
+def test_shard_pack_contiguous_and_bounded(spark, docs):
+    from crawl4ai_spark.operators import sampling
+
+    shard_bytes = 10_000
+    out = sampling.shard_pack(
+        docs, "doc_id", "n_chars", shard_bytes=shard_bytes, seed=1
+    ).select("doc_id", "n_chars", "pack_key", "shard_id", "shard_offset")
+    rows = sorted(out.collect(), key=lambda r: (r["pack_key"], r["doc_id"]))
+    cum = 0
+    for r in rows:
+        assert r["shard_id"] == cum // shard_bytes
+        assert r["shard_offset"] == cum - r["shard_id"] * shard_bytes
+        cum += r["n_chars"]
+    # shard ids are dense 0..max
+    ids = sorted({r["shard_id"] for r in rows})
+    assert ids == list(range(len(ids)))
+    # every shard except the last starts within shard_bytes of its boundary
+    assert all(r["shard_offset"] < shard_bytes for r in rows)
+
+
+def test_dup_ngram_stats_plants_duplicates(spark):
+    from crawl4ai_spark.operators import dedup
+
+    boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, boiler + f" unique{i} tail{i} end{i}") for i in range(5)]
+    rows.append((99, "totally different words " + " ".join(f"w{j}" for j in range(10))))
+    rows.append((100, "short text"))  # < n tokens
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in dedup.dup_ngram_stats(df, n=8).collect()}
+    assert len(out) == 7
+    for i in range(5):  # boilerplate grams shared by 5 docs
+        assert out[i]["n_dup"] >= 3, out[i]
+        assert out[i]["dup_frac"] > 0
+    assert out[99]["n_dup"] == 0
+    assert out[100]["n_grams"] == 0 and out[100]["dup_frac"] == 0.0
+
+
+def test_sessionize_gap_semantics(spark):
+    from datetime import datetime, timedelta
+
+    from crawl4ai_spark.operators import sessions
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: three events inside one session, then a 31-min gap
+        (0, t0, 1, 1.0),
+        (1, t0 + timedelta(minutes=10), 1, 2.0),
+        (2, t0 + timedelta(minutes=20), 1, 3.0),
+        (3, t0 + timedelta(minutes=51), 1, 4.0),
+        # user 2: exactly 30:00.000000 gap is NOT a new session (> not >=)
+        (4, t0, 2, 1.5),
+        (5, t0 + timedelta(minutes=30), 2, 2.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, value double"
+    )
+    tagged = sessions.sessionize(df, gap_s=1800)
+    got = {r["event_id"]: r["session_idx"] for r in tagged.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 0, 5: 0}
+    stats = {
+        (r["user_id"], r["session_idx"]): r
+        for r in sessions.session_stats(df, gap_s=1800).collect()
+    }
+    assert stats[(1, 0)]["n_events"] == 3
+    assert stats[(1, 0)]["duration_us"] == 20 * 60 * 1_000_000
+    assert stats[(1, 0)]["total_value"] == 6.0
+    assert stats[(1, 1)]["n_events"] == 1
+    assert stats[(2, 0)]["n_events"] == 2
