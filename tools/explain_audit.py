@@ -195,6 +195,45 @@ def main() -> None:
         plan_of(pdf_extract_stage(pdf_df)), ["MapInPandas"],
     ))
 
+    # 11. stratified sampling: pure codegen filter, pruned scan, NO shuffle
+    from crawl4ai_spark.operators.sampling import shard_pack, stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    samp = stratified_sample(
+        docs.select("doc_id", "lang"), "doc_id", "lang",
+        {"en": 0.9, "es": 0.5}, default_rate=0.1, seed=7,
+    )
+    samp_plan = plan_of(samp)
+    sections.append((
+        "Stratified sample (md5-threshold filter — zero shuffle)",
+        samp_plan, ["ReadSchema", "[codegen id"],
+    ))
+
+    # 12. shard packing: range shuffle + Arrow cumsum, no 1-partition window
+    sections.append((
+        "Shard pack (distributed cumsum: range partition + Arrow stage)",
+        plan_of(shard_pack(docs, "doc_id", "n_chars", 32_000, seed=7),
+                execute=True),
+        ["MapInPandas"],
+    ))
+
+    # 13. dup-ngram signal: explode → partial-agg gram df → join-back
+    from crawl4ai_spark.operators.dedup import dup_ngram_stats
+
+    sections.append((
+        "Dup-ngram stats (Generate → partial HashAggregate, no pair join)",
+        plan_of(dup_ngram_stats(docs, n=8)), ["Generate", "HashAggregate"],
+    ))
+
+    # 14. sessionization: ONE hash shuffle on the user key, per-user window
+    from crawl4ai_spark.operators.sessions import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sections.append((
+        "Sessionize (single hashpartitioning(user_id), per-user window)",
+        plan_of(session_stats(ev)), ["hashpartitioning", "Window"],
+    ))
+
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)\n"]
     out.append(
         "Generated by tools/explain_audit.py. Verdict lines check the "
