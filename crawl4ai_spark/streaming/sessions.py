@@ -1,0 +1,107 @@
+"""Custom stateful streaming operator: live gap-based sessionization.
+
+The batch engine computes sessions with a per-user window
+(``operators/sessions.py``).  A monitoring consumer tailing the event
+stream wants the same sessions live, closing each one as soon as the gap
+rule decides it is over — so this module re-expresses the fold as an
+``applyInPandasWithState`` operator:
+
+  state key   = user,
+  state value = the OPEN session (index, event count, start/last event
+                time in integer microseconds, value sum in integer cents),
+  output      = one row per CLOSED session (a session closes when a later
+                event arrives more than ``gap_s`` after its last event).
+
+Equivalence contract (verified in tests/test_streaming_sessions.py): fed
+the same events in nondecreasing ts order per user across micro-batches,
+the closed-session stream equals the batch ``session_stats`` output minus
+each user's final (still-open) session — that one lives in the state
+store until a later event closes it.  Within a micro-batch rows are
+sorted by (ts, order_col); ACROSS batches ordered delivery is the same
+admission contract as ``streaming/state.py`` (align batches to committed
+time slices — FileStreamSource mtime order with one file per slice).
+
+All arithmetic is integers: event times as microseconds (tz-free, the
+batch operator's ``timestampdiff`` twin) and values as cents, so the
+stream and the batch DECIMAL(18,2) sums agree bit-for-bit as doubles.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = (
+    "session_idx long, n_events long, start_us long, last_us long, "
+    "value_cents long"
+)
+OUTPUT_SCHEMA = (
+    "user_id long, session_idx long, n_events long, "
+    "start_ts timestamp_ntz, end_ts timestamp_ntz, duration_us long, "
+    "total_value double"
+)
+
+
+def _us(col: pd.Series) -> pd.Series:
+    return col.astype("datetime64[us]").astype("int64")
+
+
+def _closed_row(user: int, state: tuple) -> dict:
+    idx, n, start_us, last_us, cents = state
+    return {
+        "user_id": int(user),
+        "session_idx": int(idx),
+        "n_events": int(n),
+        "start_ts": pd.Timestamp(int(start_us), unit="us"),
+        "end_ts": pd.Timestamp(int(last_us), unit="us"),
+        "duration_us": int(last_us - start_us),
+        "total_value": float(cents) / 100.0,
+    }
+
+
+def session_stream(
+    events: DataFrame,
+    gap_s: int = 1800,
+    order_col: str = "event_id",
+) -> DataFrame:
+    """``applyInPandasWithState`` over a streaming events DataFrame
+    (user_id, ts, value, ``order_col``): emits one row per CLOSED session;
+    the open session per user persists in the streaming state store."""
+    gap_us = int(gap_s) * 1_000_000
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user = key[0]
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", order_col])
+        ts_us = _us(rows["ts"]).to_numpy()
+        cents = (rows["value"].astype("float64") * 100).round().astype("int64")
+        cur: tuple | None = state.get if state.exists else None
+        closed: list[dict] = []
+        for t, c in zip(ts_us, cents.to_numpy()):
+            if cur is None:
+                cur = (0, 1, int(t), int(t), int(c))
+            elif t - cur[3] > gap_us:
+                closed.append(_closed_row(user, cur))
+                cur = (cur[0] + 1, 1, int(t), int(t), int(c))
+            else:
+                cur = (cur[0], cur[1] + 1, cur[2], int(t), cur[4] + int(c))
+        state.update(cur)
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return (
+        events.select("user_id", "ts", order_col, "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
