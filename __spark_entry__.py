@@ -91,7 +91,13 @@ from crawl4ai_spark.operators.text import (
     stopword_hits,
     token_count,
 )
-from crawl4ai_spark.operators.multimodal import curate_image_captions, feature_stage
+from crawl4ai_spark.operators.multimodal import (
+    ASPECT_BUCKETS,
+    RES_TIERS,
+    aspect_buckets,
+    curate_image_captions,
+    feature_stage,
+)
 from crawl4ai_spark.oracle import expected as oracle_expected
 from crawl4ai_spark.plans.frontier import CrawlConfig, deep_crawl
 from crawl4ai_spark.sources import pdfsynth, synth
@@ -948,6 +954,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["image_curation"] = q_image_curation
 
+    def q_image_buckets(spark, sf):
+        # SDXL-style aspect bucketing + megapixel tiers; boundaries are
+        # integer cross-multiplications (exact on any engine), oracle is a
+        # DuckDB CASE ladder over the raw (image_id, w, h) input parquet
+        oracle_expected.ensure_images_input(n_pages=280)
+        p = _graph(n_pages=280)
+        _, _, images = synth.synth_tables(spark, p)
+        return aspect_buckets(images).select(
+            "image_id", "bucket",
+            F.col("target_w").cast("long").alias("target_w"),
+            F.col("target_h").cast("long").alias("target_h"),
+            "res_tier",
+        )
+    q["image_buckets"] = q_image_buckets
+
     def q_image_joint_neardup(spark, sf):
         # joint tier: phash Hamming ≤ 8 AND normalized-caption equality;
         # oracle is a brute-force O(n²) bit_count(xor()) self-join in
@@ -1707,6 +1728,35 @@ def oracle_sql() -> dict[str, str]:
                drop_reason IS NULL AS keep, drop_reason
         FROM r
     """
+    bucket_case = "CASE " + " ".join(
+        f"WHEN w * {den} >= h * {num} THEN '{name}'"
+        for name, bound, _tw, _th in ASPECT_BUCKETS if bound is not None
+        for num, den in [bound]
+    ) + f" ELSE '{ASPECT_BUCKETS[-1][0]}' END"
+    tw_case = "CASE " + " ".join(
+        f"WHEN bucket = '{name}' THEN {tw}"
+        for name, _b, tw, _th in ASPECT_BUCKETS
+    ) + " END"
+    th_case = "CASE " + " ".join(
+        f"WHEN bucket = '{name}' THEN {th}"
+        for name, _b, _tw, th in ASPECT_BUCKETS
+    ) + " END"
+    tier_case = "CASE " + " ".join(
+        f"WHEN w * h >= {px} THEN '{name}'"
+        for name, px in RES_TIERS if px > 0
+    ) + f" ELSE '{RES_TIERS[-1][0]}' END"
+    o["image_buckets"] = f"""
+        WITH b AS (
+          SELECT image_id, w, h, {bucket_case} AS bucket,
+                 {tier_case} AS res_tier
+          FROM read_parquet('{_exp('images_input')}'))
+        SELECT image_id, bucket,
+               CAST({tw_case} AS BIGINT) AS target_w,
+               CAST({th_case} AS BIGINT) AS target_h,
+               res_tier
+        FROM b
+    """
+
     o["llm_extract"] = (
         "SELECT url, section_idx, block_idx, tags, content, error "
         f"FROM read_parquet('{_exp('llm_extract')}')"

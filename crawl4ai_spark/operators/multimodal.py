@@ -142,3 +142,68 @@ def curate_image_captions(images: DataFrame, min_side: int = 24,
     return images.withColumn("drop_reason", reason).withColumn(
         "keep", F.col("drop_reason").isNull()
     )
+
+
+# (bucket name, aspect lower bound as w*den > h*num, target w, target h).
+# Boundaries are RATIONAL and tested by integer cross-multiplication, so
+# bucket assignment is exact on every engine (no float ladder, no ln()).
+ASPECT_BUCKETS: list[tuple[str, tuple[int, int] | None, int, int]] = [
+    # first match wins: bound (num, den) keeps images with w*den >= h*num
+    ("wide2", (2, 1), 1408, 704),    # w/h >= 2
+    ("wide", (4, 3), 1152, 896),     # 4/3 <= w/h < 2
+    ("square", (3, 4), 1024, 1024),  # 3/4 <= w/h < 4/3
+    ("tall", (1, 2), 896, 1152),     # 1/2 <= w/h < 3/4
+    ("tall2", None, 704, 1408),      # w/h < 1/2
+]
+
+# megapixel tiers (w*h thresholds — integers, exact everywhere)
+RES_TIERS: list[tuple[str, int]] = [
+    ("xl", 1_048_576),  # >= 1024x1024
+    ("large", 262_144),  # >= 512x512
+    ("medium", 65_536),  # >= 256x256
+    ("small", 0),
+]
+
+
+def aspect_buckets(images: DataFrame) -> DataFrame:
+    """Aspect-ratio bucketing for image-model training batches (the
+    SDXL/NovelAI batch-shaping step): every image is assigned the bucket
+    whose target (w, h) it will be resized into, so a training loader can
+    batch same-shaped tensors without padding.
+
+    Adds ``bucket``, ``target_w``, ``target_h`` (fixed per-bucket shapes
+    sharing one pixel budget) and ``res_tier`` (source-megapixel tier for
+    curriculum/filter policies).  Pure Catalyst CASE ladder over integer
+    cross-multiplications — codegen, zero shuffle, exact on any engine.
+    A loader groups by (bucket) downstream; combine with
+    ``sampling.shard_pack`` per bucket for shard-balanced batches."""
+    bucket = None
+    for name, bound, _tw, _th in ASPECT_BUCKETS:
+        if bound is None:
+            bucket = bucket.otherwise(F.lit(name))
+            break
+        num, den = bound
+        cond = F.col("w") * F.lit(den) >= F.col("h") * F.lit(num)
+        bucket = F.when(cond, F.lit(name)) if bucket is None else bucket.when(
+            cond, F.lit(name)
+        )
+    tw = F.lit(None).cast("int")
+    th = F.lit(None).cast("int")
+    for name, _bound, target_w, target_h in ASPECT_BUCKETS:
+        tw = F.when(bucket == name, F.lit(target_w)).otherwise(tw)
+        th = F.when(bucket == name, F.lit(target_h)).otherwise(th)
+    tier = None
+    for name, floor_px in RES_TIERS:
+        if floor_px == 0:
+            tier = tier.otherwise(F.lit(name))
+            break
+        cond = F.col("w") * F.col("h") >= F.lit(floor_px)
+        tier = F.when(cond, F.lit(name)) if tier is None else tier.when(
+            cond, F.lit(name)
+        )
+    return (
+        images.withColumn("bucket", bucket)
+        .withColumn("target_w", tw.cast("int"))
+        .withColumn("target_h", th.cast("int"))
+        .withColumn("res_tier", tier)
+    )

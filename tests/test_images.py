@@ -128,3 +128,34 @@ def test_image_curation_rules(spark):
         "short": "caption_short", "long": "caption_long",
         "repeat": "repetitive", "digits": "low_alpha",
     }
+
+
+def test_aspect_buckets_rational_boundaries(spark):
+    from crawl4ai_spark.operators.multimodal import aspect_buckets
+
+    rows = [
+        ("a", 2000, 1000),  # w/h == 2 exactly -> wide2 (>= boundary)
+        ("b", 1999, 1000),  # just under 2 -> wide
+        ("c", 4000, 3000),  # w/h == 4/3 exactly -> wide
+        ("d", 1000, 1000),  # square
+        ("e", 3000, 4000),  # w/h == 3/4 exactly -> square
+        ("f", 2999, 4000),  # just under 3/4 -> tall
+        ("g", 1000, 2000),  # w/h == 1/2 exactly -> tall
+        ("h", 999, 2000),   # under 1/2 -> tall2
+        ("i", 1024, 1024),  # exactly 1 MP -> xl tier
+        ("j", 1023, 1024),  # just under -> large tier
+        ("k", 100, 100),    # small tier
+    ]
+    df = spark.createDataFrame(rows, "image_id string, w int, h int")
+    out = {r["image_id"]: r for r in aspect_buckets(df).collect()}
+    assert out["a"]["bucket"] == "wide2" and out["a"]["target_w"] == 1408
+    assert out["b"]["bucket"] == "wide"
+    assert out["c"]["bucket"] == "wide"
+    assert out["d"]["bucket"] == "square" and out["d"]["target_h"] == 1024
+    assert out["e"]["bucket"] == "square"
+    assert out["f"]["bucket"] == "tall"
+    assert out["g"]["bucket"] == "tall" and out["g"]["target_h"] == 1152
+    assert out["h"]["bucket"] == "tall2" and out["h"]["target_w"] == 704
+    assert out["i"]["res_tier"] == "xl"
+    assert out["j"]["res_tier"] == "large"
+    assert out["k"]["res_tier"] == "small"
