@@ -385,6 +385,100 @@ def pdf_extract_bench(spark, n_docs: int = 2_000) -> dict:
     }
 
 
+def training_prep_bench(spark, n_rows: int = 200_000) -> dict:
+    """The post-crawl training-prep tier end-to-end at scale: curation
+    gate → aspect buckets → stratified sample (per-bucket rates) →
+    byte-balanced shard packing.  Everything up to the pack is pure
+    codegen (zero shuffle); the pack pays exactly one range shuffle +
+    Arrow cumsum.  Input is a synthetic (image_id, w, h, caption, bytes
+    size) table generated by Catalyst expressions — no Python in the
+    build or the gate."""
+    from crawl4ai_spark.operators.multimodal import (
+        aspect_buckets,
+        curate_image_captions,
+    )
+    from crawl4ai_spark.operators.sampling import shard_pack, stratified_sample
+
+    n_parts = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    h = F.xxhash64(F.col("id").cast("string"))
+    # alphabetic vocabulary (captions must clear the alpha-density screen)
+    vocab = F.array(*[
+        F.lit("".join(chr(ord("a") + (v * 7 + k * 3) % 26) for k in range(5)))
+        for v in range(64)
+    ])
+    word = lambda salt: F.element_at(
+        vocab,
+        (F.pmod(F.xxhash64(F.col("id").cast("string"), F.lit(salt)),
+                F.lit(64)) + 1).cast("int"))
+    caption = F.concat_ws(
+        " ", *[word(s) for s in range(12)],
+        F.when(F.pmod(h, 19) == 0,
+               F.lit("echo echo echo echo echo echo echo echo"))
+        .otherwise(F.lit("fin")),
+    )
+    images = spark.range(0, n_rows, 1, n_parts).select(
+        F.col("id").cast("string").alias("image_id"),
+        (F.pmod(h, 2048) + 16).cast("int").alias("w"),
+        (F.pmod(F.xxhash64(F.col("id").cast("string"), F.lit("h")), 2048) + 16)
+        .cast("int").alias("h"),
+        caption.alias("caption"),
+        (F.pmod(h, 900_000) + 20_000).cast("long").alias("n_bytes"),
+    )
+    t0 = time.time()
+    gated = curate_image_captions(images).filter(F.col("keep"))
+    bucketed = aspect_buckets(gated)
+    sampled = stratified_sample(
+        bucketed, "image_id", "bucket",
+        {"square": 1.0, "wide": 0.8, "tall": 0.8}, default_rate=0.5, seed=11,
+    )
+    packed = shard_pack(sampled, "image_id", "n_bytes",
+                        shard_bytes=1 << 28, seed=11)
+    row = packed.agg(
+        F.count("*").alias("n"), F.max("shard_id").alias("max_shard")
+    ).collect()[0]
+    secs = time.time() - t0
+    return {
+        "sec": round(secs, 3),
+        "rows_in": n_rows,
+        "rows_packed": row["n"],
+        "shards": int(row["max_shard"]) + 1,
+        "rows_per_sec": round(n_rows / secs, 1),
+    }
+
+
+def dup_ngrams_bench(spark, n_docs: int = 100_000) -> dict:
+    """Duplicated-substring signal at scale: 100k synthetic ~100-token
+    docs (7% share a boilerplate prefix) → per-doc dup-8-gram fraction.
+    The gram document-frequency is ONE partial-aggregating groupBy —
+    counting is O(df) per gram, so the planted boilerplate (7k-doc df)
+    costs nothing like the O(df²) a pair join would pay."""
+    from crawl4ai_spark.operators.dedup import dup_ngram_stats
+
+    n_parts = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    word = lambda salt: F.concat(
+        F.lit("w"), F.pmod(F.xxhash64(F.col("id").cast("string"), F.lit(salt)),
+                           F.lit(30_000)).cast("string"))
+    boiler = " ".join(f"b{k}" for k in range(40))
+    body = F.concat_ws(" ", *[word(s) for s in range(60)])
+    text = F.when(
+        F.pmod(F.col("id"), 14) == 0, F.concat(F.lit(boiler + " "), body)
+    ).otherwise(body)
+    docs = spark.range(0, n_docs, 1, n_parts).select(
+        F.col("id").alias("doc_id"), text.alias("text"))
+    t0 = time.time()
+    row = dup_ngram_stats(docs, n=8).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("dup_frac") > 0.3).cast("long")).alias("flagged"),
+    ).collect()[0]
+    secs = time.time() - t0
+    return {
+        "sec": round(secs, 3),
+        "docs": n_docs,
+        "flagged": int(row["flagged"]),
+        "docs_per_sec": round(n_docs / secs, 1),
+    }
+
+
 def host_calibration(spark) -> dict:
     """Fixed micro-workloads recorded per run so round-over-round deltas
     can be normalized for host drift (this VM's per-core throughput moves
@@ -535,6 +629,16 @@ def main() -> None:
     section_reset(spark)
     extras["pdf_extract"] = pdf_extract_bench(
         spark, n_docs=max(1_000, int(50_000 * sf)))
+
+    # post-crawl training prep (curate → bucket → sample → shard-pack)
+    section_reset(spark)
+    extras["training_prep"] = training_prep_bench(
+        spark, n_rows=max(20_000, int(2_000_000 * sf)))
+
+    # duplicated-substring signal over a synthetic 100-token corpus
+    section_reset(spark)
+    extras["dup_ngrams"] = dup_ngrams_bench(
+        spark, n_docs=max(10_000, int(1_000_000 * sf)))
 
     total = round(sum(queries.values()), 3)
     print(json.dumps({

@@ -428,12 +428,18 @@ def dup_ngram_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     Returns (id, n_grams, n_dup, dup_frac); documents with fewer than
     ``n`` tokens carry n_grams = 0 and dup_frac = 0.
 
-    Scale shape: explode distinct grams → ONE partial-aggregating groupBy
-    to count per-gram document frequency (map-side combine makes hot
-    boilerplate grams cheap — unlike a pair join, counting is O(df), not
-    O(df²)) → join postings back to the df table (sort-merge; AQE skew
-    split handles a pathological gram) → ONE groupBy per doc.  No pair
-    blowup anywhere, so no hot-shingle cap is needed."""
+    Scale shape: grams are hashed to int64 (xxhash64) the moment they are
+    built, so every downstream exchange moves 8-byte keys instead of
+    ~50-byte strings; per-gram document frequency is ONE partial-
+    aggregating groupBy (map-side combine makes hot boilerplate grams
+    cheap — counting is O(df), not the O(df²) a pair join pays); postings
+    then join only against the grams that ARE duplicated (df >= min_df) —
+    in a real corpus that set is a small fraction, so AQE broadcasts it
+    and the join never shuffles the posting list a second time; a
+    pathological all-duplicate corpus degrades to a sort-merge join, not
+    to a blowup.  n_grams per doc comes from the local array size — no
+    shuffle.  (Hash collisions can overcount n_dup with probability
+    ≈ postings²/2⁶⁴ — negligible at any real scale.)"""
     toks = F.filter(F.split(normalized_text(F.col(text_col)), " "), lambda t: t != "")
     grams = F.when(
         F.size(toks) >= n,
@@ -445,27 +451,30 @@ def dup_ngram_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         ),
     ).otherwise(F.array().cast("array<string>"))
     g = widen(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("id"), grams.alias("grams")
-    )
+        F.col(id_col).alias("id"),
+        F.transform(grams, lambda s: F.xxhash64(s)).alias("grams"),
+    ).localCheckpoint(eager=False)  # grams built once, read by both jobs
     posting = g.select("id", F.explode("grams").alias("gram"))
-    gram_df = posting.groupBy("gram").agg(F.count("*").alias("df"))
-    per_doc = (
-        posting.join(gram_df, "gram")
+    dup_grams = (
+        posting.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("gram")
+    )
+    n_dup = (
+        posting.join(dup_grams, "gram")
         .groupBy("id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum((F.col("df") >= min_df).cast("long")).alias("n_dup"),
-        )
+        .agg(F.count("*").alias("n_dup"))
     )
     return (
-        g.select("id")
-        .join(per_doc, "id", "left")
+        g.select("id", F.size("grams").cast("long").alias("n_grams"))
+        .join(n_dup, "id", "left")
         .select(
             "id",
-            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            "n_grams",
             F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
             F.when(
-                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.col("n_grams") > 0,
                 F.coalesce("n_dup", F.lit(0)).cast("double") / F.col("n_grams"),
             ).otherwise(F.lit(0.0)).alias("dup_frac"),
         )
