@@ -431,8 +431,11 @@ def training_prep_bench(spark, n_rows: int = 200_000) -> dict:
         bucketed, "image_id", "bucket",
         {"square": 1.0, "wide": 0.8, "tall": 0.8}, default_rate=0.5, seed=11,
     )
+    # pack under a DIFFERENT seed than the sample: reusing the sampling
+    # hash would sort survivors by their own acceptance draw, piling the
+    # rate-1.0 bucket into the trailing shards instead of mixing buckets
     packed = shard_pack(sampled, "image_id", "n_bytes",
-                        shard_bytes=1 << 28, seed=11)
+                        shard_bytes=1 << 28, seed=12)
     row = packed.agg(
         F.count("*").alias("n"), F.max("shard_id").alias("max_shard")
     ).collect()[0]

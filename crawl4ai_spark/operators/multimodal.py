@@ -187,11 +187,6 @@ def aspect_buckets(images: DataFrame) -> DataFrame:
         bucket = F.when(cond, F.lit(name)) if bucket is None else bucket.when(
             cond, F.lit(name)
         )
-    tw = F.lit(None).cast("int")
-    th = F.lit(None).cast("int")
-    for name, _bound, target_w, target_h in ASPECT_BUCKETS:
-        tw = F.when(bucket == name, F.lit(target_w)).otherwise(tw)
-        th = F.when(bucket == name, F.lit(target_h)).otherwise(th)
     tier = None
     for name, floor_px in RES_TIERS:
         if floor_px == 0:
@@ -201,6 +196,13 @@ def aspect_buckets(images: DataFrame) -> DataFrame:
         tier = F.when(cond, F.lit(name)) if tier is None else tier.when(
             cond, F.lit(name)
         )
+    # target ladders reference the materialized bucket column, not the
+    # aspect CASE itself — one copy of the ladder in the plan, not eleven
+    tw = F.lit(None).cast("int")
+    th = F.lit(None).cast("int")
+    for name, _bound, target_w, target_h in ASPECT_BUCKETS:
+        tw = F.when(F.col("bucket") == name, F.lit(target_w)).otherwise(tw)
+        th = F.when(F.col("bucket") == name, F.lit(target_h)).otherwise(th)
     return (
         images.withColumn("bucket", bucket)
         .withColumn("target_w", tw.cast("int"))

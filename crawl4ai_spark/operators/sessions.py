@@ -12,11 +12,16 @@ is no single-partition funnel; at 100 TB the shuffle on the
 high-cardinality user key is the unavoidable minimum for this semantics.
 
 All gap arithmetic is ``timestampdiff(MICROSECOND, ...)`` on the naive
-timestamps themselves — integer microseconds, independent of the session
-time zone (the events column is TIMESTAMP_NTZ; epoch-based math would
-silently shift with ``spark.sql.session.timeZone``).  The DuckDB oracle
-uses ``date_diff('microseconds', ...)`` — the identical integer.  Value
-sums go through DECIMAL(18,2) to stay order-independent and exact.
+timestamps themselves — integer WALL-CLOCK microseconds.  Verified
+regression (test_sessionize_dst_timezone_invariant): with
+``spark.sql.session.timeZone = America/New_York`` a naive 01:59 → 03:01
+pair spanning the 2024-03-10 spring-forward still yields 62 min (wall),
+not the 2-min instant difference — Spark 4.x evaluates timestampdiff on
+TIMESTAMP_NTZ without a session-zone reinterpretation, so sessions are
+identical under any session time zone (epoch-based math would not be).
+The DuckDB oracle uses ``date_diff('microseconds', ...)`` — the identical
+integer.  Event timestamps must be non-null (they order the window).
+Value sums go through DECIMAL(18,2) to stay order-independent and exact.
 """
 
 from __future__ import annotations

@@ -22,12 +22,18 @@ admission contract as ``streaming/state.py`` (align batches to committed
 time slices — FileStreamSource mtime order with one file per slice).
 
 All arithmetic is integers: event times as microseconds (tz-free, the
-batch operator's ``timestampdiff`` twin) and values as cents, so the
-stream and the batch DECIMAL(18,2) sums agree bit-for-bit as doubles.
+batch operator's ``timestampdiff`` twin) and values as cents — converted
+with the exact semantics of Spark's double→DECIMAL(18,2) cast
+(HALF_UP on the shortest-repr digits, see ``_cents``), so the stream and
+the batch DECIMAL sums agree bit-for-bit as doubles, including half-cent
+values like 0.125.  A NULL value contributes 0 cents, matching SQL
+``sum()`` null-skipping; event timestamps must be non-null (same
+precondition as the batch operator's window ordering).
 """
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Iterator
 
 import pandas as pd
@@ -47,6 +53,21 @@ OUTPUT_SCHEMA = (
 
 def _us(col: pd.Series) -> pd.Series:
     return col.astype("datetime64[us]").astype("int64")
+
+
+_CENT = Decimal("0.01")
+
+
+def _cents(values: pd.Series) -> list[int]:
+    """Twin of Spark's ``cast(value as decimal(18,2))``: HALF_UP on the
+    shortest decimal representation of the double (BigDecimal.valueOf
+    semantics — 0.125 → 13 cents, where float*100 + banker's rounding
+    would give 12).  NULL → 0, matching SQL sum() null-skipping."""
+    return [
+        0 if pd.isna(v)
+        else int(Decimal(repr(float(v))).quantize(_CENT, ROUND_HALF_UP) * 100)
+        for v in values
+    ]
 
 
 def _closed_row(user: int, state: tuple) -> dict:
@@ -79,10 +100,10 @@ def session_stream(
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts", order_col])
         ts_us = _us(rows["ts"]).to_numpy()
-        cents = (rows["value"].astype("float64") * 100).round().astype("int64")
+        cents = _cents(rows["value"])
         cur: tuple | None = state.get if state.exists else None
         closed: list[dict] = []
-        for t, c in zip(ts_us, cents.to_numpy()):
+        for t, c in zip(ts_us, cents):
             if cur is None:
                 cur = (0, 1, int(t), int(t), int(c))
             elif t - cur[3] > gap_us:

@@ -371,3 +371,41 @@ def test_sessionize_gap_semantics(spark):
     assert stats[(1, 0)]["total_value"] == 6.0
     assert stats[(1, 1)]["n_events"] == 1
     assert stats[(2, 0)]["n_events"] == 2
+
+
+def test_sessionize_dst_timezone_invariant(spark):
+    """timestampdiff on TIMESTAMP_NTZ is wall-clock: a DST session zone
+    must not change sessionization (01:59 -> 03:01 across the 2024-03-10
+    US spring-forward is a 62-min wall gap -> new session at gap 30 min,
+    even though the instants are only 2 min apart in America/New_York)."""
+    from datetime import datetime
+
+    from crawl4ai_spark.operators import sessions
+
+    rows = [
+        (0, datetime(2024, 3, 10, 1, 59), 1, 1.0),
+        (1, datetime(2024, 3, 10, 3, 1), 1, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, value double"
+    )
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = {r["event_id"]: r["session_idx"]
+               for r in sessions.sessionize(df, gap_s=1800).collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    assert got == {0: 0, 1: 1}, got
+
+
+def test_session_stream_cents_half_up_and_nulls():
+    """The stream's cents conversion must twin Spark's double->DECIMAL(18,2)
+    cast (HALF_UP on shortest-repr digits), and NULL values contribute 0."""
+    import pandas as pd
+
+    from crawl4ai_spark.streaming.sessions import _cents
+
+    vals = pd.Series([0.125, 4.415, 2.675, -0.125, None, 1.0])
+    # float*100 + banker's rounding would give 12 / 441 / 267 / -12
+    assert _cents(vals) == [13, 442, 268, -13, 0, 100]
