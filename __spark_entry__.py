@@ -69,6 +69,7 @@ from crawl4ai_spark.operators.dedup import (
     simhash_pairs,
 )
 from crawl4ai_spark.operators.sampling import (
+    pack_sequences,
     sample_threshold_hex,
     shard_pack,
     stratified_sample,
@@ -232,6 +233,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("shard_offset").alias("shard_offset"),
         )
     q["shard_pack"] = q_shard_pack
+
+    def q_pack_sequences(spark, sf):
+        # LM-training sequence packing: next-fit fold per deterministic
+        # md5 shard; expected table from an independent hashlib/re twin
+        oracle_expected.ensure_pack_sequences_expected(sf)
+        docs = _t(spark, sf, "documents").select(
+            "doc_id", "text",
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        return pack_sequences(
+            docs, "doc_id", "n_tokens", budget=120, seed=5, n_shards=8
+        ).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("shard"),
+            F.col("seq_id"),
+            F.col("seq_off"),
+            F.col("n_tokens"),
+        )
+    q["pack_sequences"] = q_pack_sequences
 
     def q_dup_ngrams(spark, sf):
         docs = _t(spark, sf, "documents")
@@ -1756,6 +1776,11 @@ def oracle_sql() -> dict[str, str]:
                res_tier
         FROM b
     """
+
+    o["pack_sequences"] = (
+        "SELECT doc_id, shard, seq_id, seq_off, n_tokens "
+        f"FROM read_parquet('{_exp('pack_sequences')}')"
+    )
 
     o["llm_extract"] = (
         "SELECT url, section_idx, block_idx, tags, content, error "

@@ -541,13 +541,20 @@ def warm_python_workers(spark) -> None:
     df.mapInPandas(_ident, "id long").count()
 
 
-def section_reset(spark) -> None:
+def section_reset(spark, drift: dict | None = None, tag: str | None = None) -> None:
     """Drop cross-section JVM state so each bench section times ITS plan,
     not the previous section's leftovers: unpersist every lingering RDD
     block (localCheckpoints whose DataFrames are garbage), clear the SQL
     cache, and run one JVM GC cycle so the ContextCleaner releases
     shuffle files.  crawl_e2e measured 2x slower after the 1.6M-row
-    frontier sections than standalone before this."""
+    frontier sections than standalone before this.
+
+    When ``drift``/``tag`` are given, a 1-second fixed JVM lane (the
+    host_calibration hash lane at 1/10 size) is timed AFTER the reset and
+    recorded under ``drift[tag]`` — this shared VM shows multi-x
+    minute-to-minute external contention (consecutive identical crawl
+    runs measured 24.8 s and 187.7 s), so per-section lane times are the
+    only way to tell a slow section from a slow minute."""
     spark.catalog.clearCache()
     for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
         try:
@@ -556,6 +563,12 @@ def section_reset(spark) -> None:
             pass
     spark._jvm.System.gc()
     time.sleep(1.0)  # let the async ContextCleaner drain
+    if drift is not None and tag is not None:
+        t0 = time.time()
+        spark.range(0, 5_000_000, 1, 32).select(
+            F.sum(F.shiftright(F.xxhash64("id"), 32))
+        ).collect()
+        drift[tag] = round(time.time() - t0, 3)
 
 
 def main() -> None:
@@ -612,34 +625,35 @@ def main() -> None:
 
     # T6 Bloom sidecar variant: probe-side reduction evidence (not part of
     # the headline total — frontier_schedule stays round-comparable)
-    section_reset(spark)
+    drift: dict[str, float] = {}
+    section_reset(spark, drift, "frontier_bloom")
     extras["frontier_bloom"] = frontier_schedule_bloom(spark, n_link_pages)
 
     # integrated engine loop (multi-seed deep crawl, full schedule)
-    section_reset(spark)
+    section_reset(spark, drift, "crawl_e2e")
     extras["crawl_e2e"] = crawl_e2e(spark, n_pages=max(5_000, int(500_000 * sf)))
 
     # best-first at a scale batch (10^5 pops per superstep)
-    section_reset(spark)
+    section_reset(spark, drift, "bf_batch")
     extras["bf_batch"] = bf_batch(spark, n_pages=max(5_000, int(500_000 * sf)))
 
     # image near-dup join at scale (uniform-random worst case + planted dups)
-    section_reset(spark)
+    section_reset(spark, drift, "phash_neardup")
     extras["phash_neardup"] = phash_neardup_bench(
         spark, n_rows=max(20_000, int(2_000_000 * sf)))
 
     # PDF parse-stage throughput over a cached synthetic corpus
-    section_reset(spark)
+    section_reset(spark, drift, "pdf_extract")
     extras["pdf_extract"] = pdf_extract_bench(
         spark, n_docs=max(1_000, int(50_000 * sf)))
 
     # post-crawl training prep (curate → bucket → sample → shard-pack)
-    section_reset(spark)
+    section_reset(spark, drift, "training_prep")
     extras["training_prep"] = training_prep_bench(
         spark, n_rows=max(20_000, int(2_000_000 * sf)))
 
     # duplicated-substring signal over a synthetic 100-token corpus
-    section_reset(spark)
+    section_reset(spark, drift, "dup_ngrams")
     extras["dup_ngrams"] = dup_ngrams_bench(
         spark, n_docs=max(10_000, int(1_000_000 * sf)))
 
@@ -651,6 +665,7 @@ def main() -> None:
         "queries": queries,
         "sf": sf,
         "host_calibration": calibration,
+        "section_drift_lane_s": drift,
         "throughput": extras,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "frontier_rows": n_sched,

@@ -34,6 +34,8 @@ needs before training.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -45,6 +47,7 @@ __all__ = [
     "bernoulli_sample",
     "stratified_sample",
     "shard_pack",
+    "pack_sequences",
 ]
 
 _HEX_DIGITS = 16  # compare on the first 16 hex digits (64 bits) of md5
@@ -146,3 +149,65 @@ def shard_pack(
         )
         .drop("__cum")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    budget: int,
+    seed: int = 0,
+    n_shards: int = 256,
+) -> DataFrame:
+    """Token-budget sequence packing (the LM-training batch-prep step):
+    pack documents into training sequences of at most ``budget`` tokens,
+    next-fit in deterministic shuffled order — a document that would
+    overflow the open sequence starts a new one; a document longer than
+    ``budget`` occupies a sequence alone (the loader truncates it).
+
+    Packing is a sequential fold, so it cannot be a window/cumsum; the
+    scale shape is: deterministic shard = first 16 bits of the md5 pack
+    key (NOT repartitionByRange, whose sampled boundaries would break
+    reproducibility) → ONE hash shuffle on ``shard`` → next-fit inside
+    each shard in one Arrow ``applyInPandas`` pass, shards packing in
+    parallel and independently.  Sequence ids are (shard, seq_id) — stable
+    under any cluster size, retries, and input partitioning.
+
+    Adds ``shard`` (int), ``seq_id`` (long, per shard), ``seq_off`` (long,
+    token offset of this document inside its sequence).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if not 1 <= n_shards <= 65536:
+        raise ValueError("n_shards must be in [1, 65536]")
+    keyed = df.withColumn("pack_key", hash_uniform_hex(F.col(key_col), seed))
+    keyed = keyed.withColumn(
+        "shard",
+        F.pmod(
+            F.conv(F.substring("pack_key", 1, 4), 16, 10).cast("long"),
+            F.lit(n_shards),
+        ).cast("int"),
+    )
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in keyed.schema.fields
+    )
+    out_schema = f"{fields}, seq_id long, seq_off long"
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["pack_key", key_col]).reset_index(drop=True)
+        toks = pdf[tokens_col].astype("int64").to_numpy()
+        seq_ids = np.empty(len(pdf), dtype="int64")
+        offs = np.empty(len(pdf), dtype="int64")
+        seq, fill = 0, 0
+        for i, t in enumerate(toks):
+            if fill > 0 and fill + t > budget:
+                seq += 1
+                fill = 0
+            seq_ids[i] = seq
+            offs[i] = fill
+            fill += t
+        pdf["seq_id"] = seq_ids
+        pdf["seq_off"] = offs
+        return pdf
+
+    return keyed.groupBy("shard").applyInPandas(pack, out_schema)

@@ -1065,3 +1065,42 @@ def ensure_pdf_expected(sf_dir: str) -> None:
                        "encrypted", "file_size"]).astype(
         {"page_number": "int64", "n_pages": "int64", "file_size": "int64"}))
     _done["pdf"] = key
+
+
+def ensure_pack_sequences_expected(sf_dir: str, budget: int = 120,
+                                   seed: int = 5, n_shards: int = 8) -> None:
+    """Independent twin of operators/sampling.pack_sequences over the
+    documents table: md5 pack keys via hashlib, whitespace token counts,
+    shard = first 16 bits of the key mod n_shards, next-fit fold per shard
+    in (pack_key, doc_id) order.  No engine imports — the fold is
+    re-derived from the packing spec."""
+    import hashlib
+    import re
+
+    key = ("pack_sequences", sf_dir, budget, seed, n_shards)
+    if _done.get("pack_sequences") == key:
+        return
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    recs = []
+    for r in docs.itertuples():
+        pk = hashlib.md5(f"{int(r.doc_id)}#{seed}".encode()).hexdigest()
+        n_tok = len([t for t in re.split(r"\s+", str(r.text).lower()) if t])
+        recs.append((int(pk[:4], 16) % n_shards, pk, int(r.doc_id), n_tok))
+    out = []
+    for shard in sorted({s for s, *_ in recs}):
+        members = sorted([x for x in recs if x[0] == shard],
+                         key=lambda x: (x[1], x[2]))
+        seq, fill = 0, 0
+        for _s, _pk, did, t in members:
+            if fill > 0 and fill + t > budget:
+                seq += 1
+                fill = 0
+            out.append({"doc_id": did, "shard": shard, "seq_id": seq,
+                        "seq_off": fill, "n_tokens": t})
+            fill += t
+    _write("pack_sequences", pd.DataFrame(
+        out, columns=["doc_id", "shard", "seq_id", "seq_off", "n_tokens"]
+    ).astype({"doc_id": "int64", "shard": "int32", "seq_id": "int64",
+              "seq_off": "int64", "n_tokens": "int64"}))
+    _done["pack_sequences"] = key

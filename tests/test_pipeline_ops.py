@@ -409,3 +409,42 @@ def test_session_stream_cents_half_up_and_nulls():
     vals = pd.Series([0.125, 4.415, 2.675, -0.125, None, 1.0])
     # float*100 + banker's rounding would give 12 / 441 / 267 / -12
     assert _cents(vals) == [13, 442, 268, -13, 0, 100]
+
+
+def test_pack_sequences_budget_and_determinism(spark, docs):
+    from crawl4ai_spark.operators import sampling
+    from crawl4ai_spark.operators.text import token_count
+
+    d = docs.select(
+        "doc_id", "text", token_count(F.col("text")).cast("long").alias("nt")
+    )
+    out = sampling.pack_sequences(d, "doc_id", "nt", budget=120,
+                                  seed=5, n_shards=8)
+    rows = out.select("doc_id", "pack_key", "shard", "seq_id", "seq_off",
+                      "nt").collect()
+    assert len(rows) == d.count()
+    # per (shard, seq): offsets are the next-fit prefix sums and the
+    # sequence respects the budget unless it is a single oversized doc
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault((r["shard"], r["seq_id"]), []).append(r)
+    for (_s, _q), members in by_seq.items():
+        members.sort(key=lambda r: (r["pack_key"], r["doc_id"]))
+        fill = 0
+        for m in members:
+            assert m["seq_off"] == fill
+            fill += m["nt"]
+        assert fill <= 120 or len(members) == 1
+    # sequence ids are dense per shard
+    for s in {r["shard"] for r in rows}:
+        ids = sorted({r["seq_id"] for r in rows if r["shard"] == s})
+        assert ids == list(range(len(ids)))
+    # deterministic under re-partitioning
+    again = {
+        (r["doc_id"], r["shard"], r["seq_id"], r["seq_off"])
+        for r in sampling.pack_sequences(
+            d.repartition(13), "doc_id", "nt", budget=120, seed=5, n_shards=8
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["shard"], r["seq_id"], r["seq_off"])
+                     for r in rows}
