@@ -74,6 +74,7 @@ from crawl4ai_spark.operators.sampling import (
     shard_pack,
     stratified_sample,
 )
+from crawl4ai_spark.operators.recrawl import recrawl_schedule
 from crawl4ai_spark.operators.sessions import session_stats
 from crawl4ai_spark.operators.llm import llm_content_filter_stage, llm_extract_stage
 from crawl4ai_spark.operators.pdf import pdf_extract_stage
@@ -262,6 +263,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("dup_frac"),
         )
     q["dup_ngrams"] = q_dup_ngrams
+
+    def q_recrawl(spark, sf):
+        # adaptive revisit policy over a fetch-history table synthesized
+        # from events: per-"url" change rate -> TTL in [1h, 30d] -> due flag
+        ev = _t(spark, sf, "events").select(
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
+            F.col("ts").alias("fetch_ts"),
+            F.col("event_type").alias("content_hash"),
+        )
+        return recrawl_schedule(ev, now="2024-03-01 00:00:00").select(
+            "url",
+            F.col("n_fetches").cast("long").alias("n_fetches"),
+            F.col("n_changes").cast("long").alias("n_changes"),
+            "change_rate", "ttl_s", "age_us", "due",
+        )
+    q["recrawl_schedule"] = q_recrawl
 
     def q_sessionize(spark, sf):
         ev = _t(spark, sf, "events")
@@ -1228,6 +1245,45 @@ def oracle_sql() -> dict[str, str]:
                     THEN CAST(coalesce(n_dup, 0) AS DOUBLE) / n_grams
                     ELSE 0.0 END AS DOUBLE) AS dup_frac
         FROM g LEFT JOIN per_doc USING (doc_id)
+    """
+
+    o["recrawl_schedule"] = """
+        WITH h AS (
+          SELECT 'u' || CAST(user_id AS VARCHAR) AS url, ts AS fetch_ts,
+                 event_type AS content_hash
+          FROM events),
+        c AS (
+          SELECT url, fetch_ts, content_hash,
+                 lag(content_hash) OVER (PARTITION BY url
+                                         ORDER BY fetch_ts, content_hash)
+                   AS ph
+          FROM h),
+        p AS (
+          SELECT url, count(*) AS n_fetches,
+                 CAST(sum(CASE WHEN ph IS NOT NULL AND content_hash <> ph
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+                 max(fetch_ts) AS last_ts
+          FROM c GROUP BY url),
+        r AS (
+          SELECT url, n_fetches, n_changes, last_ts,
+                 CAST(n_changes AS DOUBLE)
+                   / CAST(greatest(n_fetches - 1, 1) AS DOUBLE) AS change_rate
+          FROM p),
+        t AS (
+          SELECT url, n_fetches, n_changes, change_rate,
+                 least(greatest(CAST(604800.0 AS DOUBLE)
+                                / (CAST(1.0 AS DOUBLE)
+                                   + CAST(16.0 AS DOUBLE) * change_rate),
+                                CAST(3600.0 AS DOUBLE)),
+                       CAST(2592000.0 AS DOUBLE)) AS ttl_s,
+                 CAST(date_diff('microseconds', last_ts,
+                                TIMESTAMP '2024-03-01 00:00:00') AS BIGINT)
+                   AS age_us
+          FROM r)
+        SELECT url, n_fetches, n_changes, change_rate, ttl_s, age_us,
+               CAST(age_us AS DOUBLE)
+                 >= ttl_s * CAST(1000000.0 AS DOUBLE) AS due
+        FROM t
     """
 
     o["sessionize"] = """

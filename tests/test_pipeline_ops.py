@@ -448,3 +448,32 @@ def test_pack_sequences_budget_and_determinism(spark, docs):
     }
     assert again == {(r["doc_id"], r["shard"], r["seq_id"], r["seq_off"])
                      for r in rows}
+
+
+def test_recrawl_schedule_policy(spark):
+    from datetime import datetime
+
+    from crawl4ai_spark.operators.recrawl import recrawl_schedule
+
+    t = lambda d, h=0: datetime(2024, 1, d, h)
+    rows = [
+        # static page: 3 fetches, no change -> base TTL (7d), last 2024-01-05
+        ("s", t(1), "A"), ("s", t(3), "A"), ("s", t(5), "A"),
+        # churner: changes every fetch -> TTL clamped up from base/(1+16)
+        ("c", t(1), "A"), ("c", t(2), "B"), ("c", t(3), "C"),
+        # single fetch: rate 0 -> base TTL
+        ("one", t(6), "X"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, fetch_ts timestamp_ntz, content_hash string"
+    )
+    out = {r["url"]: r for r in
+           recrawl_schedule(df, now="2024-01-08 00:00:00").collect()}
+    assert out["s"]["change_rate"] == 0.0
+    assert out["s"]["ttl_s"] == 604_800.0
+    assert out["s"]["due"] is False  # age 3d < 7d
+    assert out["c"]["change_rate"] == 1.0
+    assert out["c"]["ttl_s"] == 604_800.0 / 17.0  # ~9.9h, above the 1h floor
+    assert out["c"]["due"] is True  # age 5d >> 9.9h
+    assert out["one"]["n_fetches"] == 1 and out["one"]["change_rate"] == 0.0
+    assert out["one"]["ttl_s"] == 604_800.0
