@@ -102,7 +102,7 @@ from crawl4ai_spark.operators.multimodal import (
 )
 from crawl4ai_spark.oracle import expected as oracle_expected
 from crawl4ai_spark.plans.frontier import CrawlConfig, deep_crawl
-from crawl4ai_spark.sources import pdfsynth, synth
+from crawl4ai_spark.sources import pdfsynth, synth, warc, warcsynth
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1035,6 +1035,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["pdf_extract"] = q_pdf_extract
 
+    def q_warc_ingest(spark, sf):
+        # WARC tier: build deterministic crawl-archive segments from the
+        # documents table (sources/warcsynth.py), parse them back with the
+        # from-scratch reader in one Arrow stage; expected table from the
+        # BUILDER INPUTS, parser never consulted
+        oracle_expected.ensure_warc_expected(sf)
+        docs = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text")
+        out = warc.warc_records_stage(warcsynth.warc_corpus(docs))
+        return out.filter(F.col("error").isNull()).select(
+            "file_id", "record_idx", "warc_type", "target_uri",
+            "warc_date", "http_status", "content_type", "body",
+        )
+    q["warc_ingest"] = q_warc_ingest
+
     def q_llm_extract(spark, sf):
         # LLMExtractionStrategy plumbing with the deterministic fake model
         # (oracle/expected.py fake_llm_extract defines the "model"; the
@@ -1844,6 +1859,11 @@ def oracle_sql() -> dict[str, str]:
     )
     o["llm_filter"] = (
         f"SELECT url, section_idx, markdown FROM read_parquet('{_exp('llm_filter')}')"
+    )
+    o["warc_ingest"] = (
+        "SELECT file_id, record_idx, warc_type, target_uri, warc_date, "
+        "http_status, content_type, body "
+        f"FROM read_parquet('{_exp('warc_ingest')}')"
     )
     o["pdf_extract"] = (
         "SELECT doc_id, page_number, raw_text, links, title, author, "

@@ -1104,3 +1104,41 @@ def ensure_pack_sequences_expected(sf_dir: str, budget: int = 120,
     ).astype({"doc_id": "int64", "shard": "int32", "seq_id": "int64",
               "seq_off": "int64", "n_tokens": "int64"}))
     _done["pack_sequences"] = key
+
+
+def ensure_warc_expected(sf_dir: str) -> None:
+    """warc_ingest probe: the expected table is reconstructed from the
+    BUILDER INPUTS (sources/warcsynth.py record_fields_of recipe — uri /
+    date / status / body as pure functions of (doc_id, text)), never from
+    the parser (sources/warc.py): fields in == fields out."""
+    key = ("warc", sf_dir)
+    if _done.get("warc") == key:
+        return
+    from ..sources import warcsynth
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    docs = docs.sort_values("doc_id")
+    rows = []
+    idx_in_file: dict[int, int] = {}
+    for r in docs.itertuples():
+        i = int(r.doc_id)
+        fid = i // warcsynth.DOCS_PER_FILE
+        rec = warcsynth.record_fields_of(i, r.text)
+        rows.append({
+            "file_id": fid,
+            "record_idx": idx_in_file.get(fid, 0),
+            "warc_type": "response",
+            "target_uri": rec["target_uri"],
+            "warc_date": rec["warc_date"],
+            "http_status": rec["http_status"],
+            "content_type": rec["content_type"],
+            "body": rec["body"],
+        })
+        idx_in_file[fid] = idx_in_file.get(fid, 0) + 1
+    _write("warc_ingest", pd.DataFrame(
+        rows, columns=["file_id", "record_idx", "warc_type", "target_uri",
+                       "warc_date", "http_status", "content_type", "body"]
+    ).astype({"file_id": "int64", "record_idx": "int32",
+              "http_status": "int32"}))
+    _done["warc"] = key

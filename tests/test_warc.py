@@ -1,0 +1,89 @@
+"""WARC ingestion: builder↔parser roundtrip, non-response records, and
+malformed-frame isolation (the cases the builder-inputs oracle cannot
+exercise, since it only ever sees well-formed output)."""
+
+from crawl4ai_spark.sources.warc import parse_warc, warc_records_stage
+from crawl4ai_spark.sources.warcsynth import (
+    build_warc,
+    record_fields_of,
+    warc_corpus,
+)
+
+
+def _file_bytes(doc_ids):
+    return build_warc([record_fields_of(i, f"alpha beta gamma doc {i}")
+                       for i in doc_ids])
+
+
+def test_roundtrip_fields():
+    data = _file_bytes([0, 13, 7])
+    rows = parse_warc(1, data)
+    assert [r["record_idx"] for r in rows] == [0, 1, 2]
+    assert all(r["error"] is None for r in rows)
+    assert all(r["warc_type"] == "response" for r in rows)
+    want = record_fields_of(13, "alpha beta gamma doc 13")
+    got = rows[1]
+    assert got["target_uri"] == want["target_uri"]
+    assert got["warc_date"] == want["warc_date"]
+    assert got["http_status"] == 404  # 13 % 13 == 0
+    assert got["content_type"] == want["content_type"]
+    assert got["body"] == want["body"]
+
+
+def test_non_response_records_pass_through():
+    info = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: warcinfo\r\n"
+        b"Content-Type: application/warc-fields\r\n"
+        b"Content-Length: 9\r\n"
+        b"\r\n"
+        b"robots: x"
+        b"\r\n\r\n"
+    )
+    rows = parse_warc(0, info + _file_bytes([1]))
+    assert rows[0]["warc_type"] == "warcinfo"
+    assert rows[0]["http_status"] is None and rows[0]["error"] is None
+    assert rows[1]["warc_type"] == "response" and rows[1]["http_status"] == 200
+
+
+def test_truncated_payload_isolated():
+    data = _file_bytes([1, 2])
+    rows = parse_warc(3, data[: len(data) - 40])  # cut into record 2
+    assert rows[0]["error"] is None
+    assert "truncated" in rows[-1]["error"]
+
+
+def test_desynced_garbage_isolated():
+    rows = parse_warc(4, b"not a warc at all")
+    assert len(rows) == 1 and "desynced" in rows[0]["error"]
+    # garbage AFTER a good record: the good one survives
+    rows = parse_warc(5, _file_bytes([1]) + b"garbage tail")
+    assert rows[0]["error"] is None and "desynced" in rows[1]["error"]
+
+
+def test_missing_content_length():
+    bad = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"\r\n"
+        b"whatever"
+    )
+    rows = parse_warc(6, bad)
+    assert "Content-Length" in rows[0]["error"]
+
+
+def test_stage_end_to_end(spark):
+    docs = spark.createDataFrame(
+        [(i, f"word{i} text body {i}") for i in range(25)],
+        "doc_id long, text string",
+    )
+    out = warc_records_stage(warc_corpus(docs)).collect()
+    ok = [r for r in out if r["error"] is None]
+    assert len(ok) == 25
+    assert {r["file_id"] for r in ok} == {0, 1, 2}
+    # record order inside a file is ascending doc_id
+    by_file = {}
+    for r in sorted(ok, key=lambda r: (r["file_id"], r["record_idx"])):
+        by_file.setdefault(r["file_id"], []).append(r["target_uri"])
+    assert by_file[1] == [f"https://w{i % 7}.test/doc/{i}"
+                          for i in range(10, 20)]
