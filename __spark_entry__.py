@@ -73,6 +73,7 @@ from crawl4ai_spark.operators.sampling import (
     sample_threshold_hex,
     shard_pack,
     stratified_sample,
+    stratified_topn,
 )
 from crawl4ai_spark.operators.recrawl import recrawl_schedule
 from crawl4ai_spark.operators.sessions import session_stats
@@ -88,6 +89,7 @@ from crawl4ai_spark.operators.similarity import (
 )
 from crawl4ai_spark.operators.text import (
     fingerprint_md5,
+    heavy_hitters,
     lang_id,
     quality_score,
     stopword_hits,
@@ -223,6 +225,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, "doc_id", "lang", _SAMPLE_RATES, default_rate=0.05, seed=7
         ).select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
     q["stratified_sample"] = q_stratified_sample
+
+    def q_stratified_topn(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return stratified_topn(docs, "doc_id", "lang", 20, seed=9).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "lang")
+    q["stratified_topn"] = q_stratified_topn
+
+    def q_heavy_hitters(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return heavy_hitters(docs, k=40).select(
+            "term", F.col("df").cast("long").alias("df"))
+    q["heavy_hitters"] = q_heavy_hitters
 
     def q_shard_pack(spark, sf):
         docs = _t(spark, sf, "documents")
@@ -1219,6 +1233,28 @@ def oracle_sql() -> dict[str, str]:
     o["stratified_sample"] = f"""
         SELECT doc_id, lang FROM documents
         WHERE md5(CAST(doc_id AS VARCHAR) || '#7') < {thr_case}
+    """
+
+    o["stratified_topn"] = """
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || '#9'), doc_id
+                 ) AS rk
+          FROM documents)
+        WHERE rk <= 20
+    """
+
+    o["heavy_hitters"] = """
+        WITH post AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_filter(
+                   string_split_regex(lower(text), '\\s+'), x -> x <> '')))
+                   AS term
+          FROM documents)
+        SELECT term, count(*) AS df FROM post
+        GROUP BY term ORDER BY df DESC, term LIMIT 40
     """
 
     o["shard_pack"] = """

@@ -48,6 +48,7 @@ __all__ = [
     "stratified_sample",
     "shard_pack",
     "pack_sequences",
+    "stratified_topn",
 ]
 
 _HEX_DIGITS = 16  # compare on the first 16 hex digits (64 bits) of md5
@@ -211,3 +212,33 @@ def pack_sequences(
         return pdf
 
     return keyed.groupBy("shard").applyInPandas(pack, out_schema)
+
+
+def stratified_topn(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    n_per_stratum: int,
+    seed: int = 0,
+) -> DataFrame:
+    """EXACT count-based sampling: the ``n_per_stratum`` rows of each
+    stratum with the smallest md5 draws (rate-based sampling's dual — use
+    this when the recipe says "N examples per class", not "p% of each").
+
+    Deterministic for the same reasons as ``bernoulli_sample``; one
+    shuffle on the stratum key for the per-stratum rank.  Strata are few
+    by construction (languages, buckets, classes) and each stratum's rank
+    is a partial TopK under the hood, so the window never funnels the
+    corpus through one task beyond the per-stratum ceiling."""
+    if n_per_stratum < 1:
+        raise ValueError("n_per_stratum must be >= 1")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        hash_uniform_hex(F.col(key_col), seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )

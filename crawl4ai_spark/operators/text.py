@@ -95,3 +95,27 @@ def fingerprint_xxh(text: Column) -> Column:
     """64-bit rolling-style fingerprint (xxhash64) — the engine-internal
     key (same family as the URL-seen key)."""
     return F.xxhash64(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
+
+
+def heavy_hitters(df, text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 50):
+    """Vocabulary heavy hitters: the k terms with the highest DOCUMENT
+    frequency (distinct docs containing the term — the stat that drives
+    stopword lists, boilerplate detection and df-based dedup caps).
+
+    Shape: explode per-doc DISTINCT tokens → one partial-aggregating
+    groupBy (map-side combine absorbs hot terms — counting is O(df)) →
+    TakeOrdered k.  Ties break lexicographically so the result is
+    deterministic."""
+    from pyspark.sql import functions as F
+
+    toks = tokens_col(F.col(text_col))
+    posting = df.select(
+        F.col(id_col), F.explode(F.array_distinct(toks)).alias("term")
+    )
+    return (
+        posting.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term"))
+        .limit(k)
+    )

@@ -477,3 +477,35 @@ def test_recrawl_schedule_policy(spark):
     assert out["c"]["due"] is True  # age 5d >> 9.9h
     assert out["one"]["n_fetches"] == 1 and out["one"]["change_rate"] == 0.0
     assert out["one"]["ttl_s"] == 604_800.0
+
+
+def test_stratified_topn_exact_counts(spark, docs):
+    from crawl4ai_spark.operators import sampling
+
+    out = sampling.stratified_topn(docs, "doc_id", "lang", 10, seed=2)
+    counts = {r["lang"]: r["count"]
+              for r in out.groupBy("lang").count().collect()}
+    totals = {r["lang"]: r["count"]
+              for r in docs.groupBy("lang").count().collect()}
+    for lang, total in totals.items():
+        assert counts[lang] == min(10, total), lang
+    # deterministic under re-partitioning
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in sampling.stratified_topn(
+        docs.repartition(9), "doc_id", "lang", 10, seed=2).collect()}
+    assert a == b
+
+
+def test_heavy_hitters_df_semantics(spark):
+    from crawl4ai_spark.operators.text import heavy_hitters
+
+    rows = [
+        (0, "spark spark spark rare"),   # 'spark' repeats IN-doc: df 1
+        (1, "spark table"),
+        (2, "spark table"),
+        (3, "unique"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["term"], r["df"]) for r in heavy_hitters(df, k=3).collect()]
+    # document frequency, not term frequency; ties break lexicographically
+    assert got == [("spark", 3), ("table", 2), ("rare", 1)]
