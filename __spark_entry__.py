@@ -57,6 +57,7 @@ from crawl4ai_spark.functions.scorers import (
 )
 from crawl4ai_spark.functions.images import decode_stage
 from crawl4ai_spark.operators.extraction import extract_stage
+from crawl4ai_spark.operators.scrape import scrape_stage
 from crawl4ai_spark.operators.dedup import (
     caption_dedup,
     dedup_clusters,
@@ -1064,6 +1065,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["warc_ingest"] = q_warc_ingest
 
+    def q_warc_scrape(spark, sf):
+        # integration: the WARC source feeds the SAME G1 scrape operator
+        # the live-fetch path uses — archive body in, (title, links) out.
+        # Oracle is pure SQL over documents (the builder recipe: title =
+        # first 5 tokens, body has no <a> tags), engine never consulted.
+        docs = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text")
+        recs = warc.warc_records_stage(warcsynth.warc_corpus(docs)).filter(
+            F.col("error").isNull() & (F.col("warc_type") == "response"))
+        scraped = scrape_stage(
+            recs.select(F.col("target_uri").alias("url"),
+                        F.col("body").alias("html")))
+        return scraped.select(
+            "url", "title", F.size("links").cast("long").alias("n_links"))
+    q["warc_scrape"] = q_warc_scrape
+
     def q_llm_extract(spark, sf):
         # LLMExtractionStrategy plumbing with the deterministic fake model
         # (oracle/expected.py fake_llm_extract defines the "model"; the
@@ -1896,6 +1913,16 @@ def oracle_sql() -> dict[str, str]:
     o["llm_filter"] = (
         f"SELECT url, section_idx, markdown FROM read_parquet('{_exp('llm_filter')}')"
     )
+    o["warc_scrape"] = """
+        SELECT 'https://w' || CAST(doc_id % 7 AS VARCHAR) || '.test/doc/'
+                 || CAST(doc_id AS VARCHAR) AS url,
+               array_to_string(
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '')[1:5], ' ') AS title,
+               CAST(0 AS BIGINT) AS n_links
+        FROM documents
+    """
+
     o["warc_ingest"] = (
         "SELECT file_id, record_idx, warc_type, target_uri, warc_date, "
         "http_status, content_type, body "
