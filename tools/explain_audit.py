@@ -234,6 +234,34 @@ def main() -> None:
         plan_of(session_stats(ev)), ["hashpartitioning", "Window"],
     ))
 
+    # 15. recrawl schedule: ONE exchange — lag window and the per-url
+    # rollup (partial+final HashAggregate) share the url hashpartitioning
+    from crawl4ai_spark.operators.recrawl import recrawl_schedule
+
+    ev2 = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("fetch_ts"),
+        F.col("event_type").alias("content_hash"),
+    )
+    recrawl_plan = plan_of(recrawl_schedule(ev2, now="2024-03-01 00:00:00"))
+    n_ex = recrawl_plan.count("+- Exchange") + recrawl_plan.count(": Exchange")
+    sections.append((
+        f"Recrawl schedule (window+rollup share ONE exchange — counted {n_ex})",
+        recrawl_plan, ["Window", "HashAggregate"],
+    ))
+
+    # 16. WARC ingest: one Arrow stage over the archive files
+    from crawl4ai_spark.sources.warc import warc_records_stage
+    from crawl4ai_spark.sources.warcsynth import warc_corpus
+
+    d2 = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text").limit(40)
+    sections.append((
+        "WARC ingest (build shuffle → single parse Arrow stage)",
+        plan_of(warc_records_stage(warc_corpus(d2))),
+        ["MapInPandas", "FlatMapGroupsInPandas"],
+    ))
+
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)\n"]
     out.append(
         "Generated by tools/explain_audit.py. Verdict lines check the "
