@@ -39,6 +39,10 @@ fs_s = min(s for s, _ in fs_runs); fs_n = fs_runs[0][1]
 fd_cold, _ = fetch_decode(spark, {n_images})
 fd_runs = [fetch_decode(spark, {n_images}) for _ in range(3)]
 fd_s = min(s for s, _ in fd_runs); fd_n = fd_runs[0][1]
+from bench import training_prep_bench
+tp_cold = training_prep_bench(spark, {n_images} * 25)["sec"]
+tp_runs = [training_prep_bench(spark, {n_images} * 25)["sec"] for _ in range(3)]
+tp_s = min(tp_runs)
 print("CHILD_RESULT " + json.dumps({{
     "cpus": int(os.environ["SPARK_GRAFT_CPUS"]),
     "frontier_sec": round(fs_s, 2), "frontier_links": fs_n,
@@ -47,6 +51,9 @@ print("CHILD_RESULT " + json.dumps({{
     "decode_sec": round(fd_s, 2), "decode_images": fd_n,
     "decode_cold_sec": round(fd_cold, 2),
     "decode_runs": [round(s, 2) for s, _ in fd_runs],
+    "training_sec": round(tp_s, 2), "training_rows": {n_images} * 25,
+    "training_cold_sec": round(tp_cold, 2),
+    "training_runs": [round(s, 2) for s in tp_runs],
 }}))
 """
 
@@ -95,9 +102,14 @@ def main() -> None:
             f"local[{n_lo}]": round(lo["decode_images"] / lo["decode_sec"], 1),
             f"local[{n_hi}]": round(hi["decode_images"] / hi["decode_sec"], 1),
         },
+        "training_rows_per_sec": {
+            f"local[{n_lo}]": round(lo["training_rows"] / lo["training_sec"], 1),
+            f"local[{n_hi}]": round(hi["training_rows"] / hi["training_sec"], 1),
+        },
         "scaling_efficiency": {
             "frontier": eff("frontier_sec"),
             "decode": eff("decode_sec"),
+            "training_prep": eff("training_sec"),
         },
     }
     print(json.dumps(result))
@@ -123,6 +135,11 @@ def main() -> None:
             f"({lo['decode_sec']}s) | {result['decode_images_per_sec'][hi_k]:,.0f} img/s "
             f"({hi['decode_sec']}s) | {lo['decode_sec']/hi['decode_sec']:.2f}x "
             f"| **{result['scaling_efficiency']['decode']}** |\n"
+            f"| training prep (curate→bucket→sample→pack) | "
+            f"{result['training_rows_per_sec'][lo_k]:,.0f} rows/s "
+            f"({lo['training_sec']}s) | {result['training_rows_per_sec'][hi_k]:,.0f} rows/s "
+            f"({hi['training_sec']}s) | {lo['training_sec']/hi['training_sec']:.2f}x "
+            f"| **{result['scaling_efficiency']['training_prep']}** |\n"
         )
         if marker in text:
             text = text[: text.index(marker)]
