@@ -482,6 +482,45 @@ def dup_ngrams_bench(spark, n_docs: int = 100_000) -> dict:
     }
 
 
+def warc_ingest_bench(spark, n_docs: int = 50_000) -> dict:
+    """WARC tier at scale: parse-stage throughput over a cached synthetic
+    archive (~10 records/file).  The corpus is built once per (rev,
+    n_docs); the timed region is ONLY the parse Arrow stage — per-FILE
+    parallelism, the Common Crawl consumption shape."""
+    from crawl4ai_spark.sources.warc import warc_records_stage
+    from crawl4ai_spark.sources.warcsynth import warc_corpus
+
+    wdir = f"{BENCH_CACHE}/warc_r{synth.FIXTURE_REV}_n{n_docs}"
+    marker = f"{wdir}/_done"
+    if not os.path.exists(marker):
+        word = lambda salt: F.concat(
+            F.lit("tok"),
+            F.pmod(F.xxhash64(F.col("id").cast("string"), F.lit(salt)),
+                   F.lit(9000)).cast("string"))
+        text = F.concat_ws(" ", *[word(s) for s in range(80)])
+        docs = spark.range(0, n_docs, 1,
+                           int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+                           ).select(F.col("id").alias("doc_id"),
+                                    text.alias("text"))
+        warc_corpus(docs).write.mode("overwrite").parquet(
+            f"{wdir}/files.parquet")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    files = spark.read.parquet(f"{wdir}/files.parquet")
+    t0 = time.time()
+    row = warc_records_stage(files).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errs"),
+    ).collect()[0]
+    secs = time.time() - t0
+    assert row["errs"] == 0, f"{row['errs']} WARC frames failed to parse"
+    return {
+        "sec": round(secs, 3),
+        "records": int(row["n"]),
+        "records_per_sec": round(row["n"] / secs, 1),
+    }
+
+
 def host_calibration(spark) -> dict:
     """Fixed micro-workloads recorded per run so round-over-round deltas
     can be normalized for host drift (this VM's per-core throughput moves
@@ -656,6 +695,11 @@ def main() -> None:
     section_reset(spark, drift, "dup_ngrams")
     extras["dup_ngrams"] = dup_ngrams_bench(
         spark, n_docs=max(10_000, int(1_000_000 * sf)))
+
+    # WARC archive parse throughput
+    section_reset(spark, drift, "warc_ingest")
+    extras["warc_ingest"] = warc_ingest_bench(
+        spark, n_docs=max(5_000, int(500_000 * sf)))
 
     total = round(sum(queries.values()), 3)
     print(json.dumps({
