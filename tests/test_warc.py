@@ -87,3 +87,27 @@ def test_stage_end_to_end(spark):
         by_file.setdefault(r["file_id"], []).append(r["target_uri"])
     assert by_file[1] == [f"https://w{i % 7}.test/doc/{i}"
                           for i in range(10, 20)]
+
+
+def test_parse_warc_never_crashes_fuzz():
+    """parse_warc must terminate with rows (never raise, never loop) on
+    arbitrary bytes — including bytes that start like a real record."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    good = _file_bytes([3, 4])
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=400), st.integers(0, len(good)))
+    def run(blob, cut):
+        for data in (blob, good[:cut] + blob, blob + good[:cut]):
+            rows = parse_warc(0, data)
+            assert isinstance(rows, list)
+            for r in rows:
+                assert set(r) == {
+                    "file_id", "record_idx", "warc_type", "target_uri",
+                    "warc_date", "http_status", "content_type", "body",
+                    "error",
+                }
+
+    run()
