@@ -21,12 +21,13 @@ operators (operators/scrape.py) with identical (url, html) columns.
 
 from __future__ import annotations
 
+import zlib
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 
-__all__ = ["parse_warc", "warc_records_stage"]
+__all__ = ["gunzip_members", "parse_warc", "warc_records_stage"]
 
 OUT_SCHEMA = (
     "file_id long, record_idx int, warc_type string, target_uri string, "
@@ -47,9 +48,32 @@ def _row(file_id: int, idx: int, **kw) -> dict:
     return base
 
 
+def gunzip_members(data: bytes) -> bytes:
+    """Decompress a .warc.gz — a CONCATENATION of gzip members (Common
+    Crawl writes one member per record so readers can seek); plain zlib
+    only reads the first member, so loop over unused_data."""
+    out = bytearray()
+    rest = data
+    while rest[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(31)  # 31 = gzip wrapper
+        out += d.decompress(rest)
+        out += d.flush()
+        if not d.eof:  # truncated member: keep what decoded
+            break
+        rest = d.unused_data
+    return bytes(out)
+
+
 def parse_warc(file_id: int, data: bytes) -> list[dict]:
     """Parse one WARC file's bytes into record rows (plain Python — the
-    unit the Arrow stage maps; also used directly by tests)."""
+    unit the Arrow stage maps; also used directly by tests).  Gzipped
+    input (.warc.gz magic) is transparently decompressed, including the
+    per-record-member concatenation Common Crawl uses."""
+    if data[:2] == b"\x1f\x8b":
+        try:
+            data = gunzip_members(data)
+        except zlib.error as e:
+            return [_row(file_id, 0, error=f"gzip: {e}")]
     rows: list[dict] = []
     pos = 0
     idx = 0

@@ -111,3 +111,24 @@ def test_parse_warc_never_crashes_fuzz():
                 }
 
     run()
+
+
+def test_gzip_members_roundtrip():
+    """Common Crawl shape: one gzip member PER RECORD, concatenated; a
+    whole-file single member must also work; truncated tail is isolated."""
+    import gzip
+
+    recs = [record_fields_of(i, f"gz doc {i} body words") for i in (1, 2, 3)]
+    per_record = b"".join(gzip.compress(build_warc([r])) for r in recs)
+    rows = parse_warc(9, per_record)
+    assert [r["error"] for r in rows] == [None] * 3
+    assert [r["target_uri"] for r in rows] == [r["target_uri"] for r in recs]
+
+    whole = gzip.compress(build_warc(recs))
+    assert [r["target_uri"] for r in parse_warc(9, whole)] == \
+        [r["target_uri"] for r in recs]
+
+    # truncated final member: earlier records survive
+    cut = per_record[:-20]
+    rows = parse_warc(9, cut)
+    assert rows[0]["error"] is None and rows[0]["target_uri"] == recs[0]["target_uri"]
