@@ -52,10 +52,17 @@ class SnapshotStore:
         base = os.path.join(self.root, table)
         if not os.path.isdir(base):
             return None
-        paths = [
+        comp = (self.last_commit() or {}).get("compacted", {}).get(table)
+        paths: list[str] = []
+        lo = -1
+        if comp is not None and comp["upto"] <= superstep:
+            # a compacted snapshot replaces every delta dir <= upto
+            paths.append(os.path.join(base, comp["dir"]))
+            lo = comp["upto"]
+        paths += [
             os.path.join(base, d)
             for d in sorted(os.listdir(base))
-            if d.isdigit() and int(d) <= superstep
+            if d.isdigit() and lo < int(d) <= superstep
         ]
         if not paths:
             return None
@@ -64,10 +71,92 @@ class SnapshotStore:
     # ------------------------------------------------------------ commit
     def commit(self, superstep: int, counters: dict[str, Any]) -> None:
         manifest = {"superstep": superstep, "counters": counters}
+        prev = self.last_commit()
+        if prev and prev.get("compacted"):
+            manifest["compacted"] = prev["compacted"]
+        self._write_manifest(manifest)
+
+    def _write_manifest(self, manifest: dict[str, Any]) -> None:
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest.tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(self.root, self.MANIFEST))
+
+    # ----------------------------------------------------------- compact
+    def compact(self, spark: SparkSession, table: str,
+                target_bytes: int = 128 * 1024 * 1024) -> dict[str, Any]:
+        """Rewrite an append-delta table's committed history into few
+        right-sized files (the small-files problem: a 10^4-superstep crawl
+        leaves 10^4 delta dirs × parts; scans then pay per-file open cost
+        and tiny row groups).  Iceberg-shaped protocol — REWRITE, COMMIT,
+        VACUUM:
+
+          1. read the currently visible set (≤ committed superstep),
+             repartition to ceil(bytes/target), write a new ``compact-*``
+             dir (non-digit name → invisible to readers until committed);
+          2. atomically point the manifest's ``compacted[table]`` at it —
+             the manifest write IS the commit, exactly like every other
+             snapshot transition in this store;
+          3. delete the superseded delta dirs and any older compact dir.
+             A crash between 2 and 3 leaves harmless orphans (readers go
+             through the manifest); a crash before 2 leaves an unreferenced
+             compact dir, cleaned by the next compact's vacuum.
+
+        Time travel below the compaction point is given up, as with any
+        vacuum.  Returns {upto, files_before, files_after}.
+        """
+        committed = self.last_commit()
+        if committed is None:
+            raise ValueError("nothing committed yet")
+        upto = committed["superstep"]
+        base = os.path.join(self.root, table)
+        old_comp = committed.get("compacted", {}).get(table)
+        if old_comp and old_comp["upto"] == upto:
+            # already compacted to this point; rewriting would overwrite
+            # the very dir the lazy read plan scans
+            return {"upto": upto, "files_before": None, "files_after": None,
+                    "noop": True}
+        df = self.read_upto(spark, table, upto)
+        if df is None:
+            raise ValueError(f"table {table} has no committed data")
+        old_dirs = [
+            d for d in os.listdir(base)
+            if d.isdigit() and int(d) <= upto
+            and not (old_comp and int(d) <= old_comp["upto"])
+        ]
+        files_before = sum(
+            1 for d in old_dirs + ([old_comp["dir"]] if old_comp else [])
+            for f in os.listdir(os.path.join(base, d))
+            if f.endswith(".parquet")
+        )
+        total_bytes = sum(
+            os.path.getsize(os.path.join(base, d, f))
+            for d in old_dirs + ([old_comp["dir"]] if old_comp else [])
+            for f in os.listdir(os.path.join(base, d))
+            if f.endswith(".parquet")
+        )
+        n_parts = max(1, -(-total_bytes // target_bytes))
+        new_dir = f"compact-{upto:06d}"
+        df.repartition(int(n_parts)).write.mode("overwrite").parquet(
+            os.path.join(base, new_dir)
+        )
+        manifest = dict(committed)
+        manifest.setdefault("compacted", {})[table] = {
+            "upto": upto, "dir": new_dir,
+        }
+        self._write_manifest(manifest)  # <- the commit point
+        # vacuum (safe after commit; orphans harmless if we crash here)
+        for d in old_dirs:
+            shutil.rmtree(os.path.join(base, d))
+        if old_comp and old_comp["dir"] != new_dir:
+            shutil.rmtree(os.path.join(base, old_comp["dir"]),
+                          ignore_errors=True)
+        files_after = sum(
+            1 for f in os.listdir(os.path.join(base, new_dir))
+            if f.endswith(".parquet")
+        )
+        return {"upto": upto, "files_before": files_before,
+                "files_after": files_after}
 
     def partition_lineage(self, table: str, superstep: int) -> list[dict[str, Any]]:
         """Per-partition lineage of a committed table snapshot: one record

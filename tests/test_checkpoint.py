@@ -94,3 +94,59 @@ def test_orphan_cleanup(spark, tables, tmp_path):
     removed = store.clean_orphans(committed)
     assert f"frontier/{committed + 1:06d}" in removed
     assert not orphan.exists()
+
+
+def test_compact_preserves_rows_and_resume(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "ckpt"))
+    for s in range(4):
+        df = spark.createDataFrame(
+            [(s * 10 + i, f"r{s}-{i}") for i in range(10)], "seq long, v string"
+        ).repartition(4)  # 4 part files per superstep -> 16 total
+        store.write("results", df, s)
+        store.commit(s, {"pages_crawled": (s + 1) * 10})
+
+    before = store.read_upto(spark, "results", 3)
+    want = sorted((r["seq"], r["v"]) for r in before.collect())
+
+    stats = store.compact(spark, "results", target_bytes=1 << 30)
+    assert stats["upto"] == 3
+    assert stats["files_after"] < stats["files_before"]
+
+    after = store.read_upto(spark, "results", 3)
+    assert sorted((r["seq"], r["v"]) for r in after.collect()) == want
+    # the manifest commit survives later superstep commits
+    store.commit(4, {"pages_crawled": 50})
+    df4 = spark.createDataFrame([(99, "r4")], "seq long, v string")
+    store.write("results", df4, 4)
+    store.commit(4, {"pages_crawled": 51})
+    both = store.read_upto(spark, "results", 4)
+    assert sorted((r["seq"], r["v"]) for r in both.collect()) == sorted(
+        want + [(99, "r4")]
+    )
+    # compacting again with one new delta folds it in; a further call
+    # at the same point is a no-op (never rewrites the dir it reads)
+    stats2 = store.compact(spark, "results", target_bytes=1 << 30)
+    assert stats2["upto"] == 4
+    assert store.compact(spark, "results").get("noop") is True
+    final = store.read_upto(spark, "results", 4)
+    assert sorted((r["seq"], r["v"]) for r in final.collect()) == sorted(
+        want + [(99, "r4")]
+    )
+
+
+def test_compact_crash_before_vacuum_is_consistent(spark, tmp_path, monkeypatch):
+    import shutil as _shutil
+
+    store = SnapshotStore(str(tmp_path / "ckpt"))
+    for s in range(2):
+        df = spark.createDataFrame([(s, "x")], "seq long, v string")
+        store.write("results", df, s)
+        store.commit(s, {})
+    # crash between manifest commit and vacuum: rmtree does nothing
+    monkeypatch.setattr(_shutil, "rmtree", lambda *a, **k: None)
+    store.compact(spark, "results", target_bytes=1 << 30)
+    monkeypatch.undo()
+    # old delta dirs still on disk, but readers go through the manifest:
+    # rows must NOT be duplicated
+    rows = store.read_upto(spark, "results", 1).collect()
+    assert sorted(r["seq"] for r in rows) == [0, 1]
