@@ -82,6 +82,39 @@ def main() -> None:
             "supersteps": len([m for m in run.metrics if "wall_ms" in m]),
             "wall_sec": round(time.time() - t0, 2),
         }))
+
+    if "--prep" in sys.argv:
+        # post-crawl training-prep tier through the shipped package:
+        # curation gate → aspect buckets → stratified sample → shard pack
+        from crawl4ai_spark.operators.multimodal import (
+            aspect_buckets,
+            curate_image_captions,
+        )
+        from crawl4ai_spark.operators.sampling import (
+            shard_pack,
+            stratified_sample,
+        )
+
+        _, _, images = synth.synth_tables(spark, p)
+        t0 = time.time()
+        gated = curate_image_captions(images).filter(F.col("keep"))
+        sampled = stratified_sample(
+            aspect_buckets(gated), "image_id", "bucket",
+            {"square": 1.0, "wide": 0.8, "tall": 0.8},
+            default_rate=0.5, seed=11,
+        )
+        packed = shard_pack(
+            sampled.withColumn("n_bytes", F.length("bytes").cast("long")),
+            "image_id", "n_bytes", shard_bytes=1 << 26, seed=12,
+        )
+        row = packed.agg(
+            F.count("*").alias("n"), F.max("shard_id").alias("mx")
+        ).collect()[0]
+        print(json.dumps({
+            "job": "training_prep", "rows_packed": int(row["n"]),
+            "shards": int(row["mx"] or 0) + 1,
+            "wall_sec": round(time.time() - t0, 2),
+        }))
     spark.stop()
 
 
