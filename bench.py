@@ -399,31 +399,40 @@ def training_prep_bench(spark, n_rows: int = 200_000) -> dict:
     )
     from crawl4ai_spark.operators.sampling import shard_pack, stratified_sample
 
-    n_parts = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    h = F.xxhash64(F.col("id").cast("string"))
-    # alphabetic vocabulary (captions must clear the alpha-density screen)
-    vocab = F.array(*[
-        F.lit("".join(chr(ord("a") + (v * 7 + k * 3) % 26) for k in range(5)))
-        for v in range(64)
-    ])
-    word = lambda salt: F.element_at(
-        vocab,
-        (F.pmod(F.xxhash64(F.col("id").cast("string"), F.lit(salt)),
-                F.lit(64)) + 1).cast("int"))
-    caption = F.concat_ws(
-        " ", *[word(s) for s in range(12)],
-        F.when(F.pmod(h, 19) == 0,
-               F.lit("echo echo echo echo echo echo echo echo"))
-        .otherwise(F.lit("fin")),
-    )
-    images = spark.range(0, n_rows, 1, n_parts).select(
-        F.col("id").cast("string").alias("image_id"),
-        (F.pmod(h, 2048) + 16).cast("int").alias("w"),
-        (F.pmod(F.xxhash64(F.col("id").cast("string"), F.lit("h")), 2048) + 16)
-        .cast("int").alias("h"),
-        caption.alias("caption"),
-        (F.pmod(h, 900_000) + 20_000).cast("long").alias("n_bytes"),
-    )
+    # input pre-materialized to parquet (generation outside the timer,
+    # like every other bench/scaling lane)
+    pdir = f"{BENCH_CACHE}/prep_r{synth.FIXTURE_REV}_n{n_rows}"
+    marker = f"{pdir}/_done"
+    if not os.path.exists(marker):
+        n_parts = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        h = F.xxhash64(F.col("id").cast("string"))
+        # alphabetic vocabulary (captions must clear the alpha screen)
+        vocab = F.array(*[
+            F.lit("".join(chr(ord("a") + (v * 7 + k * 3) % 26)
+                          for k in range(5)))
+            for v in range(64)
+        ])
+        word = lambda salt: F.element_at(
+            vocab,
+            (F.pmod(F.xxhash64(F.col("id").cast("string"), F.lit(salt)),
+                    F.lit(64)) + 1).cast("int"))
+        caption = F.concat_ws(
+            " ", *[word(s) for s in range(12)],
+            F.when(F.pmod(h, 19) == 0,
+                   F.lit("echo echo echo echo echo echo echo echo"))
+            .otherwise(F.lit("fin")),
+        )
+        (spark.range(0, n_rows, 1, n_parts).select(
+            F.col("id").cast("string").alias("image_id"),
+            (F.pmod(h, 2048) + 16).cast("int").alias("w"),
+            (F.pmod(F.xxhash64(F.col("id").cast("string"), F.lit("h")), 2048)
+             + 16).cast("int").alias("h"),
+            caption.alias("caption"),
+            (F.pmod(h, 900_000) + 20_000).cast("long").alias("n_bytes"),
+        ).write.mode("overwrite").parquet(f"{pdir}/images.parquet"))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    images = spark.read.parquet(f"{pdir}/images.parquet")
     t0 = time.time()
     gated = curate_image_captions(images).filter(F.col("keep"))
     bucketed = aspect_buckets(gated)

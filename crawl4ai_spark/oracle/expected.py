@@ -1085,7 +1085,12 @@ def ensure_pack_sequences_expected(sf_dir: str, budget: int = 120,
     recs = []
     for r in docs.itertuples():
         pk = hashlib.md5(f"{int(r.doc_id)}#{seed}".encode()).hexdigest()
-        n_tok = len([t for t in re.split(r"\s+", str(r.text).lower()) if t])
+        # Java-regex twin: Spark's split on \s+ is ASCII-whitespace only
+        # (Python \s would also split on \xa0/ ); text is non-null by
+        # the probe's contract (token_count(NULL) would NULL the weight)
+        assert r.text is not None
+        n_tok = len([t for t in re.split(r"\s+", r.text.lower(), flags=re.ASCII)
+                     if t])
         recs.append((int(pk[:4], 16) % n_shards, pk, int(r.doc_id), n_tok))
     out = []
     for shard in sorted({s for s, *_ in recs}):

@@ -82,7 +82,23 @@ class SnapshotStore:
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(self.root, self.MANIFEST))
 
+    def read_compacted(self, spark: SparkSession,
+                       table: str) -> tuple[DataFrame, int] | None:
+        """The committed compacted snapshot of ``table`` as (df, upto),
+        or None if the table was never compacted.  Resume paths that load
+        per-superstep deltas via ``read_one`` must consult this first —
+        vacuum removed the delta dirs the compaction superseded."""
+        comp = (self.last_commit() or {}).get("compacted", {}).get(table)
+        if comp is None:
+            return None
+        return (
+            spark.read.parquet(os.path.join(self.root, table, comp["dir"])),
+            comp["upto"],
+        )
+
     # ----------------------------------------------------------- compact
+    _SNAPSHOT_TABLES = frozenset({"frontier", "seen", "domain_state", "queue"})
+
     def compact(self, spark: SparkSession, table: str,
                 target_bytes: int = 128 * 1024 * 1024) -> dict[str, Any]:
         """Rewrite an append-delta table's committed history into few
@@ -102,9 +118,23 @@ class SnapshotStore:
              through the manifest); a crash before 2 leaves an unreferenced
              compact dir, cleaned by the next compact's vacuum.
 
-        Time travel below the compaction point is given up, as with any
-        vacuum.  Returns {upto, files_before, files_after}.
+        APPEND-DELTA tables only (``results``, metrics): snapshot tables
+        (frontier/seen/domain_state), where only the LATEST superstep dir
+        is authoritative, must never be unioned — compacting one is
+        rejected.  Time travel below the compaction point is given up, as
+        with any vacuum; per-superstep ``partition_lineage`` for merged
+        supersteps likewise (the engine records lineage in the metrics
+        table at write time, which survives).  Readers: ``read_upto``
+        serves compacted + newer deltas transparently; per-superstep
+        ``read_one`` loops must consult ``read_compacted`` first (the
+        engine's ``_restore`` does).  Returns {upto, files_before,
+        files_after}.
         """
+        if table in self._SNAPSHOT_TABLES:
+            raise ValueError(
+                f"{table} is a snapshot table (latest dir authoritative); "
+                "compaction is for append-delta tables"
+            )
         committed = self.last_commit()
         if committed is None:
             raise ValueError("nothing committed yet")
@@ -137,6 +167,13 @@ class SnapshotStore:
         )
         n_parts = max(1, -(-total_bytes // target_bytes))
         new_dir = f"compact-{upto:06d}"
+        # vacuum orphan compact dirs from a crash BEFORE a manifest commit
+        # (unreferenced, invisible to readers, but they leak disk)
+        referenced = {old_comp["dir"]} if old_comp else set()
+        for d in os.listdir(base):
+            if (d.startswith("compact-") and d not in referenced
+                    and d != new_dir):
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
         df.repartition(int(n_parts)).write.mode("overwrite").parquet(
             os.path.join(base, new_dir)
         )

@@ -489,13 +489,25 @@ class CrawlEngine:
         frontier = self.store.read_one(self.spark, "frontier", s)
         seen = self.store.read_one(self.spark, "seen", s)
         parts = []
-        for i in range(s + 1):
+        start = 0
+        comp = self.store.read_compacted(self.spark, "results")
+        if comp is not None:
+            # compaction vacuumed the per-superstep delta dirs it merged;
+            # the compacted snapshot replaces parts 0..upto
+            cdf, upto = comp
+            parts.append(cdf)
+            start = upto + 1
+        for i in range(start, s + 1):
             p = self.store.read_one(self.spark, "results", i)
-            if p is not None and "attempt" not in p.columns:
-                # pre-D2 checkpoint: historical parts predate the attempt
-                # column; backfill so the RESULT_COLS union in _finish holds
-                p = p.withColumn("attempt", F.lit(0))
             parts.append(p)
+        parts = [
+            p.withColumn("attempt", F.lit(0))
+            if p is not None and "attempt" not in p.columns
+            # pre-D2 checkpoint: historical parts predate the attempt
+            # column; backfill so the RESULT_COLS union in _finish holds
+            else p
+            for p in parts
+        ]
         dstate_df = self.store.read_one(self.spark, "domain_state", s)
         return {
             "superstep": s + 1,

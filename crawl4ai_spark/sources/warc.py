@@ -48,10 +48,14 @@ def _row(file_id: int, idx: int, **kw) -> dict:
     return base
 
 
-def gunzip_members(data: bytes) -> bytes:
+def gunzip_members(data: bytes) -> tuple[bytes, str | None]:
     """Decompress a .warc.gz — a CONCATENATION of gzip members (Common
     Crawl writes one member per record so readers can seek); plain zlib
-    only reads the first member, so loop over unused_data."""
+    only reads the first member, so loop over unused_data.  Returns
+    (decoded bytes, error) — error is set when trailing bytes exist that
+    are neither a further member nor empty (a corrupted mid-file member
+    magic would otherwise drop every later record SILENTLY), or when a
+    member is truncated."""
     out = bytearray()
     rest = data
     while rest[:2] == b"\x1f\x8b":
@@ -59,9 +63,14 @@ def gunzip_members(data: bytes) -> bytes:
         out += d.decompress(rest)
         out += d.flush()
         if not d.eof:  # truncated member: keep what decoded
-            break
+            return bytes(out), "gzip member truncated"
         rest = d.unused_data
-    return bytes(out)
+    if rest:
+        return bytes(out), (
+            f"{len(rest)} trailing bytes after the last gzip member are "
+            "not a gzip member (corrupted member magic?)"
+        )
+    return bytes(out), None
 
 
 def parse_warc(file_id: int, data: bytes) -> list[dict]:
@@ -69,9 +78,10 @@ def parse_warc(file_id: int, data: bytes) -> list[dict]:
     unit the Arrow stage maps; also used directly by tests).  Gzipped
     input (.warc.gz magic) is transparently decompressed, including the
     per-record-member concatenation Common Crawl uses."""
+    gz_error: str | None = None
     if data[:2] == b"\x1f\x8b":
         try:
-            data = gunzip_members(data)
+            data, gz_error = gunzip_members(data)
         except zlib.error as e:
             return [_row(file_id, 0, error=f"gzip: {e}")]
     rows: list[dict] = []
@@ -101,6 +111,12 @@ def parse_warc(file_id: int, data: bytes) -> list[dict]:
             clen = int(hdrs.get("content-length", ""))
         except ValueError:
             rows.append(_row(file_id, idx, error="missing Content-Length"))
+            break
+        if clen < 0:
+            # a negative length would move the cursor BACKWARD and loop
+            # this record forever
+            rows.append(_row(file_id, idx,
+                             error=f"negative Content-Length: {clen}"))
             break
         payload = data[head_end + 4:head_end + 4 + clen]
         if len(payload) < clen:
@@ -137,6 +153,8 @@ def parse_warc(file_id: int, data: bytes) -> list[dict]:
                 row["error"] = row["error"] or "http payload has no header end"
         rows.append(row)
         idx += 1
+    if gz_error is not None:
+        rows.append(_row(file_id, idx, error=f"gzip: {gz_error}"))
     return rows
 
 

@@ -150,3 +150,29 @@ def test_compact_crash_before_vacuum_is_consistent(spark, tmp_path, monkeypatch)
     # rows must NOT be duplicated
     rows = store.read_upto(spark, "results", 1).collect()
     assert sorted(r["seq"] for r in rows) == [0, 1]
+
+
+def test_crawl_resume_after_results_compaction(spark, tables, tmp_path):
+    """Compaction must not lose committed results across an engine resume
+    (the vacuum removes the per-superstep dirs _restore used to read)."""
+    pages_df, links_df = tables
+    seeds = [url_of(0, PARAMS)]
+    store = SnapshotStore(str(tmp_path / "ck-compact"))
+    cfg_part = CrawlConfig(strategy="bfs", max_depth=2, max_supersteps=2)
+    CrawlEngine(spark, pages_df, links_df, cfg_part, store=store).run(seeds)
+
+    stats = store.compact(spark, "results", target_bytes=1 << 30)
+    assert stats["files_after"] is not None
+
+    cfg_full = CrawlConfig(strategy="bfs", max_depth=2)
+    run = CrawlEngine(spark, pages_df, links_df, cfg_full, store=store).run(
+        seeds, resume=True)
+
+    want = CrawlEngine(spark, pages_df, links_df, cfg_full).run(seeds)
+    got_rows = sorted((r["url"], r["depth"]) for r in run.results.collect())
+    want_rows = sorted((r["url"], r["depth"]) for r in want.results.collect())
+    assert got_rows == want_rows
+    # snapshot tables refuse compaction
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        store.compact(spark, "frontier")

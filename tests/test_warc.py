@@ -128,7 +128,29 @@ def test_gzip_members_roundtrip():
     assert [r["target_uri"] for r in parse_warc(9, whole)] == \
         [r["target_uri"] for r in recs]
 
-    # truncated final member: earlier records survive
+    # truncated final member: earlier records survive AND the truncation
+    # is reported (never silent)
     cut = per_record[:-20]
     rows = parse_warc(9, cut)
     assert rows[0]["error"] is None and rows[0]["target_uri"] == recs[0]["target_uri"]
+    assert "gzip" in (rows[-1]["error"] or "")
+
+
+def test_gzip_corrupted_mid_member_is_reported():
+    """A flipped bit in a mid-file member's magic must NOT silently drop
+    every later record."""
+    import gzip
+
+    recs = [record_fields_of(i, f"gz doc {i} body words") for i in (1, 2, 3)]
+    members = [gzip.compress(build_warc([r])) for r in recs]
+    corrupted = members[0] + b"XX" + members[1][2:] + members[2]
+    rows = parse_warc(9, corrupted)
+    assert rows[0]["error"] is None  # first record decoded
+    assert any("trailing bytes" in (r["error"] or "") for r in rows)
+
+
+def test_negative_content_length_terminates():
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"Content-Length: -33\r\n\r\n" + b"x" * 50)
+    rows = parse_warc(7, bad)
+    assert len(rows) == 1 and "negative Content-Length" in rows[0]["error"]
