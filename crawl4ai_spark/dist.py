@@ -134,3 +134,61 @@ def widen(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def hex_bucketed_cumsum(df: DataFrame, hex_col: str, tiebreak_col: str,
+                        val_col: str, out_col: str = "cumsum",
+                        n_buckets: int | None = None,
+                        deterministic_upstream: bool = False) -> DataFrame:
+    """Inclusive running sum in global (hex_col, tiebreak_col) order,
+    specialized for UNIFORM hex keys (md5 draws): bucket boundaries are
+    known a priori — bucket = first 16 bits of the key scaled to
+    n_buckets — so the generic path's range-boundary SAMPLING job (a full
+    extra execution of the upstream) and its cross-partition sort shuffle
+    disappear.  One eager localCheckpoint (upstream executes exactly
+    once), one tiny per-bucket total agg (collect of n_buckets rows),
+    then ONE shuffle: groupBy(bucket).applyInPandas sorting and
+    cumsum-ing each bucket locally with its broadcast prefix offset.
+    Bucket populations are uniform by construction, so no skew.
+
+    ``deterministic_upstream=True`` skips the checkpoint and evaluates
+    the upstream twice (once for the tiny agg, once for the fold shuffle):
+    the checkpoint write is core-count-independent I/O that dominates at
+    high parallelism, while a deterministic upstream's second evaluation
+    scales with cores.  Totals are exact integer sums (partition-order
+    independent) and the fold sees whole buckets, so the two evaluations
+    cannot diverge — ONLY set it when the upstream really is a pure
+    function of its input (no spark sampling, no rand()).
+
+    Exactly with_global_cumsum's semantics for this key shape; val_col
+    must be numeric, output long."""
+    sc = df.sparkSession.sparkContext
+    P = int(n_buckets or sc.defaultParallelism)
+    prefix = F.conv(F.substring(hex_col, 1, 4), 16, 10).cast("long")
+    bucket = F.floor((prefix * P) / F.lit(65536.0)).cast("int")
+    d = df.withColumn("__bkt", bucket)
+    if not deterministic_upstream:
+        d = d.localCheckpoint(eager=True)
+    totals = {
+        r["__bkt"]: int(r["s"] or 0)
+        for r in d.groupBy("__bkt").agg(
+            F.sum(F.col(val_col).cast("long")).alias("s")
+        ).collect()
+    }
+    offsets = {}
+    acc = 0
+    for b in sorted(totals):
+        offsets[b] = acc
+        acc += totals[b]
+    bc = sc.broadcast(offsets)
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([hex_col, tiebreak_col]).reset_index(drop=True)
+        off = bc.value[int(pdf["__bkt"].iloc[0])] if len(pdf) else 0
+        pdf[out_col] = pdf[val_col].astype("int64").cumsum() + off
+        return pdf.drop(columns=["__bkt"])
+
+    return d.groupBy("__bkt").applyInPandas(fold, f"{fields}, {out_col} long")

@@ -20,12 +20,14 @@ shards for the training loader.  All three are built scale-first:
 - ``shard_pack`` assigns each row a shard id so every shard holds a
   contiguous ``shard_bytes`` run of the corpus in deterministic shuffled
   order (hash of the key, ties broken by the key): global running sum of
-  the size column via the two-pass distributed cumsum (range-partition +
-  broadcast prefix offsets — ``dist.with_global_cumsum``), then
+  the size column via the hex-bucketed cumsum
+  (``dist.hex_bucketed_cumsum`` — md5 keys are uniform, so bucket
+  boundaries are known a priori: no range-boundary sampling job, ONE
+  shuffle, broadcast prefix offsets), then
   ``shard_id = floor(bytes_before / shard_bytes)``.  A row lands in the
   shard where its first byte falls (greedy packing; a row longer than
   ``shard_bytes`` still gets exactly one shard).  No single-partition
-  window anywhere; the only wide op is the range shuffle the sort needs.
+  window anywhere.
 
 Reference anchor: crawl4ai has no corpus-sampling surface (its unit is
 one crawl); these are the post-crawl curation stages a 100 TB corpus
@@ -39,7 +41,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..dist import with_global_cumsum
+from ..dist import hex_bucketed_cumsum
 
 __all__ = [
     "sample_threshold_hex",
@@ -116,6 +118,7 @@ def shard_pack(
     shard_bytes: int,
     seed: int = 0,
     num_partitions: int | None = None,
+    deterministic_upstream: bool = False,
 ) -> DataFrame:
     """Assign byte-balanced training-shard ids in deterministic shuffled
     order.
@@ -127,17 +130,26 @@ def shard_pack(
 
     Global order is (pack_key, key) — a reproducible corpus shuffle, which
     a training loader wants anyway (no correlated neighbors).  The running
-    sum is the two-pass distributed cumsum; no single-partition window.
+    sum is the hex-bucketed cumsum: the pack key is a uniform md5 draw, so
+    bucket boundaries are known a priori and the generic range-partition
+    path's boundary-sampling job (a full second execution of the upstream)
+    and cross-partition sort are skipped — one checkpoint, one tiny bucket
+    agg, ONE shuffle.  No single-partition window.
     """
     if shard_bytes <= 0:
         raise ValueError("shard_bytes must be positive")
     keyed = df.withColumn("pack_key", hash_uniform_hex(F.col(key_col), seed))
-    packed = with_global_cumsum(
+    packed = hex_bucketed_cumsum(
         keyed,
-        ["pack_key", key_col],
+        "pack_key",
+        key_col,
         size_col,
         out_col="__cum",
-        num_partitions=num_partitions,
+        n_buckets=num_partitions,
+        # default False = checkpoint once (A/B-measured faster when the
+        # upstream carries real compute: 19-23s vs 26-27s at 8M rows);
+        # True re-evaluates a CHEAP deterministic upstream instead
+        deterministic_upstream=deterministic_upstream,
     )
     before = F.col("__cum") - F.col(size_col).cast("long")
     return (

@@ -209,12 +209,13 @@ def main() -> None:
         samp_plan, ["ReadSchema", "[codegen id"],
     ))
 
-    # 12. shard packing: range shuffle + Arrow cumsum, no 1-partition window
+    # 12. shard packing: hex-bucketed cumsum — deterministic md5-prefix
+    # buckets (no range-boundary sampling job), one grouped Arrow fold
     sections.append((
-        "Shard pack (distributed cumsum: range partition + Arrow stage)",
+        "Shard pack (hex-bucketed cumsum: one shuffle, grouped Arrow fold)",
         plan_of(shard_pack(docs, "doc_id", "n_chars", 32_000, seed=7),
                 execute=True),
-        ["MapInPandas"],
+        ["FlatMapGroupsInPandas", "hashpartitioning"],
     ))
 
     # 13. dup-ngram signal: explode → partial-agg gram df → join-back
