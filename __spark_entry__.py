@@ -58,6 +58,14 @@ from crawl4ai_spark.functions.scorers import (
 from crawl4ai_spark.functions.images import decode_stage
 from crawl4ai_spark.operators.extraction import extract_stage
 from crawl4ai_spark.operators.scrape import scrape_stage
+from crawl4ai_spark.operators.identity import (
+    assign_proxy,
+    assign_proxy_sql,
+    assign_user_agent,
+    assign_user_agent_sql,
+    client_hints_col,
+    client_hints_sql,
+)
 from crawl4ai_spark.operators.dedup import (
     caption_dedup,
     dedup_clusters,
@@ -129,6 +137,11 @@ _STOP_EN = ["the", "and", "of", "to", "in", "is", "a", "that", "it", "for"]
 
 # language-rebalancing rates for the stratified_sample probe (fr → default)
 _SAMPLE_RATES = {"en": 0.9, "es": 0.5, "de": 0.25, "zh": 0.1}
+# proxy pool for the fleet_identity probe (round-robin over push seq)
+_PROXY_POOL = [
+    "http://proxy-a:8080", "http://proxy-b:8080",
+    "http://proxy-c:8080", "http://proxy-d:8080",
+]
 _NORM_SQL = "lower(trim(regexp_replace({c}, '\\s+', ' ', 'g')))"
 
 
@@ -1118,6 +1131,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["llm_filter"] = q_llm_filter
 
+    def q_fleet_identity(spark, sf):
+        # deterministic fleet identity (user_agent_generator.py:300-345,
+        # :388-417; proxy_strategy.py:20-44): stable per-key UA + matching
+        # Sec-CH-UA + round-robin proxy — pure Catalyst, zero shuffle
+        docs = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"))
+        out = assign_user_agent(docs, "doc_id")
+        out = out.withColumn("sec_ch_ua", client_hints_col(F.col("user_agent")))
+        out = assign_proxy(out, _PROXY_POOL, "doc_id")
+        return out.select(
+            "doc_id", "user_agent", "sec_ch_ua",
+            F.col("proxy_idx").cast("int").alias("proxy_idx"), "proxy_server")
+    q["fleet_identity"] = q_fleet_identity
+
     return q
 
 
@@ -1933,5 +1960,22 @@ def oracle_sql() -> dict[str, str]:
         "created, n_pages, encrypted, file_size "
         f"FROM read_parquet('{_exp('pdf_extract')}')"
     )
+
+    # fleet identity: the DuckDB expressions are generated from the same
+    # constant component tables as the Spark columns (identity.py *_sql
+    # twins) and execute with no Spark involved; the decision-tree
+    # semantics are independently pinned by tests/test_identity.py's
+    # hashlib sequential twin.
+    _ua_sql = assign_user_agent_sql("doc_id")
+    _pidx_sql, _pserver_sql = assign_proxy_sql("doc_id", _PROXY_POOL)
+    o["fleet_identity"] = f"""
+        WITH u AS (
+          SELECT doc_id, {_ua_sql} AS user_agent FROM documents)
+        SELECT doc_id, user_agent,
+               {client_hints_sql('user_agent')} AS sec_ch_ua,
+               {_pidx_sql} AS proxy_idx,
+               {_pserver_sql} AS proxy_server
+        FROM u
+    """
 
     return o
