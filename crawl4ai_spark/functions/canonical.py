@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import StringType, StructField, StructType
 
 TRACKING_PARAMS = ("utm_source", "utm_medium", "utm_campaign", "ref", "fbclid")
 
@@ -122,6 +122,38 @@ def join_url_udf(hrefs: pd.Series, bases: pd.Series) -> pd.Series:
 def canonical_col(href: Column, base: Column, fast: bool = False) -> Column:
     """Canonical-URL column; pair with ``url_hash_col`` for the seen key."""
     return (canonicalize_fast_udf if fast else canonicalize_udf)(href, base)
+
+
+@pandas_udf(StructType([
+    StructField("abs", StringType()),
+    StructField("canon", StringType()),
+]))
+def join_and_canonicalize_udf(hrefs: pd.Series, bases: pd.Series) -> pd.DataFrame:
+    """One-pass fusion of ``normalize_url`` (utils.py:2148-2159) and
+    ``normalize_url_for_deep_crawl`` (utils.py:2162-2207) for the BFS
+    discovery hot path: the canonicalizer's first step is the same
+    urljoin, so computing both in one Arrow batch halves the Python
+    round trips (and the href/base column transfer) versus chaining
+    ``join_url_udf`` → ``canonicalize_udf``.
+
+    ``abs`` is NULL where normalize_url raises (invalid base); ``canon``
+    is byte-identical to ``canonicalize_udf(abs, base)`` — the canonical
+    is derived from the computed absolute href (NOT the raw href), so an
+    empty raw href still canonicalizes to the base URL exactly as the
+    old two-UDF chain did.
+    """
+    abs_out: list = []
+    canon_out: list = []
+    for href, base in zip(hrefs.tolist(), bases.tolist()):
+        try:
+            a = normalize_url(href or "", base or "")
+        except ValueError:
+            a = None
+        abs_out.append(a)
+        canon_out.append(
+            normalize_url_for_deep_crawl(a, base or "") if a is not None else None
+        )
+    return pd.DataFrame({"abs": abs_out, "canon": canon_out})
 
 
 def url_hash_col(url: Column) -> Column:

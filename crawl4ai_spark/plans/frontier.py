@@ -49,7 +49,11 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..dist import with_global_cumsum, with_global_seq
-from ..functions.canonical import canonical_col, join_url_udf
+from ..functions.canonical import (
+    canonical_col,
+    join_and_canonicalize_udf,
+    join_url_udf,
+)
 from ..functions.filters import FilterSpec, chain_column, url_validity
 from ..functions.scorers import ScorerSpec
 from ..functions.urlparts import host_of
@@ -381,16 +385,22 @@ class CrawlEngine:
         # (content_scraping_strategy.py:488-492), so link["href"] reaching
         # link_discovery is always urljoin(page_url, raw).strip(); our
         # synthetic links table stores raw variants to exercise this stage.
-        cand = cand.withColumn(
-            "abs_href", join_url_udf(F.col("href"), F.col("parent_url"))
-        ).filter(F.col("abs_href").isNotNull())
         if canonicalize:
-            # BFS family: C2 canonical is the pushed URL + seen key (:105)
+            # BFS family: C2 canonical is the pushed URL + seen key (:105).
+            # C1 + C2 fused into ONE Arrow stage (join_and_canonicalize_udf)
+            # — one Python round trip instead of two chained pandas UDFs.
             cand = cand.withColumn(
-                "target", canonical_col(F.col("abs_href"), F.col("parent_url"))
-            )
+                "__jc", join_and_canonicalize_udf(F.col("href"), F.col("parent_url"))
+            ).withColumn(
+                "abs_href", F.col("__jc.abs")
+            ).withColumn(
+                "target", F.col("__jc.canon")
+            ).drop("__jc").filter(F.col("abs_href").isNotNull())
         else:
             # best-first pushes the scraper's absolute href as-is (bff :108)
+            cand = cand.withColumn(
+                "abs_href", join_url_udf(F.col("href"), F.col("parent_url"))
+            ).filter(F.col("abs_href").isNotNull())
             cand = cand.withColumn("target", F.col("abs_href"))
         # P1 validity + P2 filter chain — on the absolute href (bfs :109)
         if cfg.collect_filter_stats:
