@@ -104,6 +104,13 @@ from crawl4ai_spark.operators.text import (
     stopword_hits,
     token_count,
 )
+from crawl4ai_spark.operators.quality import (
+    decontaminate,
+    gopher_quality,
+    line_dedup,
+    repetition_signals,
+)
+from crawl4ai_spark.operators.linkgraph import pagerank
 from crawl4ai_spark.operators.multimodal import (
     ASPECT_BUCKETS,
     RES_TIERS,
@@ -1145,6 +1152,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("proxy_idx").cast("int").alias("proxy_idx"), "proxy_server")
     q["fleet_identity"] = q_fleet_identity
 
+    # ------------- corpus hygiene tier (Gopher rules / decontam / CCNet)
+    def q_gopher_quality(spark, sf):
+        # Gopher Table A1 quality rules (Rae et al. 2021) — zero shuffle
+        docs = _t(spark, sf, "documents")
+        return gopher_quality(docs).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
+            "ellipsis_frac", "alpha_word_frac", "req_stop_hits",
+            F.coalesce("drop_reason", F.lit("")).alias("drop_reason"),
+            "keep",
+        )
+    q["gopher_quality"] = q_gopher_quality
+
+    def q_repetition_signals(spark, sf):
+        # Gopher repetition signals over documents re-lined into 2-token
+        # lines (the corpus ships without newlines); the top-n-gram mode
+        # is a run-length scan over the sorted gram array — the DuckDB
+        # twin recomputes it via GROUP BY + row_number instead
+        docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.regexp_replace(F.col("text"), r"(\S+\s+\S+)\s+", "$1\n").alias("text"),
+        )
+        return repetition_signals(docs).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "dup_line_frac", "dup_line_char_frac",
+            "top2gram_char_frac", "top3gram_char_frac", "top4gram_char_frac",
+        )
+    q["repetition_signals"] = q_repetition_signals
+
+    def q_decontaminate(spark, sf):
+        # GPT-3-style train/eval decontamination: every 20th doc plays the
+        # benchmark; the gram dimension is broadcast so the probe join is
+        # map-side at any corpus size
+        docs = _t(spark, sf, "documents")
+        bench = docs.where(F.col("doc_id") % 20 == 0)
+        return decontaminate(docs, bench, n=8).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_grams", "n_contaminated", "contaminated",
+        )
+    q["decontaminate"] = q_decontaminate
+
+    def q_line_dedup(spark, sf):
+        # CCNet/RefinedWeb boilerplate screen over the re-lined corpus:
+        # drop every occurrence of a line seen >= 30 times corpus-wide
+        docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.regexp_replace(F.col("text"), r"(\S+\s+\S+)\s+", "$1\n").alias("text"),
+        )
+        return line_dedup(docs, min_df=30).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "text_clean", "n_lines", "n_kept",
+        )
+    q["line_dedup"] = q_line_dedup
+
+    def q_pagerank(spark, sf):
+        # fixed-point host-authority PageRank (scorers.py:344-402 computed
+        # instead of configured) over a deterministic 3-out-degree graph
+        # derived from doc_ids; integer micro-unit arithmetic makes the
+        # result exact at any parallelism
+        docs = _t(spark, sf, "documents").select(F.col("doc_id").cast("long"))
+        n = docs.count()  # doc_id is dense 0..n-1 in the testdata tables
+        edges = None
+        for c in (17, 34, 51):
+            e = docs.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 31 + c) % n).alias("dst"),
+            )
+            edges = e if edges is None else edges.unionByName(e)
+        return pagerank(edges, n_iter=8).select(
+            F.col("node").cast("long").alias("node"), "rank_micro",
+        )
+    q["pagerank"] = q_pagerank
+
     return q
 
 
@@ -1977,5 +2057,178 @@ def oracle_sql() -> dict[str, str]:
                {_pserver_sql} AS proxy_server
         FROM u
     """
+
+    # ---------------- corpus hygiene tier: independent DuckDB twins ------
+    req_stop = ", ".join(f"'{w}'" for w in
+                         ("the", "be", "to", "of", "and", "that", "have", "with"))
+    o["gopher_quality"] = f"""
+        WITH base AS (
+          SELECT doc_id, text,
+            list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words,
+            list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+            len(words) AS n_words,
+            CAST(greatest(len(words), 1) AS DOUBLE) AS w1,
+            CAST(greatest(len(lines), 1) AS DOUBLE) AS l1,
+            CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS wchars,
+            length(text) - length(replace(text, '#', ''))
+              + len(string_split_regex(text, '\\.{{3,}}|…')) - 1 AS symbols,
+            len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-•]'))) AS bullets,
+            len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) AS ellipses,
+            len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+            len(list_distinct(list_filter(list_transform(words, w -> lower(w)),
+                                          w -> w IN ({req_stop})))) AS req_stop_hits
+          FROM base),
+        m AS (
+          SELECT doc_id, n_words,
+            round(wchars / w1, 6) AS mean_word_len,
+            round(CAST(symbols AS DOUBLE) / w1, 6) AS symbol_ratio,
+            round(CAST(bullets AS DOUBLE) / l1, 6) AS bullet_frac,
+            round(CAST(ellipses AS DOUBLE) / l1, 6) AS ellipsis_frac,
+            round(CAST(alpha_words AS DOUBLE) / w1, 6) AS alpha_word_frac,
+            req_stop_hits,
+            wchars / w1 AS mwl_raw, CAST(symbols AS DOUBLE) / w1 AS sym_raw,
+            CAST(bullets AS DOUBLE) / l1 AS bul_raw,
+            CAST(ellipses AS DOUBLE) / l1 AS ell_raw,
+            CAST(alpha_words AS DOUBLE) / w1 AS alp_raw
+          FROM s)
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+               ellipsis_frac, alpha_word_frac, req_stop_hits,
+          coalesce(CASE WHEN n_words < 50 THEN 'too_few_words'
+               WHEN n_words > 100000 THEN 'too_many_words'
+               WHEN mwl_raw < 3.0 THEN 'short_words'
+               WHEN mwl_raw > 10.0 THEN 'long_words'
+               WHEN sym_raw > 0.1 THEN 'symbol_heavy'
+               WHEN bul_raw > 0.9 THEN 'bullet_heavy'
+               WHEN ell_raw > 0.3 THEN 'ellipsis_heavy'
+               WHEN alp_raw < 0.8 THEN 'nonalpha_words'
+               WHEN req_stop_hits < 2 THEN 'no_stopwords' END, '') AS drop_reason,
+          (n_words >= 50 AND n_words <= 100000 AND mwl_raw >= 3.0
+           AND mwl_raw <= 10.0 AND sym_raw <= 0.1 AND bul_raw <= 0.9
+           AND ell_raw <= 0.3 AND alp_raw >= 0.8 AND req_stop_hits >= 2) AS keep
+        FROM m
+    """
+
+    # the relining regex is the same leftmost non-overlapping global
+    # replace on both engines ($1 vs \\1 backreference syntax only)
+    _relined = ("regexp_replace(text, '(\\S+\\s+\\S+)\\s+', "
+                "'\\1' || chr(10), 'g')")
+    _topgram = """
+        tg{n} AS (
+          SELECT doc_id, cnt, gram FROM (
+            SELECT doc_id, gram, count(*) AS cnt,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY count(*) DESC, gram ASC) AS rn
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(0, len(words) - {n} + 1),
+                                i -> array_to_string(words[i+1:i+{n}], ' '))) AS gram
+                  FROM base)
+            GROUP BY doc_id, gram) WHERE rn = 1)
+    """
+    o["repetition_signals"] = f"""
+        WITH d AS (SELECT doc_id, {_relined} AS t2 FROM documents),
+        base AS (
+          SELECT doc_id, t2,
+            list_transform(list_filter(string_split(t2, chr(10)),
+                                       l -> trim(l) <> ''), l -> trim(l)) AS lines,
+            list_filter(string_split_regex(t2, '\\s+'), x -> x <> '') AS words
+          FROM d),
+        ls AS (
+          SELECT doc_id,
+            len(lines) AS nl, len(list_distinct(lines)) AS ndl,
+            coalesce(list_sum(list_transform(lines, l -> length(l))), 0) AS lc,
+            coalesce(list_sum(list_transform(list_distinct(lines),
+                                             l -> length(l))), 0) AS dlc,
+            greatest(length(t2), 1) AS tc, len(words) AS nw
+          FROM base),
+        {_topgram.format(n=2)},
+        {_topgram.format(n=3)},
+        {_topgram.format(n=4)}
+        SELECT ls.doc_id,
+          round(CAST(nl - ndl AS DOUBLE) / greatest(nl, 1), 6) AS dup_line_frac,
+          round(CAST(lc - dlc AS DOUBLE) / greatest(lc, 1), 6) AS dup_line_char_frac,
+          round(coalesce(CAST(tg2.cnt AS DOUBLE) * length(tg2.gram), 0) / tc, 6)
+            AS top2gram_char_frac,
+          round(coalesce(CAST(tg3.cnt AS DOUBLE) * length(tg3.gram), 0) / tc, 6)
+            AS top3gram_char_frac,
+          round(coalesce(CAST(tg4.cnt AS DOUBLE) * length(tg4.gram), 0) / tc, 6)
+            AS top4gram_char_frac
+        FROM ls
+        LEFT JOIN tg2 ON ls.doc_id = tg2.doc_id
+        LEFT JOIN tg3 ON ls.doc_id = tg3.doc_id
+        LEFT JOIN tg4 ON ls.doc_id = tg4.doc_id
+    """
+
+    o["decontaminate"] = """
+        WITH w AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(0, len(words) - 7),
+                          i -> array_to_string(words[i+1:i+8], ' '))) AS grams
+          FROM w),
+        bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
+        hits AS (
+          SELECT doc_id, count(*) AS n_contaminated
+          FROM (SELECT doc_id, unnest(grams) AS gram FROM g) dg
+          JOIN bg USING (gram) GROUP BY doc_id)
+        SELECT g.doc_id, len(g.grams) AS n_grams,
+               coalesce(h.n_contaminated, 0) AS n_contaminated,
+               coalesce(h.n_contaminated, 0) >= 1 AS contaminated
+        FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+    """
+
+    o["line_dedup"] = f"""
+        WITH d AS (SELECT doc_id, {_relined} AS t2 FROM documents),
+        lines AS (
+          SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos,
+                 unnest(ls) AS line
+          FROM (SELECT doc_id, string_split(t2, chr(10)) AS ls FROM d)),
+        nz AS (SELECT doc_id, pos, line FROM lines WHERE trim(line) <> ''),
+        c AS (SELECT *, count(*) OVER (PARTITION BY trim(line)) AS line_df FROM nz)
+        SELECT doc_id,
+          coalesce(string_agg(CASE WHEN line_df < 30 THEN line END,
+                              chr(10) ORDER BY pos), '') AS text_clean,
+          count(*) AS n_lines,
+          sum(CASE WHEN line_df < 30 THEN 1 ELSE 0 END) AS n_kept
+        FROM c GROUP BY doc_id
+    """
+
+    # fixed-point PageRank: 8 unrolled integer iterations — the recurrence
+    # is re-derived here in plain SQL (BIGINT // floor division), never via
+    # the engine; determinism holds because every op is exact integer math
+    pr = ["""
+        WITH e AS (
+          SELECT doc_id AS src,
+                 (doc_id*31 + 17) % (SELECT max(doc_id)+1 FROM documents) AS dst
+          FROM documents
+          UNION
+          SELECT doc_id, (doc_id*31 + 34) % (SELECT max(doc_id)+1 FROM documents)
+          FROM documents
+          UNION
+          SELECT doc_id, (doc_id*31 + 51) % (SELECT max(doc_id)+1 FROM documents)
+          FROM documents),
+        nodes AS (SELECT DISTINCT src AS node FROM e
+                  UNION SELECT DISTINCT dst FROM e),
+        deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)"""]
+    for i in range(1, 9):
+        pr.append(f""",
+        m{i} AS (
+          SELECT e.dst AS node, sum(r{i-1}.r // deg.outdeg) AS im
+          FROM e JOIN r{i-1} ON e.src = r{i-1}.node
+                 JOIN deg ON e.src = deg.src
+          GROUP BY e.dst),
+        r{i} AS (
+          SELECT nodes.node,
+                 CAST(150000 + (850000 * coalesce(m{i}.im, 0)) // 1000000
+                      AS BIGINT) AS r
+          FROM nodes LEFT JOIN m{i} ON nodes.node = m{i}.node)""")
+    pr.append("\n        SELECT node, r AS rank_micro FROM r8")
+    o["pagerank"] = "".join(pr)
 
     return o

@@ -1,0 +1,303 @@
+"""Corpus-hygiene tier: Gopher-style quality rules, repetition signals,
+benchmark decontamination, and cross-corpus line dedup.
+
+These are the standard pre-training text screens (Rae et al. 2021 "Scaling
+Language Models: ... Gopher" Table A1; Penedo et al. 2023 RefinedWeb §4;
+Brown et al. 2020 GPT-3 appendix C decontamination) re-expressed as Spark
+dataflow.  They extend the reference's quality surface — crawl4ai's
+word_count_threshold (`config.py:39`), PruningContentFilter
+(`content_filter_strategy.py:127-303`) and BM25 relevance — to the
+corpus-level screens a 100 TB training pipeline runs after the crawl.
+
+Scale notes
+-----------
+* ``gopher_quality`` / ``repetition_signals`` are PER-ROW column
+  expressions (higher-order array functions) — whole-stage codegen, zero
+  shuffle, filter-pushdown friendly.  The top-n-gram mode is computed as a
+  run-length scan over the SORTED gram array (O(L log L) per row), never a
+  quadratic count.
+* ``decontaminate`` broadcasts the benchmark gram set (eval suites are
+  MBs; the corpus is the 100 TB side) so the contamination join is
+  map-side; per-doc grams are array_distinct'ed BEFORE the explode so the
+  join input is minimal.
+* ``line_dedup`` needs exactly two shuffles at any scale: one hash
+  partition by normalized line (a window computes the corpus-wide line
+  frequency — counting is O(occurrences), so hot boilerplate lines cost
+  their own cardinality, never a cross product), and one by doc id to
+  reassemble the kept lines in order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Gopher Table A1 "required words": a doc must contain >= 2 distinct ones.
+REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+# (rule name, default bound) — first failing rule wins, in this order.
+GOPHER_RULES = [
+    ("too_few_words", 50),        # n_words < 50
+    ("too_many_words", 100_000),  # n_words > 100000
+    ("short_words", 3.0),         # mean word length < 3
+    ("long_words", 10.0),         # mean word length > 10
+    ("symbol_heavy", 0.1),        # (# + ellipsis) / words > 0.1
+    ("bullet_heavy", 0.9),        # bullet-started lines > 90%
+    ("ellipsis_heavy", 0.3),      # ellipsis-ended lines > 30%
+    ("nonalpha_words", 0.8),      # words containing a letter < 80%
+    ("no_stopwords", 2),          # distinct required stopwords < 2
+]
+
+
+def _words(text: Column) -> Column:
+    return F.filter(F.split(text, r"\s+"), lambda w: w != "")
+
+
+def _lines(text: Column) -> Column:
+    return F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0,
+                   max_symbol_ratio: float = 0.1,
+                   max_bullet_frac: float = 0.9,
+                   max_ellipsis_frac: float = 0.3,
+                   min_alpha_word_frac: float = 0.8,
+                   min_req_stopwords: int = 2) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 Table A1) as pure Catalyst
+    columns: word-count window, mean-word-length window, symbol-to-word
+    ratio (``#`` and ellipsis), bullet-started / ellipsis-ended line
+    fractions, alphabetic-word floor, and the required-stopword rule.
+
+    Adds the intermediate stats plus ``keep boolean`` and ``drop_reason``
+    (FIRST failing rule in GOPHER_RULES order; NULL when kept).  Zero
+    shuffle — run it before any dedup tier.
+
+    Definitions (documented spec, deterministic on any engine):
+    words = text split on whitespace, empties dropped; lines = text split
+    on newline, blank lines dropped; a bullet line starts with '-' or
+    '•' after lstrip; an ellipsis line ends with '...' or '…';
+    symbols = occurrences of '#', '...' and '…' (a '...' run counts
+    once, matched greedily left-to-right).
+    """
+    text = F.col(text_col)
+    words = _words(text)
+    lines = _lines(text)
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    w_or_1 = F.greatest(n_words, F.lit(1)).cast("double")
+    l_or_1 = F.greatest(n_lines, F.lit(1)).cast("double")
+
+    mean_wlen = (
+        F.aggregate(words, F.lit(0).cast("long"),
+                    lambda acc, w: acc + F.length(w)).cast("double") / w_or_1
+    )
+    # '#' count + ellipsis-run count ('...'+ or U+2026, greedy/non-overlap)
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ellipsis = F.size(F.split(text, r"\.{3,}|…")) - F.lit(1)
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / w_or_1
+    bullet_frac = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[-•]"))
+    ).cast("double") / l_or_1
+    ellipsis_frac = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+    ).cast("double") / l_or_1
+    alpha_word_frac = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("double") / w_or_1
+    req_stop = F.size(F.array_distinct(F.filter(
+        F.transform(words, F.lower),
+        lambda w: w.isin(REQUIRED_STOPWORDS),
+    )))
+
+    reason = (
+        F.when(n_words < F.lit(min_words), "too_few_words")
+        .when(n_words > F.lit(max_words), "too_many_words")
+        .when(mean_wlen < F.lit(float(min_mean_word_len)), "short_words")
+        .when(mean_wlen > F.lit(float(max_mean_word_len)), "long_words")
+        .when(symbol_ratio > F.lit(float(max_symbol_ratio)), "symbol_heavy")
+        .when(bullet_frac > F.lit(float(max_bullet_frac)), "bullet_heavy")
+        .when(ellipsis_frac > F.lit(float(max_ellipsis_frac)), "ellipsis_heavy")
+        .when(alpha_word_frac < F.lit(float(min_alpha_word_frac)), "nonalpha_words")
+        .when(req_stop < F.lit(min_req_stopwords), "no_stopwords")
+    )
+    return (
+        docs
+        .withColumn("n_words", n_words.cast("long"))
+        .withColumn("mean_word_len", F.round(mean_wlen, 6))
+        .withColumn("symbol_ratio", F.round(symbol_ratio, 6))
+        .withColumn("bullet_frac", F.round(bullet_frac, 6))
+        .withColumn("ellipsis_frac", F.round(ellipsis_frac, 6))
+        .withColumn("alpha_word_frac", F.round(alpha_word_frac, 6))
+        .withColumn("req_stop_hits", req_stop.cast("long"))
+        .withColumn("drop_reason", reason)
+        .withColumn("keep", F.col("drop_reason").isNull())
+    )
+
+
+def _word_grams(words: Column, n: int) -> Column:
+    """Word n-grams as ' '-joined strings; empty array when < n words.
+    (Guarded: Spark's sequence(0, k) DESCENDS when k < 0, so the short-doc
+    case must return an explicit empty array, not sequence(0, -1).)"""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    return F.when(F.size(words) < n, F.array().cast("array<string>")).otherwise(grams)
+
+
+def _top_run(sorted_arr: Column) -> Column:
+    """(count, element) of the most frequent element of a SORTED array via
+    one run-length scan; ties go to the smallest element (first max run
+    under strict >).  O(L) after the sort — never a quadratic count."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"), F.lit("").alias("bestg"),
+    )
+
+    def step(acc, g):
+        run2 = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        better = run2 > acc["best"]
+        return F.struct(
+            g.alias("prev"), run2.alias("run"),
+            F.when(better, run2).otherwise(acc["best"]).alias("best"),
+            F.when(better, g).otherwise(acc["bestg"]).alias("bestg"),
+        )
+
+    return F.aggregate(
+        sorted_arr, init, step,
+        lambda acc: F.struct(acc["best"].alias("cnt"), acc["bestg"].alias("gram")),
+    )
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text",
+                       ngram_sizes: tuple[int, ...] = (2, 3, 4)) -> DataFrame:
+    """Gopher repetition signals, per row (Rae et al. 2021 Table A1):
+
+    * ``dup_line_frac``    — fraction of (non-blank, trimmed) lines that are
+      repeats of an earlier identical line: 1 - distinct/total.
+    * ``dup_line_char_frac`` — fraction of line characters carried by those
+      repeats: 1 - chars(each distinct line once)/chars(all lines).
+    * ``top{n}gram_char_frac`` — chars covered by all occurrences of the
+      MOST frequent word n-gram over the doc's char length:
+      count * len(gram) / len(text).  The mode is a run-length scan over
+      the sorted gram array; ties break to the lexicographically smallest
+      gram (binary collation on both engines).
+
+    All higher-order array expressions — zero shuffle, codegen.
+    """
+    text = F.col(text_col)
+    words = _words(text)
+    lines = F.transform(_lines(text), F.trim)
+    n_lines = F.size(lines)
+    l_or_1 = F.greatest(n_lines, F.lit(1)).cast("double")
+    dlines = F.array_distinct(lines)
+    chars = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+    )
+    line_chars = chars(lines)
+    out = docs.withColumn(
+        "dup_line_frac",
+        F.round((n_lines - F.size(dlines)).cast("double") / l_or_1, 6),
+    ).withColumn(
+        "dup_line_char_frac",
+        F.round(
+            (line_chars - chars(dlines)).cast("double")
+            / F.greatest(line_chars, F.lit(1)).cast("double"), 6),
+    )
+    text_chars = F.greatest(F.length(text), F.lit(1)).cast("double")
+    for n in ngram_sizes:
+        top = _top_run(F.array_sort(_word_grams(words, n)))
+        frac = F.when(
+            F.size(words) < n, F.lit(0.0)
+        ).otherwise(top["cnt"].cast("double") * F.length(top["gram"]) / text_chars)
+        out = out.withColumn(f"top{n}gram_char_frac", F.round(frac, 6))
+    return out
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: int = 8,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bench_text_col: str | None = None,
+                  min_hits: int = 1) -> DataFrame:
+    """Train/eval decontamination by exact n-gram overlap (the GPT-3 /
+    Gopher recipe: flag a training doc that shares ANY word n-gram with a
+    benchmark document; Brown et al. 2020 appendix C uses 13-grams, open
+    pipelines commonly 8).
+
+    Returns one row per corpus doc: ``(id_col, n_grams, n_contaminated,
+    contaminated)`` where n_grams counts the doc's DISTINCT n-grams and
+    n_contaminated those that also occur anywhere in the benchmark.
+
+    Scale shape: the benchmark side (eval suites — MBs) collapses to a
+    distinct-gram dimension that is explicitly ``broadcast()``, so the
+    contamination probe is a map-side semi-join over the corpus explode;
+    per-doc grams are distinct'ed before the explode.  Grams are compared
+    on lowercase whitespace-normalized word n-grams.
+    """
+    bt = bench_text_col or text_col
+
+    def grams_of(df, col):
+        words = F.filter(F.split(F.lower(F.col(col)), r"\s+"), lambda w: w != "")
+        return F.array_distinct(_word_grams(words, n))
+
+    bench_grams = (
+        benchmark.select(F.explode(grams_of(benchmark, bt)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = corpus.select(
+        F.col(id_col), F.explode(grams_of(corpus, text_col)).alias("gram")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy(id_col).agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = corpus.select(
+        F.col(id_col), F.size(grams_of(corpus, text_col)).cast("long").alias("n_grams")
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)).cast("long"))
+        .withColumn("contaminated", F.col("n_contaminated") >= F.lit(min_hits))
+    )
+
+
+def line_dedup(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", min_df: int = 2) -> DataFrame:
+    """Cross-corpus line deduplication (the CCNet / RefinedWeb boilerplate
+    screen): drop EVERY occurrence of a line whose trimmed form appears in
+    >= ``min_df`` positions across the whole corpus (nav bars, cookie
+    banners, share buttons).
+
+    Returns ``(id_col, text_clean, n_lines, n_kept)`` with the surviving
+    lines re-joined by '\\n' in original order.  Exactly two shuffles at
+    any corpus size: (1) hash partition by trimmed line for the corpus-
+    wide frequency (a window count — O(occurrences) per line, hot
+    boilerplate costs its own cardinality only), (2) by doc id for ordered
+    reassembly.  Blank lines are dropped up front.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("norm", F.trim(F.col("line"))).where(F.col("norm") != "")
+    w = Window.partitionBy("norm")
+    flagged = lines.withColumn("line_df", F.count("*").over(w))
+    return (
+        flagged.groupBy(id_col).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.when(
+                        F.col("line_df") < F.lit(min_df),
+                        F.struct("pos", "line"),
+                    ))),
+                    lambda s: s["line"],
+                ), "\n",
+            ).alias("text_clean"),
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(
+                (F.col("line_df") < F.lit(min_df)).cast("long")
+            ).alias("n_kept"),
+        )
+    )

@@ -1,0 +1,143 @@
+"""Corpus-hygiene tier: Gopher quality rules, repetition signals,
+decontamination, cross-corpus line dedup.
+
+Expectations are hand-derived in this file (no engine imports in the
+expected side), per the round-2 verdict's independence requirement.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.operators.quality import (
+    decontaminate,
+    gopher_quality,
+    line_dedup,
+    repetition_signals,
+)
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then runs back to "
+    "the barn because it must have dinner with all of its friends tonight "
+    "and that is why we tell this story again every single evening before "
+    "bed so everyone remembers that good dogs deserve long walks daily too"
+)  # 50 words, mean len ~4, has the/and/that/have/with/of/to
+
+
+def test_gopher_rules_first_fail(spark):
+    rows = [
+        (0, GOOD),                                     # keep
+        (1, "short doc"),                              # too_few_words
+        (2, " ".join(["ab"] * 60)),                    # short_words (mean 2)
+        (3, " ".join(["abcdefghijklmno"] * 60)),       # long_words (mean 15)
+        (4, " ".join(["absolute"] * 25 + ["#"] * 25)),  # symbol_heavy (25/50)
+        (5, "\n".join(["- item " + GOOD[:0] for _ in range(10)]) + "\n" + GOOD),
+        (6, " ".join(["123"] * 60)),                   # nonalpha before stopwords
+        (7, " ".join(["zzz"] * 60)),                   # nonalpha_words? all alpha -> no_stopwords
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["keep"], r["drop_reason"])
+        for r in gopher_quality(df).collect()
+    }
+    assert got[0] == (True, None)
+    assert got[1] == (False, "too_few_words")
+    assert got[2] == (False, "short_words")
+    assert got[3] == (False, "long_words")
+    assert got[4] == (False, "symbol_heavy")
+    # doc 5: 10 bullet lines of 2 words + the 50-word line = 11 lines,
+    # 10/11 = 0.909 > 0.9 -> bullet_heavy
+    assert got[5] == (False, "bullet_heavy")
+    assert got[6] == (False, "nonalpha_words")
+    assert got[7] == (False, "no_stopwords")
+
+
+def test_gopher_ellipsis_and_stats(spark):
+    # 4 lines, 2 ending with ellipsis (one unicode) -> frac 0.5 > 0.3;
+    # pad words so earlier rules pass.
+    body = GOOD
+    text = "first line trails off...\nsecond stays\nthird one dies…\n" + body
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    row = gopher_quality(df).collect()[0]
+    assert row["drop_reason"] == "ellipsis_heavy"
+    assert row["ellipsis_frac"] == pytest.approx(0.5)
+    # the ellipsis run counter: '...' once + one unicode ellipsis = 2
+    assert row["symbol_ratio"] == pytest.approx(2 / row["n_words"], abs=1e-6)
+
+
+def test_repetition_signals_hand_case(spark):
+    # lines: a, b, a, a  -> dup_line_frac = (4-2)/4 = 0.5
+    # chars: a=5 ("alpha"), b=4 ("beta"); total=5+4+5+5=19, distinct-once=9
+    # dup_line_char_frac = 10/19
+    text = "alpha\nbeta\nalpha\nalpha"
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    row = repetition_signals(df).collect()[0]
+    assert row["dup_line_frac"] == pytest.approx(0.5)
+    assert row["dup_line_char_frac"] == pytest.approx(round(10 / 19, 6))
+
+    # top-2-gram: "x y x y x" -> grams: "x y","y x","x y","y x" sorted ->
+    # ["x y","x y","y x","y x"]; first max run = "x y" count 2, len 3
+    # text len = 9 -> frac = 2*3/9
+    df2 = spark.createDataFrame([(0, "x y x y x")], ["doc_id", "text"])
+    r2 = repetition_signals(df2).collect()[0]
+    assert r2["top2gram_char_frac"] == pytest.approx(round(6 / 9, 6))
+    # 5 words -> one 4-gram window of len 2: grams "x y x y","y x y x"
+    # each count 1 -> smallest wins ("x y x y", len 7) -> 7/9
+    assert r2["top4gram_char_frac"] == pytest.approx(round(7 / 9, 6))
+
+
+def test_repetition_short_doc_zero(spark):
+    df = spark.createDataFrame([(0, "solo")], ["doc_id", "text"])
+    row = repetition_signals(df).collect()[0]
+    assert row["top2gram_char_frac"] == 0.0
+    assert row["dup_line_frac"] == 0.0
+
+
+def test_decontaminate_overlap(spark):
+    bench = spark.createDataFrame(
+        [(0, "one two three four five six seven eight nine ten")],
+        ["bid", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares the 8-gram "one ... eight" (and two more shifted ones)
+            (0, "zz one two three four five six seven eight nine yy"),
+            (1, "totally different words with no overlap at all here ok"),
+            (2, "one two three four five six seven"),  # < 8 words of overlap
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_contaminated"], r["contaminated"])
+        for r in decontaminate(corpus, bench, n=8).collect()
+    }
+    # doc0 has 11 words -> 4 distinct 8-grams; 2 of them ("one..eight",
+    # "two..nine") appear in bench (bench's "three..ten" ends differently)
+    assert got[0] == (4, 2, True)
+    assert got[1] == (3, 0, False)
+    assert got[2] == (0, 0, False)
+
+
+def test_line_dedup_cross_corpus(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "cookie banner\nunique zero\ncookie banner"),
+            (1, "unique one\ncookie banner\n\n  \nunique tail"),
+            (2, "unique two only"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in line_dedup(docs, min_df=2).collect()}
+    # "cookie banner" occurs 3x corpus-wide -> dropped everywhere
+    assert got[0]["text_clean"] == "unique zero"
+    assert (got[0]["n_lines"], got[0]["n_kept"]) == (3, 1)
+    assert got[1]["text_clean"] == "unique one\nunique tail"
+    assert (got[1]["n_lines"], got[1]["n_kept"]) == (3, 2)  # blanks dropped
+    assert got[2]["text_clean"] == "unique two only"
+
+
+def test_line_dedup_order_preserved(spark):
+    text = "\n".join(f"line {i}" for i in range(20)) + "\ndup\ndup2"
+    other = "dup\ndup2"
+    docs = spark.createDataFrame([(0, text), (1, other)], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in line_dedup(docs, min_df=2).collect()}
+    assert got[0]["text_clean"] == "\n".join(f"line {i}" for i in range(20))
