@@ -1225,6 +1225,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["pagerank"] = q_pagerank
 
+    def q_authority_join(spark, sf):
+        # K5 at scale: the DataFrame join path of the domain-authority
+        # scorer (dict path is the domain_authority probe) — a computed
+        # weights table derived from nation, de-duplicated, broadcast
+        from crawl4ai_spark.operators.linkgraph import domain_authority_score_df
+
+        c = _t(spark, sf, "customer")
+        frontier = c.select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.concat(F.lit("https://ex"), F.col("c_nationkey").cast("string"),
+                     F.lit(".test/")).alias("url"),
+        )
+        n = _t(spark, sf, "nation")
+        weights = n.where(F.col("n_nationkey") % 3 == 0).select(
+            F.concat(F.lit("ex"), F.col("n_nationkey").cast("string"),
+                     F.lit(".test")).alias("host"),
+            (F.col("n_nationkey") / F.lit(25.0)).alias("weight"),
+        )
+        return domain_authority_score_df(
+            frontier, weights, default_weight=0.5, weight=1.0
+        ).select("c_custkey", "da_score")
+    q["authority_join"] = q_authority_join
+
+    def q_anchor_texts(spark, sf):
+        # top-k inlink anchor-text aggregation (Brin & Page 1998 §2.2):
+        # one explicit repartition(target) serves both the count and the
+        # per-target window — no second exchange
+        from crawl4ai_spark.operators.linkgraph import anchor_texts
+
+        docs = _t(spark, sf, "documents")
+        links = docs.select(
+            F.concat(F.lit("https://t"), (F.col("doc_id") % 37).cast("string"),
+                     F.lit(".test/")).alias("href"),
+            F.array_join(F.slice(
+                F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""),
+                1, 2), " ").alias("text"),
+        )
+        return anchor_texts(links, k=3).select(
+            "target", F.col("anchor_rank").cast("long").alias("anchor_rank"),
+            "anchor_text", "n_inlinks",
+        )
+    q["anchor_texts"] = q_anchor_texts
+
     return q
 
 
@@ -2230,5 +2273,30 @@ def oracle_sql() -> dict[str, str]:
           FROM nodes LEFT JOIN m{i} ON nodes.node = m{i}.node)""")
     pr.append("\n        SELECT node, r AS rank_micro FROM r8")
     o["pagerank"] = "".join(pr)
+
+    o["authority_join"] = f"""
+        SELECT c_custkey,
+          CAST(CASE WHEN c_nationkey % 3 = 0 THEN c_nationkey / 25.0
+                    ELSE 0.5 END AS DOUBLE)
+          * CAST({_f32(1.0)} AS DOUBLE) AS da_score
+        FROM customer
+    """
+
+    o["anchor_texts"] = """
+        WITH l AS (
+          SELECT 'https://t' || CAST(doc_id % 37 AS VARCHAR) || '.test/' AS target,
+                 trim(array_to_string(
+                   (list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> ''))[1:2], ' ')) AS anchor_text
+          FROM documents),
+        c AS (
+          SELECT target, anchor_text, count(*) AS n_inlinks
+          FROM l WHERE anchor_text <> '' GROUP BY target, anchor_text)
+        SELECT target, anchor_rank, anchor_text, n_inlinks FROM (
+          SELECT *, row_number() OVER (PARTITION BY target
+                     ORDER BY n_inlinks DESC, anchor_text ASC) AS anchor_rank
+          FROM c)
+        WHERE anchor_rank <= 3
+    """
 
     return o

@@ -530,6 +530,108 @@ def warc_ingest_bench(spark, n_docs: int = 50_000) -> dict:
     }
 
 
+def hygiene_bench(spark, n_docs: int = 100_000) -> dict:
+    """Corpus-hygiene tier at scale: Gopher quality rules + repetition
+    signals (zero-shuffle codegen), CCNet line dedup (two shuffles), and
+    benchmark decontamination (broadcast gram dim) over a synthetic
+    ~60-token corpus with newline structure and 7% planted boilerplate
+    lines.  Timed sections are separate so a regression localizes."""
+    from crawl4ai_spark.operators.quality import (
+        decontaminate, gopher_quality, line_dedup, repetition_signals,
+    )
+
+    n_parts = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    def word(salt):
+        if salt % 9 == 0:   # real stopwords so the Gopher keep-path runs
+            return F.lit("the")
+        if salt % 9 == 1:
+            return F.lit("of")
+        return F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(F.col("id").cast("string"), F.lit(salt)),
+                   F.lit(20_000)).cast("string"))
+    # 12 lines of 5 tokens; every 14th doc gets a shared boilerplate line
+    line = lambda k: F.concat_ws(" ", *[word(k * 5 + s) for s in range(5)])
+    body = F.concat_ws("\n", *[line(k) for k in range(12)])
+    text = F.when(
+        F.pmod(F.col("id"), 14) == 0,
+        F.concat(F.lit("subscribe to our newsletter now\n"), body),
+    ).otherwise(body)
+    docs = spark.range(0, n_docs, 1, n_parts).select(
+        F.col("id").alias("doc_id"), text.alias("text"))
+    docs = docs.localCheckpoint(eager=True)  # time operators, not the gen
+
+    out: dict = {"docs": n_docs}
+    t0 = time.time()
+    r = gopher_quality(docs).agg(
+        F.count("*").alias("n"), F.sum(F.col("keep").cast("long")).alias("kept")
+    ).collect()[0]
+    out["gopher_sec"] = round(time.time() - t0, 3)
+    out["gopher_kept"] = int(r["kept"])
+
+    t0 = time.time()
+    repetition_signals(docs).agg(
+        F.sum((F.col("top2gram_char_frac") > 0.2).cast("long"))).collect()
+    out["repetition_sec"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    r = line_dedup(docs, min_df=1000).agg(
+        F.count("*").alias("n"), F.sum("n_kept").alias("kept_lines")
+    ).collect()[0]
+    out["line_dedup_sec"] = round(time.time() - t0, 3)
+    out["kept_lines"] = int(r["kept_lines"])
+
+    bench_docs = docs.where(F.pmod(F.col("doc_id"), 100) == 0)
+    t0 = time.time()
+    r = decontaminate(docs, bench_docs, n=8).agg(
+        F.sum(F.col("contaminated").cast("long")).alias("c")).collect()[0]
+    out["decontaminate_sec"] = round(time.time() - t0, 3)
+    out["contaminated"] = int(r["c"])
+    total = (out["gopher_sec"] + out["repetition_sec"]
+             + out["line_dedup_sec"] + out["decontaminate_sec"])
+    out["sec"] = round(total, 3)
+    out["docs_per_sec"] = round(4 * n_docs / max(total, 1e-9), 1)
+    docs.unpersist()
+    return out
+
+
+def pagerank_bench(spark, n_nodes: int = 200_000, n_iter: int = 8) -> dict:
+    """Link-graph authority at scale: fixed-point PageRank over a
+    synthetic 4-out-degree graph with a planted hub (1 in 16 edges point
+    at node 0 — the hot-host shape a real host graph has).  Exactness is
+    the oracle's job; this measures the per-iteration join+agg cost."""
+    from crawl4ai_spark.operators.linkgraph import pagerank
+
+    n_parts = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ids = spark.range(0, n_nodes, 1, n_parts)
+    parts = []
+    for c in (17, 34, 51):
+        parts.append(ids.select(
+            F.col("id").alias("src"),
+            ((F.col("id") * 31 + c) % n_nodes).alias("dst")))
+    parts.append(ids.select(  # hub edges: skewed in-degree on node 0
+        F.col("id").alias("src"),
+        F.when(F.pmod(F.col("id"), 16) == 0, F.lit(0).cast("long"))
+         .otherwise((F.col("id") * 37 + 5) % n_nodes).alias("dst")))
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    edges = edges.localCheckpoint(eager=True)
+    n_edges = 4 * n_nodes
+    t0 = time.time()
+    top = (pagerank(edges, n_iter=n_iter)
+           .orderBy(F.desc("rank_micro")).limit(3).collect())
+    secs = time.time() - t0
+    assert top[0]["node"] == 0, "hub must win the authority ranking"
+    return {
+        "sec": round(secs, 3),
+        "nodes": n_nodes,
+        "iters": n_iter,
+        "edge_visits_per_sec": round(n_edges * n_iter / secs, 1),
+        "hub_rank": int(top[0]["rank_micro"]),
+    }
+
+
 def host_calibration(spark) -> dict:
     """Fixed micro-workloads recorded per run so round-over-round deltas
     can be normalized for host drift (this VM's per-core throughput moves
@@ -709,6 +811,16 @@ def main() -> None:
     section_reset(spark, drift, "warc_ingest")
     extras["warc_ingest"] = warc_ingest_bench(
         spark, n_docs=max(5_000, int(500_000 * sf)))
+
+    # corpus hygiene (Gopher rules / repetition / line dedup / decontam)
+    section_reset(spark, drift, "hygiene")
+    extras["hygiene"] = hygiene_bench(
+        spark, n_docs=max(10_000, int(500_000 * sf)))
+
+    # link-graph authority (fixed-point PageRank, planted hub skew)
+    section_reset(spark, drift, "pagerank")
+    extras["pagerank"] = pagerank_bench(
+        spark, n_nodes=max(20_000, int(2_000_000 * sf)))
 
     total = round(sum(queries.values()), 3)
     print(json.dumps({

@@ -64,26 +64,112 @@ def pagerank(edges: DataFrame, n_iter: int = 8, src: str = "src",
         .localCheckpoint(eager=True)
     )
 
-    base = SCALE - damping_micro
     ranks = nodes_df.withColumn("rank_micro", F.lit(SCALE).cast("long"))
     for _ in range(n_iter):
-        in_mass = (
-            adj.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select("dst", F.expr("rank_micro DIV outdeg").alias("contrib"))
-            .groupBy("dst").agg(F.sum("contrib").alias("in_mass"))
-        )
-        ranks = (
-            nodes_df.join(in_mass.withColumnRenamed("dst", "node"), "node", "left")
-            .select(
-                "node",
-                (F.lit(base) + F.expr(
-                    f"({damping_micro} * coalesce(in_mass, 0)) DIV {SCALE}"
-                )).cast("long").alias("rank_micro"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = pagerank_step(adj, ranks, nodes_df, damping_micro).localCheckpoint(
+            eager=True
         )
     return ranks.withColumn(
         "rank", F.round(F.col("rank_micro") / F.lit(float(SCALE)), 6)
+    )
+
+
+def pagerank_step(adj: DataFrame, ranks: DataFrame, nodes_df: DataFrame,
+                  damping_micro: int = DAMPING_MICRO) -> DataFrame:
+    """One damped update: co-partitioned join on src (adj is already
+    hashed by src), per-edge integer contribution, one groupBy(dst)
+    shuffle with map-side partial sums, left join back onto the node set.
+    Exposed separately so the physical plan of a single iteration can be
+    audited (the loop's localCheckpoint hides it)."""
+    base = SCALE - damping_micro
+    in_mass = (
+        adj.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select("dst", F.expr("rank_micro DIV outdeg").alias("contrib"))
+        .groupBy("dst").agg(F.sum("contrib").alias("in_mass"))
+    )
+    return (
+        nodes_df.join(in_mass.withColumnRenamed("dst", "node"), "node", "left")
+        .select(
+            "node",
+            (F.lit(base) + F.expr(
+                f"({damping_micro} * coalesce(in_mass, 0)) DIV {SCALE}"
+            )).cast("long").alias("rank_micro"),
+        )
+    )
+
+
+def domain_authority_score_df(frontier: DataFrame, weights: DataFrame,
+                              url_col: str = "url", out_col: str = "da_score",
+                              default_weight: float = 0.5,
+                              weight: float = 1.0) -> DataFrame:
+    """Scale path for K5: score frontier URLs against a COMPUTED authority
+    table ``weights(host, weight double)`` (e.g. ``host_authority`` output)
+    via a host join, instead of the reference's literal domain→weight map
+    (`deep_crawling/scorers.py:414-519`, reproduced by
+    ``functions.scorers.domain_authority_score`` as a broadcast
+    ``create_map`` — fine for dozens of domains, not for the millions of
+    hosts a computed ranking covers).  Same dict/DataFrame dual-path
+    pattern as the robots gate (``robots_gate`` / ``robots_gate_df``).
+
+    Semantics match the dict scorer exactly: domain extraction strips the
+    port, weight keys are lowercased, misses fall back to
+    ``default_weight``, and the scorer weight goes through float32 (the
+    reference stores weights in ``array('f')``).  The weights table is
+    de-duplicated on host first so the join can never inflate frontier
+    multiplicity (the robots_gate_df lesson)."""
+    import numpy as np
+
+    from crawl4ai_spark.functions.urlparts import domain_no_port
+
+    dim = (
+        weights.select(
+            F.lower(F.col(weights.columns[0])).alias("__da_host"),
+            F.col(weights.columns[1]).cast("double").alias("__da_weight"),
+        ).dropDuplicates(["__da_host"])
+    )
+    w32 = float(np.float32(weight))
+    out = (
+        frontier.withColumn("__da_host", domain_no_port(F.col(url_col)))
+        .join(F.broadcast(dim), "__da_host", "left")
+        .withColumn(
+            out_col,
+            F.coalesce("__da_weight", F.lit(float(default_weight))) * F.lit(w32),
+        )
+        .drop("__da_host", "__da_weight")
+    )
+    return out
+
+
+def anchor_texts(links: DataFrame, target_col: str = "href",
+                 text_col: str = "text", k: int = 3) -> DataFrame:
+    """Top-k inlink anchor texts per target URL — the classic off-page
+    description signal (Brin & Page 1998 §2.2) used for crawl
+    prioritization and page summarization; the reference extracts per-page
+    anchor text (`content_scraping_strategy.py` Link.text) but never
+    aggregates it across inlinks.
+
+    Returns ``(target, anchor_rank, anchor_text, n_inlinks)`` with
+    anchor_rank 1..k by descending inlink count, ties to the
+    lexicographically smallest text (deterministic).  ONE shuffle: the
+    explicit repartition by target satisfies both the (target, text)
+    aggregation and the per-target window, so Spark inserts no further
+    exchange."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        links.select(F.col(target_col).alias("target"),
+                     F.trim(F.col(text_col)).alias("anchor_text"))
+        .where(F.col("anchor_text") != "")
+        .repartition("target")
+        .groupBy("target", "anchor_text")
+        .agg(F.count("*").alias("n_inlinks"))
+    )
+    w = Window.partitionBy("target").orderBy(
+        F.desc("n_inlinks"), F.asc("anchor_text"))
+    return (
+        counts.withColumn("anchor_rank", F.row_number().over(w))
+        .where(F.col("anchor_rank") <= k)
+        .select("target", "anchor_rank", "anchor_text", "n_inlinks")
     )
 
 

@@ -59,6 +59,53 @@ def test_pagerank_hand_case_two_nodes(spark):
     assert got == {"a": SCALE, "b": SCALE}
 
 
+def test_domain_authority_df_matches_dict_scorer(spark):
+    # the DataFrame join path must reproduce the create_map scorer exactly
+    from crawl4ai_spark.functions.scorers import domain_authority_score
+    from crawl4ai_spark.operators.linkgraph import domain_authority_score_df
+
+    urls = [
+        "https://EX0.test/page", "https://ex1.test:8080/x",
+        "https://unknown.test/y", "https://ex5.test/z",
+    ]
+    frontier = spark.createDataFrame([(u,) for u in urls], ["url"])
+    wmap = {"ex0.test": 0.9, "EX1.test": 0.8, "ex5.test": 0.3}
+    via_dict = {
+        r["url"]: r["s"] for r in frontier.select(
+            "url", domain_authority_score(
+                F.col("url"), wmap, default_weight=0.5, weight=0.7).alias("s")
+        ).collect()
+    }
+    weights = spark.createDataFrame(list(wmap.items()), ["host", "weight"])
+    # duplicate dim row must NOT inflate frontier multiplicity
+    weights = weights.union(spark.createDataFrame(
+        [("ex0.test", 0.9)], ["host", "weight"]))
+    out = domain_authority_score_df(
+        frontier, weights, default_weight=0.5, weight=0.7)
+    rows = out.collect()
+    assert len(rows) == 4
+    assert {r["url"]: r["da_score"] for r in rows} == via_dict
+
+
+def test_anchor_texts_topk(spark):
+    links = spark.createDataFrame(
+        [("t1", "click here"), ("t1", "click here"), ("t1", "docs"),
+         ("t1", "blog"), ("t1", "api"),        # tie at 1: lexicographic
+         ("t2", "  "), ("t2", "only")],
+        ["href", "text"],
+    )
+    from crawl4ai_spark.operators.linkgraph import anchor_texts
+
+    got = sorted(
+        (r["target"], r["anchor_rank"], r["anchor_text"], r["n_inlinks"])
+        for r in anchor_texts(links, k=3).collect()
+    )
+    assert got == [
+        ("t1", 1, "click here", 2), ("t1", 2, "api", 1), ("t1", 3, "blog", 1),
+        ("t2", 1, "only", 1),
+    ]
+
+
 def test_host_authority_collapses_to_hosts(spark):
     links = spark.createDataFrame(
         [

@@ -263,6 +263,48 @@ def main() -> None:
         ["MapInPandas", "FlatMapGroupsInPandas"],
     ))
 
+    from crawl4ai_spark.operators.quality import (
+        decontaminate, gopher_quality, line_dedup,
+    )
+    from crawl4ai_spark.operators.linkgraph import pagerank_step
+
+    dq = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    gq_plan = plan_of(gopher_quality(dq).select("doc_id", "keep", "drop_reason"))
+    sections.append((
+        "Gopher quality rules (pure codegen over scan — zero Exchange)",
+        gq_plan, ["[codegen id", "ReadSchema"],
+    ))
+    if "Exchange" in gq_plan:
+        sections[-1] = (sections[-1][0] + " — FAIL: plan shuffles",
+                        gq_plan, sections[-1][2])
+
+    bench_df = dq.where(F.col("doc_id") % 20 == 0)
+    sections.append((
+        "Decontaminate (broadcast benchmark gram dim, map-side semi-join)",
+        plan_of(decontaminate(dq, bench_df, n=8)),
+        ["BroadcastHashJoin", "LeftSemi", "Generate"],
+    ))
+
+    ld_plan = plan_of(line_dedup(dq))
+    n_ex_ld = ld_plan.count("+- Exchange") + ld_plan.count(": Exchange")
+    sections.append((
+        f"Line dedup (line-freq window + ordered reassembly — counted {n_ex_ld} Exchanges)",
+        ld_plan, ["Window", "hashpartitioning"],
+    ))
+
+    pr_nodes = dq.select(F.col("doc_id").alias("node"))
+    pr_edges = dq.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 31 + 17) % 500).alias("dst"))
+    pr_adj = (pr_edges.join(pr_edges.groupBy("src").agg(
+        F.count("*").alias("outdeg")), "src").repartition("src"))
+    pr_ranks = pr_nodes.withColumn("rank_micro", F.lit(1_000_000).cast("long"))
+    sections.append((
+        "PageRank iteration (co-partitioned src join → one groupBy(dst) shuffle)",
+        plan_of(pagerank_step(pr_adj, pr_ranks, pr_nodes)),
+        ["hashpartitioning(dst", "HashAggregate"],
+    ))
+
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)\n"]
     out.append(
         "Generated by tools/explain_audit.py. Verdict lines check the "
