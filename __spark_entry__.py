@@ -1268,6 +1268,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["anchor_texts"] = q_anchor_texts
 
+    def q_dsir_weights(spark, sf):
+        # DSIR importance weights (Xie et al. 2023): every 20th doc plays
+        # the high-quality target corpus; per-doc scores are integer
+        # micro-nat sums so partitioning can never flip a value
+        from crawl4ai_spark.operators.quality import dsir_weights
+
+        docs = _t(spark, sf, "documents")
+        target = docs.where(F.col("doc_id") % 20 == 0)
+        return dsir_weights(docs, target).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_feats", "llr_micro",
+        )
+    q["dsir_weights"] = q_dsir_weights
+
     return q
 
 
@@ -2297,6 +2311,41 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY n_inlinks DESC, anchor_text ASC) AS anchor_rank
           FROM c)
         WHERE anchor_rank <= 3
+    """
+
+    # DSIR: hashed uni+bigram features (4-hex-char md5 buckets, B=65536),
+    # add-1 smoothed bucket distributions, per-doc integer micro-nat sums;
+    # the only floating-point step is the per-BUCKET ln, mirrored exactly
+    o["dsir_weights"] = """
+        WITH w AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+            unnest(list_concat(words,
+              list_transform(range(0, len(words) - 1),
+                             i -> array_to_string(words[i+1:i+2], ' ')))) AS gram
+          FROM w),
+        rf AS (SELECT doc_id, substr(md5(gram), 1, 4) AS bucket FROM g),
+        tf AS (SELECT bucket FROM rf WHERE doc_id % 20 = 0),
+        rc AS (SELECT bucket, count(*) AS cr FROM rf GROUP BY bucket),
+        tc AS (SELECT bucket, count(*) AS ct FROM tf GROUP BY bucket),
+        tot AS (SELECT (SELECT coalesce(sum(cr), 0) FROM rc) AS tr,
+                       (SELECT coalesce(sum(ct), 0) FROM tc) AS tt),
+        llr AS (
+          SELECT coalesce(rc.bucket, tc.bucket) AS bucket,
+                 CAST(round(1000000.0 * ln(
+                   ((coalesce(ct, 0) + 1.0) / (tt + 65536.0))
+                   / ((coalesce(cr, 0) + 1.0) / (tr + 65536.0))
+                 ), 0) AS BIGINT) AS wgt
+          FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket, tot),
+        per AS (
+          SELECT rf.doc_id, count(*) AS n_feats, sum(wgt) AS llr_micro
+          FROM rf JOIN llr USING (bucket) GROUP BY rf.doc_id)
+        SELECT d.doc_id, coalesce(per.n_feats, 0) AS n_feats,
+               coalesce(per.llr_micro, 0) AS llr_micro
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
     """
 
     return o

@@ -264,6 +264,89 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: int = 8,
     )
 
 
+DSIR_BUCKETS = 65536  # 4 hex chars of md5 — portable across engines
+
+
+def _hashed_features(text: Column) -> Column:
+    """DSIR hashed n-gram features: lowercased unigrams + bigrams, each
+    hashed to one of 65536 buckets via the first 4 hex chars of md5 (the
+    same portable-hash idiom as operators/sampling.py — NOT xxhash64,
+    which DuckDB cannot reproduce)."""
+    words = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+    bigrams = F.when(
+        F.size(words) < 2, F.array().cast("array<string>")
+    ).otherwise(F.transform(
+        F.sequence(F.lit(0), F.size(words) - 2),
+        lambda i: F.array_join(F.slice(words, i + 1, 2), " "),
+    ))
+    return F.transform(
+        F.concat(words, bigrams), lambda g: F.substring(F.md5(g), 1, 4)
+    )
+
+
+def dsir_weights(raw: DataFrame, target: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", target_text_col: str | None = None,
+                 smoothing: float = 1.0) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"): score
+    every raw document by how much more likely its hashed n-gram features
+    are under the TARGET distribution (a small high-quality corpus) than
+    under the RAW distribution.
+
+    Returns ``(id_col, n_feats, llr_micro)`` where llr_micro is the
+    per-doc sum of per-bucket log-likelihood ratios in integer MICRO-NATS:
+    ``round(1e6 * ln(p_target(b) / p_raw(b)))`` with add-``smoothing``
+    estimates over 65536 buckets.  Summing integers keeps the per-doc
+    score exact under any partitioning (double sums are order-dependent;
+    only the per-BUCKET constant goes through floating point, once).
+
+    Scale shape: feature explode is O(tokens) and is materialized once
+    (lazy localCheckpoint) to feed both the bucket histogram and the
+    per-doc fold; bucket histograms are partial-aggregating groupBys with
+    ≤ 65536-row outputs; the LLR dimension is broadcast so the per-doc
+    join is map-side; grand totals are two one-row aggregates (the only
+    driver actions).
+    """
+    tb = target_text_col or text_col
+    raw_feats = raw.select(
+        F.col(id_col), F.explode(_hashed_features(F.col(text_col))).alias("bucket")
+    ).localCheckpoint(eager=False)  # built once, read by histogram + fold
+    tgt_counts = (
+        target.select(F.explode(_hashed_features(F.col(tb))).alias("bucket"))
+        .groupBy("bucket").agg(F.count("*").alias("ct"))
+    )
+    raw_counts = raw_feats.groupBy("bucket").agg(F.count("*").alias("cr"))
+    t_total = tgt_counts.agg(F.sum("ct")).collect()[0][0] or 0
+    r_total = raw_counts.agg(F.sum("cr")).collect()[0][0] or 0
+
+    a = float(smoothing)
+    t_denom = float(t_total) + a * DSIR_BUCKETS
+    r_denom = float(r_total) + a * DSIR_BUCKETS
+    llr = (
+        raw_counts.join(tgt_counts, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.round(F.lit(1_000_000.0) * F.log(
+                ((F.coalesce("ct", F.lit(0)) + F.lit(a)) / F.lit(t_denom))
+                / ((F.coalesce("cr", F.lit(0)) + F.lit(a)) / F.lit(r_denom))
+            ), 0).cast("long").alias("w"),
+        )
+    )
+    per_doc = (
+        raw_feats.join(F.broadcast(llr), "bucket")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_feats"), F.sum("w").alias("llr_micro"))
+    )
+    return (
+        raw.select(id_col).join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("llr_micro", F.lit(0)).cast("long").alias("llr_micro"),
+        )
+    )
+
+
 def line_dedup(docs: DataFrame, id_col: str = "doc_id",
                text_col: str = "text", min_df: int = 2) -> DataFrame:
     """Cross-corpus line deduplication (the CCNet / RefinedWeb boilerplate

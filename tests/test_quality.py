@@ -141,3 +141,56 @@ def test_line_dedup_order_preserved(spark):
     docs = spark.createDataFrame([(0, text), (1, other)], ["doc_id", "text"])
     got = {r["doc_id"]: r for r in line_dedup(docs, min_df=2).collect()}
     assert got[0]["text_clean"] == "\n".join(f"line {i}" for i in range(20))
+
+
+def test_dsir_weights_match_independent_twin(spark):
+    import hashlib
+    import math
+
+    from crawl4ai_spark.operators.quality import dsir_weights
+
+    raw_rows = [
+        (0, "spark shuffles the big table"),
+        (1, "the quick dog naps"),
+        (2, "quantum flux capacitor hums"),
+        (3, ""),
+    ]
+    tgt_rows = [(100, "the quick dog runs fast"), (101, "the dog barks")]
+
+    def feats(text):
+        ws = [w for w in text.lower().split() if w]
+        grams = ws + [" ".join(ws[i:i + 2]) for i in range(len(ws) - 1)]
+        return [hashlib.md5(g.encode()).hexdigest()[:4] for g in grams]
+
+    B, a = 65536, 1.0
+    rc, tc = {}, {}
+    for _, t in raw_rows:
+        for b in feats(t):
+            rc[b] = rc.get(b, 0) + 1
+    for _, t in tgt_rows:
+        for b in feats(t):
+            tc[b] = tc.get(b, 0) + 1
+    Tt, Tr = sum(tc.values()), sum(rc.values())
+
+    def llr(b):
+        p = (tc.get(b, 0) + a) / (Tt + a * B)
+        q = (rc.get(b, 0) + a) / (Tr + a * B)
+        x = 1_000_000.0 * math.log(p / q)
+        # HALF_UP (away from zero), matching Spark round(double, 0)
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+    expected = {}
+    for i, t in raw_rows:
+        fs = feats(t)
+        expected[i] = (len(fs), sum(llr(b) for b in fs))
+
+    raw = spark.createDataFrame(raw_rows, ["doc_id", "text"])
+    tgt = spark.createDataFrame(tgt_rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_feats"], r["llr_micro"])
+        for r in dsir_weights(raw, tgt).collect()
+    }
+    assert got == expected
+    # target-like doc must outrank the off-target ones
+    assert got[1][1] > got[0][1] and got[1][1] > got[2][1]
+    assert got[3] == (0, 0)
