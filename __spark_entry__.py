@@ -1041,6 +1041,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["image_buckets"] = q_image_buckets
 
+    def q_crop_plan(spark, sf):
+        # exact cover-resize + center-crop geometry into the assigned
+        # bucket: pure 64-bit integer math (round-half-up scaled side via
+        # (2*h*tw + w) DIV (2*w)) — byte-identical on any engine
+        from crawl4ai_spark.operators.multimodal import crop_plan
+
+        oracle_expected.ensure_images_input(n_pages=280)
+        p = _graph(n_pages=280)
+        _, _, images = synth.synth_tables(spark, p)
+        return crop_plan(aspect_buckets(images)).select(
+            "image_id",
+            F.col("fit_w").cast("int"), F.col("fit_h").cast("int"),
+            F.col("crop_x").cast("int"), F.col("crop_y").cast("int"),
+        )
+    q["crop_plan"] = q_crop_plan
+
     def q_image_joint_neardup(spark, sf):
         # joint tier: phash Hamming ≤ 8 AND normalized-caption equality;
         # oracle is a brute-force O(n²) bit_count(xor()) self-join in
@@ -1281,6 +1297,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_feats", "llr_micro",
         )
     q["dsir_weights"] = q_dsir_weights
+
+    def q_optimize_html(spark, sf):
+        # optimize_html twin (reference utils.py:2764-2781): the oracle
+        # rebuilds the expected serialization directly from the raw text
+        # column — the parser/serializer is never consulted on the SQL side
+        from crawl4ai_spark.operators.extraction import optimize_html_stage
+
+        docs = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.concat(
+                F.lit('<html><body><div data-x="'), F.col("text"),
+                F.lit('">'), F.col("text"), F.lit("</div></body></html>"),
+            ).alias("html"),
+        )
+        return optimize_html_stage(docs, threshold=200).select(
+            "doc_id", F.col("optimized"))
+    q["optimize_html"] = q_optimize_html
 
     return q
 
@@ -2065,6 +2098,29 @@ def oracle_sql() -> dict[str, str]:
         FROM b
     """
 
+    o["crop_plan"] = f"""
+        WITH b AS (
+          SELECT image_id, w, h, {bucket_case} AS bucket
+          FROM read_parquet('{_exp('images_input')}')),
+        t AS (
+          SELECT image_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+                 CAST({tw_case} AS BIGINT) AS tw,
+                 CAST({th_case} AS BIGINT) AS th
+          FROM b),
+        g AS (
+          SELECT image_id, tw, th,
+            CASE WHEN w * th <= h * tw THEN tw
+                 ELSE (2 * w * th + h) // (2 * h) END AS fit_w,
+            CASE WHEN w * th <= h * tw THEN (2 * h * tw + w) // (2 * w)
+                 ELSE th END AS fit_h
+          FROM t)
+        SELECT image_id,
+               CAST(fit_w AS INTEGER) AS fit_w, CAST(fit_h AS INTEGER) AS fit_h,
+               CAST((fit_w - tw) // 2 AS INTEGER) AS crop_x,
+               CAST((fit_h - th) // 2 AS INTEGER) AS crop_y
+        FROM g
+    """
+
     o["pack_sequences"] = (
         "SELECT doc_id, shard, seq_id, seq_off, n_tokens "
         f"FROM read_parquet('{_exp('pack_sequences')}')"
@@ -2346,6 +2402,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, coalesce(per.n_feats, 0) AS n_feats,
                coalesce(per.llr_micro, 0) AS llr_micro
         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """
+
+    o["optimize_html"] = """
+        WITH t AS (
+          SELECT doc_id,
+            CASE WHEN length(text) > 200 THEN substr(text, 1, 200) || '...'
+                 ELSE text END AS tr
+          FROM documents)
+        SELECT doc_id,
+          '<html><body><div data-x="' || tr || '">' || tr
+          || '</div></body></html>' AS optimized
+        FROM t
     """
 
     return o

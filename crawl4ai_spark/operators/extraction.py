@@ -41,6 +41,8 @@ from typing import Any, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 VOID_TAGS = {
     "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
@@ -143,6 +145,54 @@ def parse_html(html: str) -> Node:
     except Exception:
         pass
     return b.root
+
+
+def truncate_str(value: str, threshold: int) -> str:
+    """Reference ``truncate`` twin (utils.py:2759-2762): cap at threshold
+    chars and append a literal '...' marker."""
+    if len(value) > threshold:
+        return value[:threshold] + "..."
+    return value
+
+
+def optimize_html(html: str, threshold: int = 200) -> str:
+    """Reference ``optimize_html`` twin (utils.py:2764-2781): walk the
+    tree truncating every attribute value and every text segment to
+    ``threshold`` chars (+'...'), then re-serialize — the compressor the
+    schema-generation path feeds to the LLM (crawlers/google_search).
+
+    Mapping note: lxml truncates the merged ``.text``/``.tail`` strings;
+    the stdlib parser delivers text in segments (entities split data), so
+    this twin truncates per segment — identical output whenever segments
+    aren't split mid-run (always true for entity-free markup)."""
+    root = parse_html(html)
+    for node in (root, *root.descendants()):
+        node.attrs = {k: truncate_str(v, threshold) for k, v in node.attrs.items()}
+        node.texts = [(s, truncate_str(t, threshold)) for s, t in node.texts]
+    if root.tag != "[document]":
+        return root.to_html()
+    # document root: interleave top-level text slots and children, unwrapped
+    slots: dict[int, list[str]] = {}
+    for slot, t in root.texts:
+        slots.setdefault(slot, []).append(t)
+    inner: list[str] = []
+    for i in range(len(root.children) + 1):
+        inner.extend(slots.get(i, []))
+        if i < len(root.children):
+            inner.append(root.children[i].to_html())
+    return "".join(inner)
+
+
+def optimize_html_stage(pages: DataFrame, threshold: int = 200,
+                        html_col: str = "html",
+                        out_col: str = "optimized") -> DataFrame:
+    """Arrow-batched column wrapper around ``optimize_html`` (pure
+    per-row transform — no shuffle, no per-row Python in the plan)."""
+    @pandas_udf("string")
+    def opt(s: pd.Series) -> pd.Series:
+        return s.fillna("").map(lambda h: optimize_html(h, threshold))
+
+    return pages.withColumn(out_col, opt(F.col(html_col)))
 
 
 # ------------------------------------------------------------------- CSS

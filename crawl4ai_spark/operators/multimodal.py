@@ -209,3 +209,33 @@ def aspect_buckets(images: DataFrame) -> DataFrame:
         .withColumn("target_h", th.cast("int"))
         .withColumn("res_tier", tier)
     )
+
+
+def crop_plan(images: DataFrame) -> DataFrame:
+    """Exact cover-resize + center-crop geometry from (w, h) to the
+    assigned aspect bucket's (target_w, target_h) — the numbers a training
+    loader feeds its resize kernel, computed WITHOUT touching pixels.
+
+    Cover semantics (no padding, excess cropped): the constraining side is
+    chosen by integer cross-multiplication (w*target_h <= h*target_w means
+    width binds), the scaled free side is round-half-up in pure integer
+    arithmetic ``(2*h*target_w + w) DIV (2*w)``, and the crop offset is the
+    centered remainder.  Every op is 64-bit integer math, so the plan is
+    byte-identical on any engine/partitioning — the same determinism
+    contract as ``aspect_buckets``' rational boundaries.  Runs after
+    ``aspect_buckets`` (needs target_w/target_h); zero shuffle, codegen.
+    """
+    w, h = F.col("w").cast("long"), F.col("h").cast("long")
+    tw_, th_ = F.col("target_w").cast("long"), F.col("target_h").cast("long")
+    width_binds = w * th_ <= h * tw_
+    fit_w = F.when(width_binds, tw_).otherwise(
+        F.expr("(2 * CAST(w AS BIGINT) * target_h + h) DIV (2 * h)"))
+    fit_h = F.when(width_binds,
+                   F.expr("(2 * CAST(h AS BIGINT) * target_w + w) DIV (2 * w)")
+                   ).otherwise(th_)
+    return (
+        images.withColumn("fit_w", fit_w.cast("int"))
+        .withColumn("fit_h", fit_h.cast("int"))
+        .withColumn("crop_x", F.expr("(fit_w - target_w) DIV 2").cast("int"))
+        .withColumn("crop_y", F.expr("(fit_h - target_h) DIV 2").cast("int"))
+    )

@@ -143,3 +143,23 @@ def test_extract_stage_distributed(spark):
         next(r["item_json"] for r in rows if r["item_idx"] == 0)
     )
     assert item["sku"] == "A-1" and item["price_float"] == pytest.approx(19.99)
+
+
+def test_optimize_html_truncation():
+    # reference utils.py:2759-2781 semantics, hand-derived expectations
+    from crawl4ai_spark.operators.extraction import optimize_html, truncate_str
+
+    assert truncate_str("abcdef", 4) == "abcd..."
+    assert truncate_str("abcd", 4) == "abcd"
+    long = "x" * 250
+    h = (f'<html><body><div data-x="{long}" id="k">{long}<p>short</p>'
+         f'tail {long}</div></body></html>')
+    out = optimize_html(h, threshold=200)
+    assert f'data-x="{"x" * 200}..."' in out         # attr truncated
+    assert 'id="k"' in out                            # short attr kept
+    assert f'>{"x" * 200}...<p>' in out               # .text truncated
+    assert "tail " + "x" * 195 + "..." in out         # tail segment too
+    assert out.startswith("<html><body><div")
+    # top-level text outside any tag survives (and truncates)
+    assert optimize_html("plain text only", 5) == "plain..."
+    assert optimize_html("", 5) == ""

@@ -159,3 +159,36 @@ def test_aspect_buckets_rational_boundaries(spark):
     assert out["i"]["res_tier"] == "xl"
     assert out["j"]["res_tier"] == "large"
     assert out["k"]["res_tier"] == "small"
+
+
+def test_crop_plan_hand_cases(spark):
+    from crawl4ai_spark.operators.multimodal import aspect_buckets, crop_plan
+
+    rows = [
+        ("sq", 1000, 1000),   # square bucket 1024x1024, symmetric upscale
+        ("pt", 700, 1000),    # tall bucket 896x1152: fit (896,1280), crop_y 64
+        ("ls", 2000, 1000),   # wide2 bucket 1408x704: equality -> width binds
+        ("od", 999, 1000),    # square bucket, odd remainder centering
+    ]
+    df = spark.createDataFrame(rows, ["image_id", "w", "h"])
+    got = {r["image_id"]: (r["fit_w"], r["fit_h"], r["crop_x"], r["crop_y"])
+           for r in crop_plan(aspect_buckets(df)).collect()}
+    assert got["sq"] == (1024, 1024, 0, 0)
+    assert got["pt"] == (896, 1280, 0, 64)
+    # 2000x1000 = exactly 2:1 -> wide2 (1408x704); w*th=1408000 <= h*tw=1408000
+    # -> width binds: fit=(1408, round(1000*1408/2000)=704) -> no crop
+    assert got["ls"] == (1408, 704, 0, 0)
+    # 999x1000 -> square (3/4 <= r < 4/3): w*th=999*1024 <= h*tw=1000*1024
+    # -> fit_w=1024, fit_h=round(1000*1024/999)=round(1025.02)=1025 -> crop_y 0
+    assert got["od"] == (1024, 1025, 0, 0)
+    # invariant: the crop window always fits inside the resized image
+    big = spark.range(1, 400).select(
+        F.concat(F.lit("i"), F.col("id")).alias("image_id"),
+        (F.col("id") % 37 * 53 + 24).cast("int").alias("w"),
+        (F.col("id") % 29 * 67 + 24).cast("int").alias("h"))
+    chk = crop_plan(aspect_buckets(big)).where(
+        (F.col("crop_x") < 0) | (F.col("crop_y") < 0)
+        | (F.col("crop_x") + F.col("target_w") > F.col("fit_w"))
+        | (F.col("crop_y") + F.col("target_h") > F.col("fit_h"))
+    ).count()
+    assert chk == 0
