@@ -1315,6 +1315,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.col("optimized"))
     q["optimize_html"] = q_optimize_html
 
+    def q_crawl_delay(spark, sf):
+        # Crawl-delay / Request-rate parsing (the RobotFileParser surface
+        # the reference caches but never reads) -> per-superstep D1 budget;
+        # rules are TEMPLATED from doc_id so the oracle re-derives the
+        # expected delays arithmetically, never parsing text
+        from crawl4ai_spark.operators.robots import crawl_delay_stage
+
+        docs = _t(spark, sf, "documents")
+        m = F.col("doc_id") % 4
+        rules = docs.select(
+            F.concat(F.lit("h"), F.col("doc_id").cast("string"),
+                     F.lit(".test")).alias("host"),
+            F.when(m == 0, F.concat(
+                F.lit("User-agent: *\nCrawl-delay: "),
+                (F.col("doc_id") % 9 + 1).cast("string"),
+                F.lit("\nDisallow: /x/\n")))
+             .when(m == 1, F.concat(
+                F.lit("User-agent: *\nRequest-rate: 1/"),
+                (F.col("doc_id") % 5 + 2).cast("string"), F.lit("\n")))
+             .when(m == 2, F.lit("User-agent: *\nDisallow: /p/\n"))
+             .alias("rules"),
+        )
+        return crawl_delay_stage(rules, window_s=60.0).select(
+            "host", "crawl_delay", F.col("delay_budget").cast("int"))
+    q["crawl_delay"] = q_crawl_delay
+
     return q
 
 
@@ -2414,6 +2440,19 @@ def oracle_sql() -> dict[str, str]:
           '<html><body><div data-x="' || tr || '">' || tr
           || '</div></body></html>' AS optimized
         FROM t
+    """
+
+    o["crawl_delay"] = """
+        SELECT 'h' || CAST(doc_id AS VARCHAR) || '.test' AS host,
+          CASE WHEN doc_id % 4 = 0 THEN CAST(doc_id % 9 + 1 AS DOUBLE)
+               WHEN doc_id % 4 = 1 THEN CAST(doc_id % 5 + 2 AS DOUBLE)
+               END AS crawl_delay,
+          CASE WHEN doc_id % 4 = 0
+                 THEN CAST(floor(60.0 / (doc_id % 9 + 1)) AS INTEGER)
+               WHEN doc_id % 4 = 1
+                 THEN CAST(floor(60.0 / (doc_id % 5 + 2)) AS INTEGER)
+               END AS delay_budget
+        FROM documents
     """
 
     return o

@@ -189,3 +189,58 @@ def robots_gate_df(df: DataFrame, rules_df: DataFrame | None,
             yield out
 
     return j.mapInPandas(gate, f"{fields}, robots_allowed boolean")
+
+
+def crawl_delay_stage(rules_df: DataFrame, user_agent: str = "*",
+                      window_s: float | None = None,
+                      rules_col: str = "rules",
+                      host_col: str = "host") -> DataFrame:
+    """Parse per-host ``Crawl-delay`` (and ``Request-rate``) from robots
+    rules — the RobotFileParser surface the reference caches but never
+    reads (utils.py:326-328 only calls can_fetch; real crawlers honor the
+    delay).  Adds ``crawl_delay double`` (NULL when the directive is
+    absent or the rules are missing/unparseable — allow-fast, matching the
+    gate's allow-on-error posture; Request-rate collapses to
+    seconds-per-request = duration/requests, and the stricter of the two
+    wins) and, when ``window_s`` is given, ``delay_budget int`` =
+    floor(window_s / delay) — the per-superstep cap to feed
+    ``politeness.split_host_budget`` (D1) so hosts that publish a delay
+    are throttled to it.
+
+    One Arrow pass over the per-host rules dimension (thousands of rows —
+    never the frontier side); zero shuffle.
+    """
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in rules_df.schema.fields)
+    out_schema = f"{fields}, crawl_delay double" + (
+        ", delay_budget int" if window_s is not None else "")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            delays: list[float | None] = []
+            for rules in b[rules_col].tolist():
+                d: float | None = None
+                if rules:
+                    rp = RobotFileParser()
+                    try:
+                        rp.parse(rules.splitlines())
+                        if rp.mtime():
+                            cd = rp.crawl_delay(user_agent)
+                            rr = rp.request_rate(user_agent)
+                            if cd is not None:
+                                d = float(cd)
+                            if rr is not None and rr.requests:
+                                per = rr.seconds / rr.requests
+                                d = per if d is None else max(d, per)
+                    except Exception:
+                        d = None
+                delays.append(d)
+            out = b.copy()
+            out["crawl_delay"] = pd.Series(delays, index=b.index, dtype="float64")
+            if window_s is not None:
+                out["delay_budget"] = out["crawl_delay"].map(
+                    lambda x: None if pd.isna(x) or x <= 0
+                    else int(window_s // x)).astype("Int32")
+            yield out
+
+    return rules_df.mapInPandas(parse, out_schema)

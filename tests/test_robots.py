@@ -123,3 +123,28 @@ def test_robots_gate_df_matches_dict_gate(spark):
         for r in robots_gate_df(df, rules_df, broadcast_rules=False).collect()
     }
     assert got2 == want
+
+
+def test_crawl_delay_stage(spark):
+    from crawl4ai_spark.operators.robots import crawl_delay_stage
+
+    rows = [
+        ("a", "User-agent: *\nCrawl-delay: 3\nDisallow: /x/\n"),
+        ("b", "User-agent: *\nRequest-rate: 1/5\n"),
+        # both directives: the stricter (larger seconds-per-request) wins
+        ("c", "User-agent: *\nCrawl-delay: 2\nRequest-rate: 1/7\n"),
+        ("d", "User-agent: *\nDisallow: /p/\n"),   # no delay -> NULL
+        ("e", ""),                                  # empty -> NULL
+        ("f", None),                                # missing -> NULL
+        ("g", "User-agent: bot\nCrawl-delay: 9\n"),  # other agent -> NULL for *
+    ]
+    df = spark.createDataFrame(rows, ["host", "rules"])
+    got = {r["host"]: (r["crawl_delay"], r["delay_budget"])
+           for r in crawl_delay_stage(df, window_s=60.0).collect()}
+    assert got["a"] == (3.0, 20)
+    assert got["b"] == (5.0, 12)
+    assert got["c"] == (7.0, 8)
+    assert got["d"] == (None, None)
+    assert got["e"] == (None, None)
+    assert got["f"] == (None, None)
+    assert got["g"] == (None, None)
