@@ -269,3 +269,43 @@ def test_attribute_soup_does_not_crash():
 #     drops the inner opener.  The skip-stack unwind gives html5lib-shaped
 #     VISIBLE TEXT for either tree, but an excluded inner form's stray
 #     close could differ from lxml on exotic interleavings.
+
+
+def test_real_world_wikipedia_fixture():
+    """Robustness: the reference's real 769 KB Wikipedia sample
+    (tests/async/sample_wikipedia.html — read in place, never copied)
+    through the full stdlib pipeline: scrape, markdown, tree, compressor.
+    Invariants only (golden bytes would couple us to MediaWiki markup)."""
+    import os
+
+    path = "/root/reference/tests/async/sample_wikipedia.html"
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("reference fixture not present")
+    html = open(path, encoding="utf-8", errors="replace").read()
+
+    from crawl4ai_spark.operators.extraction import (
+        css_select, optimize_html, parse_html,
+    )
+    from crawl4ai_spark.operators.markdown import html_to_markdown
+    from crawl4ai_spark.operators.scrape import scrape_html
+
+    r = scrape_html(html, "https://en.wikipedia.org/wiki/Test")
+    assert r["title"] == "Apple - Wikipedia"
+    assert len(r["cleaned_text"]) > 50_000
+    assert len(r["links"]) > 1_000
+    internal = [l for l in r["links"] if l["is_internal"]]
+    assert len(internal) > 500
+    assert all(l["href"].startswith(("http://", "https://"))
+               for l in r["links"][:50])
+    assert r["meta"].get("generator", "").startswith("MediaWiki")
+
+    md = html_to_markdown(html, "https://en.wikipedia.org/wiki/Test")
+    assert len(md) > 50_000 and "Apple" in md
+
+    root = parse_html(html)
+    assert sum(1 for _ in root.descendants()) > 5_000
+    assert len(css_select(root, "h2")) >= 10
+
+    opt = optimize_html(html, threshold=200)
+    assert 0 < len(opt) < len(html)  # compressor must shrink real markup
