@@ -115,6 +115,43 @@ def split_host_budget(df: DataFrame, budget: int, order_cols: list,
     )
 
 
+def split_per_host_budget(df: DataFrame, budgets: DataFrame,
+                          order_cols: list, host_col: str = "host",
+                          budget_col: str = "delay_budget",
+                          default_budget: int | None = None
+                          ) -> tuple[DataFrame, DataFrame]:
+    """Per-HOST budget split: like ``split_host_budget`` but each host caps
+    at ITS OWN budget from the ``budgets(host, budget)`` dimension — the
+    integration point for ``robots.crawl_delay_stage``'s ``delay_budget``
+    (hosts that publish a Crawl-delay get floor(window/delay) fetches per
+    superstep; others fall back to ``default_budget``, None = uncapped).
+
+    The dimension is de-duplicated on host and broadcast, so this adds no
+    shuffle beyond the same per-host rank window the global split pays;
+    for hot hosts compose with the two-phase salted ranking exactly as
+    ``split_host_budget`` does (a per-host cap only tightens it)."""
+    dim = F.broadcast(
+        budgets.select(
+            F.col(host_col).alias("__b_host"),
+            F.col(budget_col).cast("int").alias("__b_budget"),
+        ).dropDuplicates(["__b_host"])
+    )
+    w = Window.partitionBy(host_col).orderBy(*order_cols)
+    r = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .join(dim, F.col(host_col) == F.col("__b_host"), "left")
+        .withColumn(
+            "__eff",
+            F.coalesce("__b_budget",
+                       F.lit(default_budget).cast("int")),
+        )
+    )
+    within = r.filter(F.col("__eff").isNull() | (F.col("__rn") <= F.col("__eff")))
+    deferred = r.filter(F.col("__eff").isNotNull() & (F.col("__rn") > F.col("__eff")))
+    drop = ["__rn", "__b_host", "__b_budget", "__eff"]
+    return within.drop(*drop), deferred.drop(*drop)
+
+
 def makespan_metrics(df: DataFrame, host_col: str = "host") -> DataFrame:
     """Per-superstep politeness metrics: per-host request count and virtual
     makespan (max send slot) — the straggler signal that drives salting."""

@@ -148,3 +148,37 @@ def test_crawl_delay_stage(spark):
     assert got["e"] == (None, None)
     assert got["f"] == (None, None)
     assert got["g"] == (None, None)
+
+
+def test_crawl_delay_feeds_per_host_budget(spark):
+    """End-to-end D1 integration: robots Crawl-delay -> delay_budget ->
+    per-host frontier split. Expected counts hand-derived."""
+    from crawl4ai_spark.operators.politeness import split_per_host_budget
+    from crawl4ai_spark.operators.robots import crawl_delay_stage
+
+    rules = spark.createDataFrame(
+        [("slow.test", "User-agent: *\nCrawl-delay: 30\n"),   # 60/30 -> 2
+         ("fast.test", "User-agent: *\nCrawl-delay: 10\n"),   # 60/10 -> 6
+         ("free.test", "User-agent: *\nDisallow: /x/\n")],    # none -> NULL
+        ["host", "rules"],
+    )
+    budgets = crawl_delay_stage(rules, window_s=60.0)
+    frontier = spark.createDataFrame(
+        [(h, f"https://{h}/p{i}", i)
+         for h in ("slow.test", "fast.test", "free.test") for i in range(8)],
+        ["host", "url", "seq"],
+    )
+    within, deferred = split_per_host_budget(
+        frontier, budgets, order_cols=["seq"])
+    w = {r["host"]: 0 for r in rules.collect()}
+    for r in within.collect():
+        w[r["host"]] += 1
+    assert w == {"slow.test": 2, "fast.test": 6, "free.test": 8}
+    # deferral keeps the LATER rows (order_cols order) and loses none
+    d = deferred.collect()
+    assert len(d) == 6 + 2
+    assert all(r["seq"] >= 2 for r in d if r["host"] == "slow.test")
+    assert within.count() + deferred.count() == 24
+    # default budget caps the NULL-delay host when given
+    w2, _ = split_per_host_budget(frontier, budgets, ["seq"], default_budget=3)
+    assert w2.filter(F.col("host") == "free.test").count() == 3
