@@ -587,10 +587,19 @@ def hygiene_bench(spark, n_docs: int = 100_000) -> dict:
         F.sum(F.col("contaminated").cast("long")).alias("c")).collect()[0]
     out["decontaminate_sec"] = round(time.time() - t0, 3)
     out["contaminated"] = int(r["c"])
+
+    from crawl4ai_spark.operators.quality import dsir_weights
+    t0 = time.time()
+    r = dsir_weights(docs, bench_docs).agg(
+        F.sum((F.col("llr_micro") > 0).cast("long")).alias("pos")).collect()[0]
+    out["dsir_sec"] = round(time.time() - t0, 3)
+    out["dsir_positive"] = int(r["pos"])
+
     total = (out["gopher_sec"] + out["repetition_sec"]
-             + out["line_dedup_sec"] + out["decontaminate_sec"])
+             + out["line_dedup_sec"] + out["decontaminate_sec"]
+             + out["dsir_sec"])
     out["sec"] = round(total, 3)
-    out["docs_per_sec"] = round(4 * n_docs / max(total, 1e-9), 1)
+    out["docs_per_sec"] = round(5 * n_docs / max(total, 1e-9), 1)
     docs.unpersist()
     return out
 
