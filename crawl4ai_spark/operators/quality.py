@@ -303,9 +303,9 @@ def dsir_weights(raw: DataFrame, target: DataFrame, id_col: str = "doc_id",
     Scale shape: feature explode is O(tokens) and is materialized once
     (lazy localCheckpoint) to feed both the bucket histogram and the
     per-doc fold; bucket histograms are partial-aggregating groupBys with
-    ≤ 65536-row outputs; the LLR dimension is broadcast so the per-doc
-    join is map-side; grand totals are two one-row aggregates (the only
-    driver actions).
+    ≤ 65536-row outputs; grand totals ride along as a broadcast one-row
+    dimension (no driver collect anywhere); the LLR dimension is broadcast
+    so the per-doc join is map-side.
     """
     tb = target_text_col or text_col
     raw_feats = raw.select(
@@ -316,19 +316,23 @@ def dsir_weights(raw: DataFrame, target: DataFrame, id_col: str = "doc_id",
         .groupBy("bucket").agg(F.count("*").alias("ct"))
     )
     raw_counts = raw_feats.groupBy("bucket").agg(F.count("*").alias("cr"))
-    t_total = tgt_counts.agg(F.sum("ct")).collect()[0][0] or 0
-    r_total = raw_counts.agg(F.sum("cr")).collect()[0][0] or 0
+    totals = F.broadcast(
+        raw_counts.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("__tr"))
+        .crossJoin(tgt_counts.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("__tt")))
+    )
 
     a = float(smoothing)
-    t_denom = float(t_total) + a * DSIR_BUCKETS
-    r_denom = float(r_total) + a * DSIR_BUCKETS
+    ab = a * DSIR_BUCKETS
     llr = (
         raw_counts.join(tgt_counts, "bucket", "full_outer")
+        .crossJoin(totals)
         .select(
             "bucket",
             F.round(F.lit(1_000_000.0) * F.log(
-                ((F.coalesce("ct", F.lit(0)) + F.lit(a)) / F.lit(t_denom))
-                / ((F.coalesce("cr", F.lit(0)) + F.lit(a)) / F.lit(r_denom))
+                ((F.coalesce("ct", F.lit(0)) + F.lit(a))
+                 / (F.col("__tt").cast("double") + F.lit(ab)))
+                / ((F.coalesce("cr", F.lit(0)) + F.lit(a))
+                   / (F.col("__tr").cast("double") + F.lit(ab)))
             ), 0).cast("long").alias("w"),
         )
     )
