@@ -305,6 +305,40 @@ def main() -> None:
         ["hashpartitioning(dst", "HashAggregate"],
     ))
 
+    from crawl4ai_spark.operators.quality import dsir_weights
+    from crawl4ai_spark.operators.linkgraph import anchor_texts
+    from crawl4ai_spark.operators.multimodal import aspect_buckets, crop_plan
+
+    tgt = dq.where(F.col("doc_id") % 20 == 0)
+    sections.append((
+        "DSIR weights (broadcast LLR dim, partial-agg histograms)",
+        plan_of(dsir_weights(dq, tgt)),
+        ["BroadcastHashJoin", "Generate", "HashAggregate"],
+    ))
+
+    al = dq.select(
+        F.concat(F.lit("t"), (F.col("doc_id") % 37).cast("string")).alias("href"),
+        F.substring("text", 1, 12).alias("text"))
+    at_plan = plan_of(anchor_texts(al))
+    n_ex_at = at_plan.count("+- Exchange") + at_plan.count(": Exchange")
+    sections.append((
+        f"Anchor texts (repartition(target) serves count + window — counted {n_ex_at} Exchange)",
+        at_plan, ["Window", "hashpartitioning(target"],
+    ))
+
+    imgs = dq.select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        (F.col("doc_id") % 37 * 53 + 24).cast("int").alias("w"),
+        (F.col("doc_id") % 29 * 67 + 24).cast("int").alias("h"))
+    cp_plan = plan_of(crop_plan(aspect_buckets(imgs)))
+    sections.append((
+        "Crop plan (integer geometry — pure codegen, zero Exchange)",
+        cp_plan, ["[codegen id", "ReadSchema"],
+    ))
+    if "Exchange" in cp_plan:
+        sections[-1] = (sections[-1][0] + " — FAIL: plan shuffles",
+                        cp_plan, sections[-1][2])
+
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)\n"]
     out.append(
         "Generated by tools/explain_audit.py. Verdict lines check the "
