@@ -1341,6 +1341,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "host", "crawl_delay", F.col("delay_budget").cast("int"))
     q["crawl_delay"] = q_crawl_delay
 
+    def q_dedup_lines_within(spark, sf):
+        # within-doc line dedup (RefinedWeb intra-doc removal) over the
+        # re-lined corpus — pure per-row array ops, zero shuffle
+        from crawl4ai_spark.operators.quality import dedup_lines_within
+
+        docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.regexp_replace(F.col("text"), r"(\S+\s+\S+)\s+", "$1\n").alias("text"),
+        )
+        return dedup_lines_within(docs).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "text_clean", "n_lines", "n_kept",
+        )
+    q["dedup_lines_within"] = q_dedup_lines_within
+
     return q
 
 
@@ -2453,6 +2468,22 @@ def oracle_sql() -> dict[str, str]:
                  THEN CAST(floor(60.0 / (doc_id % 5 + 2)) AS INTEGER)
                END AS delay_budget
         FROM documents
+    """
+
+    o["dedup_lines_within"] = f"""
+        WITH d AS (SELECT doc_id, {_relined} AS t2 FROM documents),
+        base AS (
+          SELECT doc_id,
+            list_transform(list_filter(string_split(t2, chr(10)),
+                                       l -> trim(l) <> ''), l -> trim(l)) AS lines
+          FROM d),
+        k AS (
+          SELECT doc_id, lines,
+            list_filter(lines, (x, i) -> list_position(lines, x) = i) AS kept
+          FROM base)
+        SELECT doc_id, array_to_string(kept, chr(10)) AS text_clean,
+               len(lines) AS n_lines, len(kept) AS n_kept
+        FROM k
     """
 
     return o

@@ -191,7 +191,10 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
     """
     text = F.col(text_col)
     words = _words(text)
-    lines = F.transform(_lines(text), F.trim)
+    # explicit single-arg lambda: F.trim grew an optional second parameter,
+    # and transform would otherwise bind it as an (element, index) callback
+    # — silently leaving lines UNtrimmed
+    lines = F.transform(_lines(text), lambda l: F.trim(l))
     n_lines = F.size(lines)
     l_or_1 = F.greatest(n_lines, F.lit(1)).cast("double")
     dlines = F.array_distinct(lines)
@@ -349,6 +352,26 @@ def dsir_weights(raw: DataFrame, target: DataFrame, id_col: str = "doc_id",
             F.coalesce("llr_micro", F.lit(0)).cast("long").alias("llr_micro"),
         )
     )
+
+
+def dedup_lines_within(docs: DataFrame, text_col: str = "text",
+                       out_col: str = "text_clean") -> DataFrame:
+    """Within-document line dedup (the RefinedWeb intra-doc repetition
+    REMOVAL, complementing ``repetition_signals`` which only measures it):
+    keep the FIRST occurrence of every trimmed line, drop later repeats,
+    re-join with newlines.  Blank lines are dropped.
+
+    Pure per-row Catalyst: a line survives iff its first index in the
+    line array is its own index (``array_position`` finds the first
+    match on both engines) — zero shuffle, codegen, no corpus state.
+    (The trim lambda is explicitly single-arg: ``F.trim`` grew an optional
+    second parameter, and transform would otherwise bind it as an
+    (element, index) callback.)"""
+    lines = F.transform(_lines(F.col(text_col)), lambda l: F.trim(l))
+    kept = F.filter(lines, lambda l, i: F.array_position(lines, l) - 1 == i)
+    return docs.withColumn(out_col, F.array_join(kept, "\n")).withColumn(
+        "n_lines", F.size(lines).cast("long")
+    ).withColumn("n_kept", F.size(kept).cast("long"))
 
 
 def line_dedup(docs: DataFrame, id_col: str = "doc_id",

@@ -194,3 +194,29 @@ def test_dsir_weights_match_independent_twin(spark):
     # target-like doc must outrank the off-target ones
     assert got[1][1] > got[0][1] and got[1][1] > got[2][1]
     assert got[3] == (0, 0)
+
+
+def test_dedup_lines_within(spark):
+    from crawl4ai_spark.operators.quality import dedup_lines_within
+
+    docs = spark.createDataFrame(
+        [(0, "a\nb\na\n\nc\nb\na"),    # repeats dropped, blanks dropped
+         (1, "only one line"),
+         (2, "x\n  x  \nx")],          # trimmed comparison: all same
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["text_clean"], r["n_lines"], r["n_kept"])
+           for r in dedup_lines_within(docs).collect()}
+    assert got[0] == ("a\nb\nc", 6, 3)
+    assert got[1] == ("only one line", 1, 1)
+    assert got[2] == ("x", 3, 1)
+
+
+def test_repetition_lines_are_trimmed(spark):
+    # regression: F.transform(…, F.trim) silently bound trim's optional
+    # 2nd param as the index and left lines untrimmed; '  a' and 'a'
+    # must count as duplicates
+    df = spark.createDataFrame([(0, "  alpha\nalpha \nbeta")],
+                               ["doc_id", "text"])
+    row = repetition_signals(df).collect()[0]
+    assert row["dup_line_frac"] == pytest.approx(round(1 / 3, 6))
