@@ -1356,6 +1356,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dedup_lines_within"] = q_dedup_lines_within
 
+    def q_sitemap_entries(spark, sf):
+        # sitemap.xml ingestion (urlset leaves + error isolation) over
+        # TEMPLATED documents; every 7th doc is malformed and must yield
+        # exactly one flagged row, never fail the stage
+        from crawl4ai_spark.sources.sitemap import sitemap_entries_stage
+
+        docs = _t(spark, sf, "documents")
+        day = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+        xml = F.when(
+            F.col("doc_id") % 7 == 3, F.lit("<<<not xml")
+        ).otherwise(F.concat(
+            F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                  "<url><loc>https://s"),
+            F.col("doc_id").cast("string"),
+            F.lit(".test/a</loc><lastmod>2024-01-"), day,
+            F.lit("</lastmod><priority>0."),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("</priority></url><url><loc>https://s"),
+            F.col("doc_id").cast("string"),
+            F.lit(".test/b</loc></url></urlset>"),
+        ))
+        src = docs.select(
+            F.concat(F.lit("https://s"), F.col("doc_id").cast("string"),
+                     F.lit(".test/sitemap.xml")).alias("sitemap_url"),
+            xml.alias("xml"),
+        )
+        return sitemap_entries_stage(src).select(
+            "sitemap_url", "kind", "loc", "lastmod", "priority",
+            F.col("error").isNotNull().alias("parse_error"),
+        )
+    q["sitemap_entries"] = q_sitemap_entries
+
+    def q_robots_sitemaps(spark, sf):
+        # Sitemap: directive discovery from per-host robots rules
+        from crawl4ai_spark.sources.sitemap import robots_sitemaps_stage
+
+        docs = _t(spark, sf, "documents")
+        rules = docs.select(
+            F.concat(F.lit("h"), F.col("doc_id").cast("string"),
+                     F.lit(".test")).alias("host"),
+            F.when(F.col("doc_id") % 3 == 0, F.concat(
+                F.lit("User-agent: *\nDisallow: /x/\nSitemap: https://h"),
+                F.col("doc_id").cast("string"),
+                F.lit(".test/sitemap.xml\nSitemap: https://h"),
+                F.col("doc_id").cast("string"),
+                F.lit(".test/news.xml\n"),
+            )).when(F.col("doc_id") % 3 == 1,
+                    F.lit("User-agent: *\nAllow: /\n"))
+             .alias("rules"),
+        )
+        return robots_sitemaps_stage(rules)
+    q["robots_sitemaps"] = q_robots_sitemaps
+
     return q
 
 
@@ -2484,6 +2537,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, array_to_string(kept, chr(10)) AS text_clean,
                len(lines) AS n_lines, len(kept) AS n_kept
         FROM k
+    """
+
+    o["sitemap_entries"] = """
+        WITH base AS (
+          SELECT doc_id,
+            'https://s' || CAST(doc_id AS VARCHAR) || '.test' AS site,
+            doc_id % 7 = 3 AS bad,
+            lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS day,
+            CAST(doc_id % 10 AS VARCHAR) AS pr
+          FROM documents)
+        SELECT site || '/sitemap.xml' AS sitemap_url, 'url' AS kind,
+               site || '/a' AS loc, '2024-01-' || day AS lastmod,
+               '0.' || pr AS priority, false AS parse_error
+        FROM base WHERE NOT bad
+        UNION ALL
+        SELECT site || '/sitemap.xml', 'url', site || '/b', NULL, NULL, false
+        FROM base WHERE NOT bad
+        UNION ALL
+        SELECT site || '/sitemap.xml', NULL, NULL, NULL, NULL, true
+        FROM base WHERE bad
+    """
+
+    o["robots_sitemaps"] = """
+        WITH h AS (SELECT 'h' || CAST(doc_id AS VARCHAR) || '.test' AS host
+                   FROM documents WHERE doc_id % 3 = 0)
+        SELECT host, 'https://' || host || '/sitemap.xml' AS sitemap_url FROM h
+        UNION ALL
+        SELECT host, 'https://' || host || '/news.xml' FROM h
     """
 
     return o
