@@ -1409,7 +1409,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return robots_sitemaps_stage(rules)
     q["robots_sitemaps"] = q_robots_sitemaps
 
-    return q
+    # ----------------------------------------------------------------------
+    # Registration-order rotation: the driver's correctness gate checks the
+    # FIRST 50 registered probes (CORRECTNESS_r03 covered exactly the first
+    # 50 of 78).  Round 3 appended its new tier at the end, so those 28
+    # probes never earned a driver row.  Promote every never-driver-checked
+    # probe (plus this round's new ones) to the head of the dict; the
+    # remaining slots re-confirm round-3-green probes in original order.
+    _priority = [
+        # round-3 suffix, never driver-checked in r01-r03
+        "image_decode", "image_features", "phash_neardup",
+        "image_dedup_clusters", "caption_dedup", "image_curation",
+        "image_buckets", "crop_plan", "image_joint_neardup",
+        "pdf_extract", "warc_ingest", "warc_scrape",
+        "llm_extract", "llm_filter", "fleet_identity",
+        "gopher_quality", "repetition_signals", "decontaminate",
+        "line_dedup", "pagerank", "authority_join", "anchor_texts",
+        "dsir_weights", "optimize_html", "crawl_delay",
+        "dedup_lines_within", "sitemap_entries", "robots_sitemaps",
+        # round-4 additions (registered below if present)
+        "ssl_certificates", "google_serp_extract", "amazon_product_extract",
+        "dfs_batched_crawl", "xpath_positional",
+    ]
+    ordered = {k: q[k] for k in _priority if k in q}
+    ordered.update((k, v) for k, v in q.items() if k not in ordered)
+    return ordered
 
 
 # --------------------------------------------------------------------------
@@ -2026,63 +2050,52 @@ def oracle_sql() -> dict[str, str]:
     # xxh64 and shared pure-numpy codecs.  Regenerate for the gate's sf here
     # (the driver compares at sf0.01); the queries() callables regenerate
     # for their own sf before each DuckDB read.
+    # sf-independent expected tables (synth graph / image fixtures — no
+    # testdata parquet involved); generated here because they're cheap and
+    # machine-independent.  All sf-DEPENDENT expected tables are generated
+    # LAZILY by the queries() callables for whatever sf the gate actually
+    # runs (the gate runs the Spark query, then the oracle SQL, per query),
+    # under sf-tagged parquet paths — a machine with only sf0.001 works, and
+    # two sfs in one process never clobber each other's parquet.
     oracle_expected.ensure_crawl_expected()
     oracle_expected.ensure_image_expected(n_pages=200)
     oracle_expected.ensure_images_input(n_pages=280)
-    # Best-effort warm-up only: the queries() callables regenerate for the
-    # sf actually under test before each DuckDB read (and the memo in
-    # oracle/expected.py regenerates on any param/sf change), so a machine
-    # without the driver's default sf must not crash here.
-    _gate_sf = next(
+    _gate_sf = os.environ.get("SPARK_GRAFT_GATE_SF_DIR") or next(
         (d for d in ("/root/testdata/sf0.01", "/root/testdata/sf0.001",
                      "/root/testdata/sf0.1") if os.path.isdir(d)),
-        None,
+        "/root/testdata/sf0.01",
     )
-    if _gate_sf is not None:
-        oracle_expected.ensure_topic_expected(_gate_sf, w=20, k=4)
-        oracle_expected.ensure_minhash_expected(_gate_sf)
-        oracle_expected.ensure_simhash_expected(_gate_sf)
-        oracle_expected.ensure_lsh_ann_expected(
-            _gate_sf, np.array([_ANN_QUERY, [-x for x in _ANN_QUERY]]),
-            k=10, n_planes=8,
-        )
-        oracle_expected.ensure_ivf_ann_expected(
-            _gate_sf, np.array([_ANN_QUERY, [-x for x in _ANN_QUERY]]),
-            k=10, n_centroids=16, nprobe=4, iters=3,
-        )
-        oracle_expected.ensure_neardup_expected(_gate_sf)
-        oracle_expected.ensure_cosine_expected(_gate_sf)
-        oracle_expected.ensure_rules_expected(_gate_sf)
 
-    def _exp(name: str) -> str:
-        return oracle_expected.expected_path(name)
+    def _exp(name: str, sf_dependent: bool = False) -> str:
+        return oracle_expected.expected_path(
+            name, _gate_sf if sf_dependent else None)
 
     o["chunk_topic"] = (
-        f"SELECT doc_id, chunk_idx, chunk FROM read_parquet('{_exp('chunk_topic')}')"
+        f"SELECT doc_id, chunk_idx, chunk FROM read_parquet('{_exp('chunk_topic', True)}')"
     )
     o["cosine_extract"] = (
         "SELECT doc_id, cluster_idx, content "
-        f"FROM read_parquet('{_exp('cosine_extract')}')"
+        f"FROM read_parquet('{_exp('cosine_extract', True)}')"
     )
     o["rules_extract"] = (
         "SELECT url, rank, rtype, value, raw_match, confidence, "
         "verification_score, verified, context, span_start, span_end, extra "
-        f"FROM read_parquet('{_exp('rules_extract')}')"
+        f"FROM read_parquet('{_exp('rules_extract', True)}')"
     )
     o["minhash_lsh"] = (
-        f"SELECT id_a, id_b, est_jaccard FROM read_parquet('{_exp('minhash_lsh')}')"
+        f"SELECT id_a, id_b, est_jaccard FROM read_parquet('{_exp('minhash_lsh', True)}')"
     )
     o["simhash_pairs"] = (
-        f"SELECT id_a, id_b, hamming FROM read_parquet('{_exp('simhash_pairs')}')"
+        f"SELECT id_a, id_b, hamming FROM read_parquet('{_exp('simhash_pairs', True)}')"
     )
     o["lsh_ann"] = (
-        f"SELECT query_id, vec_id, cosine, rank FROM read_parquet('{_exp('lsh_ann')}')"
+        f"SELECT query_id, vec_id, cosine, rank FROM read_parquet('{_exp('lsh_ann', True)}')"
     )
     o["ivf_ann"] = (
-        f"SELECT query_id, vec_id, cosine, rank FROM read_parquet('{_exp('ivf_ann')}')"
+        f"SELECT query_id, vec_id, cosine, rank FROM read_parquet('{_exp('ivf_ann', True)}')"
     )
     o["embedding_neardup"] = (
-        f"SELECT id_a, id_b, cosine FROM read_parquet('{_exp('embedding_neardup')}')"
+        f"SELECT id_a, id_b, cosine FROM read_parquet('{_exp('embedding_neardup', True)}')"
     )
     o["bfs_crawl"] = (
         "SELECT superstep, seq, url, depth, parent, score, success, status_code "
@@ -2217,15 +2230,15 @@ def oracle_sql() -> dict[str, str]:
 
     o["pack_sequences"] = (
         "SELECT doc_id, shard, seq_id, seq_off, n_tokens "
-        f"FROM read_parquet('{_exp('pack_sequences')}')"
+        f"FROM read_parquet('{_exp('pack_sequences', True)}')"
     )
 
     o["llm_extract"] = (
         "SELECT url, section_idx, block_idx, tags, content, error "
-        f"FROM read_parquet('{_exp('llm_extract')}')"
+        f"FROM read_parquet('{_exp('llm_extract', True)}')"
     )
     o["llm_filter"] = (
-        f"SELECT url, section_idx, markdown FROM read_parquet('{_exp('llm_filter')}')"
+        f"SELECT url, section_idx, markdown FROM read_parquet('{_exp('llm_filter', True)}')"
     )
     o["warc_scrape"] = """
         SELECT 'https://w' || CAST(doc_id % 7 AS VARCHAR) || '.test/doc/'
@@ -2240,12 +2253,12 @@ def oracle_sql() -> dict[str, str]:
     o["warc_ingest"] = (
         "SELECT file_id, record_idx, warc_type, target_uri, warc_date, "
         "http_status, content_type, body "
-        f"FROM read_parquet('{_exp('warc_ingest')}')"
+        f"FROM read_parquet('{_exp('warc_ingest', True)}')"
     )
     o["pdf_extract"] = (
         "SELECT doc_id, page_number, raw_text, links, title, author, "
         "created, n_pages, encrypted, file_size "
-        f"FROM read_parquet('{_exp('pdf_extract')}')"
+        f"FROM read_parquet('{_exp('pdf_extract', True)}')"
     )
 
     # fleet identity: the DuckDB expressions are generated from the same

@@ -11,8 +11,9 @@ Spark — by the same oracle twins that back the pytest parity suite:
     (bfs_strategy.py:141-187, bff_strategy.py:127-199) verbatim over the
     deterministic synth graph;
   - dedup/ANN probes: the signature/bucket recipes recomputed sequentially
-    with the driver-side xxh64 (bit-identical to Spark's ``F.xxhash64``,
-    tests/test_hashing.py) — this checks that the DISTRIBUTED pipeline
+    with the INLINE ``_xxh64_twin`` below (an independent spec
+    implementation, cross-checked bit-for-bit against the JVM's xxhash64
+    in tests/test_hashing.py) — this checks that the DISTRIBUTED pipeline
     (Catalyst shingle hashing, Arrow folds, banded joins) reproduces the
     sequential computation exactly;
   - image probes: per-row truth from the synth generator (meta) and the
@@ -37,11 +38,12 @@ import pandas as pd
 
 EXPECTED_DIR = "/root/repo/.oracle_expected"
 
-# Regeneration memo: generator-name -> the exact param key last WRITTEN.
-# Keyed by value (not membership) so a process that gates more than one sf
-# regenerates when the params change instead of serving the first sf's
-# parquet to the second (every sf shares EXPECTED_DIR/<name>.parquet).
-_done: dict[str, tuple] = {}
+# Regeneration memo: set of exact param keys already WRITTEN.  Since round 4
+# every sf-dependent expected table embeds its sf tag in the parquet path
+# (``<EXPECTED_DIR>/<sf_tag>__<name>.parquet``), so distinct sfs never share
+# a file and plain membership is sufficient — a process that gates two sfs
+# writes two files and serves each from its own path.
+_done: set[tuple] = set()
 
 
 def spark_round(x: float, nd: int) -> float:
@@ -50,15 +52,82 @@ def spark_round(x: float, nd: int) -> float:
         Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP))
 
 
-def _write(name: str, pdf: pd.DataFrame) -> str:
+def _sf_tag(sf_dir: str | None) -> str:
+    """'sf0.01__' for /root/testdata/sf0.01, '' for sf-independent tables."""
+    if sf_dir is None:
+        return ""
+    return os.path.basename(os.path.normpath(sf_dir)) + "__"
+
+
+def _write(name: str, pdf: pd.DataFrame, sf_dir: str | None = None) -> str:
     os.makedirs(EXPECTED_DIR, exist_ok=True)
-    path = f"{EXPECTED_DIR}/{name}.parquet"
+    path = f"{EXPECTED_DIR}/{_sf_tag(sf_dir)}{name}.parquet"
     pdf.to_parquet(path, index=False)
     return path
 
 
-def expected_path(name: str) -> str:
-    return f"{EXPECTED_DIR}/{name}.parquet"
+def expected_path(name: str, sf_dir: str | None = None) -> str:
+    return f"{EXPECTED_DIR}/{_sf_tag(sf_dir)}{name}.parquet"
+
+
+# ----------------------------------------------------------------- xxh64
+# VERIFICATION-INDEPENDENT twin of XXH64 (public spec, seed 42 = Spark's
+# F.xxhash64 default).  Deliberately NOT imported from ..hashing: an engine
+# bug there must show up as a gate mismatch, not be reproduced here.  The
+# twin itself is cross-checked bit-for-bit against the JVM's xxhash64 in
+# tests/test_hashing.py.
+
+_XP = (0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+       0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5)
+_M64 = (1 << 64) - 1
+
+
+def _xx_rot(v: int, r: int) -> int:
+    return ((v << r) & _M64) | (v >> (64 - r))
+
+
+def _xxh64_twin(data: bytes, seed: int = 42) -> int:
+    """XXH64 per the published algorithm description (xxhash spec v0.8)."""
+    import struct
+
+    n = len(data)
+    pos = 0
+    if n >= 32:
+        acc = [(seed + _XP[0] + _XP[1]) & _M64, (seed + _XP[1]) & _M64,
+               seed, (seed - _XP[0]) & _M64]
+        while pos + 32 <= n:
+            lanes = struct.unpack_from("<4Q", data, pos)
+            for i in range(4):
+                acc[i] = (_xx_rot((acc[i] + lanes[i] * _XP[1]) & _M64, 31)
+                          * _XP[0]) & _M64
+            pos += 32
+        h = (_xx_rot(acc[0], 1) + _xx_rot(acc[1], 7) + _xx_rot(acc[2], 12)
+             + _xx_rot(acc[3], 18)) & _M64
+        for a in acc:
+            h ^= (_xx_rot((a * _XP[1]) & _M64, 31) * _XP[0]) & _M64
+            h = (h * _XP[0] + _XP[3]) & _M64
+    else:
+        h = (seed + _XP[4]) & _M64
+    h = (h + n) & _M64
+    while pos + 8 <= n:
+        (lane,) = struct.unpack_from("<Q", data, pos)
+        h ^= (_xx_rot((lane * _XP[1]) & _M64, 31) * _XP[0]) & _M64
+        h = ((_xx_rot(h, 27) * _XP[0]) + _XP[3]) & _M64
+        pos += 8
+    if pos + 4 <= n:
+        (lane,) = struct.unpack_from("<I", data, pos)
+        h ^= (lane * _XP[0]) & _M64
+        h = ((_xx_rot(h, 23) * _XP[1]) + _XP[2]) & _M64
+        pos += 4
+    for byte in data[pos:]:
+        h ^= (byte * _XP[4]) & _M64
+        h = (_xx_rot(h, 11) * _XP[0]) & _M64
+    h ^= h >> 33
+    h = (h * _XP[1]) & _M64
+    h ^= h >> 29
+    h = (h * _XP[2]) & _M64
+    h ^= h >> 32
+    return h
 
 
 # ---------------------------------------------------------------- crawls
@@ -73,7 +142,7 @@ def ensure_crawl_expected() -> None:
     """bfs_crawl / best_first_crawl / robots_politeness_crawl /
     backoff_crawl expected tables from the in-memory oracle crawlers."""
     key = ("crawls",)
-    if _done.get("crawls") == key:
+    if key in _done:
         return
     from ..functions.filters import FilterSpec
     from ..functions.scorers import ScorerSpec
@@ -169,7 +238,7 @@ def ensure_crawl_expected() -> None:
           "status_code": r["status_code"], "attempt": r["attempt"]}
          for r in res]
     ))
-    _done["crawls"] = key
+    _done.add(key)
 
 
 # ------------------------------------------------------- dedup (documents)
@@ -180,11 +249,10 @@ def ensure_crawl_expected() -> None:
 # resize are re-derived here from their published specs, so an engine bug
 # in operators/dedup.py, similarity.py, chunking.py or multimodal.py shows
 # up as a gate mismatch instead of being reproduced on both sides.  The
-# shared pieces are the hash primitive (hashing.xxh64, verified
-# bit-identical to Spark's F.xxhash64 against the JVM in
-# tests/test_hashing.py), the input generator (sources/synth — both sides
-# must read the same data) and the codec spec (codecs.py — the format
-# definition itself).
+# shared pieces are limited to the input generator (sources/synth — both
+# sides must read the same data) and the codec spec (codecs.py — the format
+# definition itself); the hash primitive is the inline _xxh64_twin above
+# (NOT hashing.xxh64), so even a hashing-module bug surfaces as a mismatch.
 
 _MINHASH_PRIME = (1 << 61) - 1  # 2^61-1, the classic MinHash modulus
 
@@ -214,8 +282,6 @@ def _tokens(text: str) -> list[str]:
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
     """Twin of dedup._shingle_hash_col: k-gram concat → xxh64 & 2^63-1,
     distinct (first-occurrence order irrelevant for min/sets)."""
-    from ..hashing import xxh64
-
     toks = _tokens(text or "")
     if len(toks) < k:
         grams = [" ".join(toks)]
@@ -223,7 +289,7 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
         grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
     seen, out = set(), []
     for g in grams:
-        h = xxh64(g.encode()) & 0x7FFFFFFFFFFFFFFF
+        h = _xxh64_twin(g.encode()) & 0x7FFFFFFFFFFFFFFF
         if h not in seen:
             seen.add(h)
             out.append(h)
@@ -233,9 +299,8 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 def ensure_minhash_expected(sf_dir: str, n_hashes=64, bands=16, shingle_k=3,
                             threshold=0.5, seed=42) -> None:
     key = ("minhash", sf_dir, n_hashes, bands, shingle_k, threshold, seed)
-    if _done.get("minhash") == key:
+    if key in _done:
         return
-    from ..hashing import xxh64
 
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
@@ -252,7 +317,7 @@ def ensure_minhash_expected(sf_dir: str, n_hashes=64, bands=16, shingle_k=3,
     for did, sig in sigs.items():
         for bi in range(bands):
             chunk = sig[bi * rows_per_band:(bi + 1) * rows_per_band]
-            bucket = xxh64(",".join(str(int(v)) for v in chunk).encode())
+            bucket = _xxh64_twin(",".join(str(int(v)) for v in chunk).encode())
             bucket = bucket - (1 << 64) if bucket >= (1 << 63) else bucket
             buckets.setdefault((bi, bucket), []).append(did)
     pairs = set()
@@ -267,15 +332,14 @@ def ensure_minhash_expected(sf_dir: str, n_hashes=64, bands=16, shingle_k=3,
         if est >= threshold:
             out.append({"id_a": ia, "id_b": ib, "est_jaccard": est})
     _write("minhash_lsh", pd.DataFrame(out, columns=["id_a", "id_b",
-                                                     "est_jaccard"]))
-    _done["minhash"] = key
+                                                     "est_jaccard"]), sf_dir)
+    _done.add(key)
 
 
 def ensure_simhash_expected(sf_dir: str, max_hamming=3) -> None:
     key = ("simhash", sf_dir, max_hamming)
-    if _done.get("simhash") == key:
+    if key in _done:
         return
-    from ..hashing import xxh64
 
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
@@ -284,7 +348,7 @@ def ensure_simhash_expected(sf_dir: str, max_hamming=3) -> None:
         toks = list(dict.fromkeys(_tokens(r.text or "")))
         acc = np.zeros(64, dtype=np.int64)
         for t in toks:
-            h = xxh64(t.encode())
+            h = _xxh64_twin(t.encode())
             bits = (h >> np.arange(64, dtype=np.uint64)) & 1
             acc += 2 * bits.astype(np.int64) - 1
         val = int(((np.uint64(1) << np.arange(64, dtype=np.uint64))[acc > 0]).sum(
@@ -309,14 +373,14 @@ def ensure_simhash_expected(sf_dir: str, max_hamming=3) -> None:
         if ham <= max_hamming:
             out.append({"id_a": ia, "id_b": ib, "hamming": ham})
     _write("simhash_pairs", pd.DataFrame(out, columns=["id_a", "id_b",
-                                                       "hamming"]))
-    _done["simhash"] = key
+                                                       "hamming"]), sf_dir)
+    _done.add(key)
 
 
 def ensure_lsh_ann_expected(sf_dir: str, queries: np.ndarray, k=10,
                             n_planes=8, seed=42) -> None:
     key = ("lsh_ann", sf_dir, queries.tobytes(), k, n_planes, seed)
-    if _done.get("lsh_ann") == key:
+    if key in _done:
         return
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
@@ -339,8 +403,8 @@ def ensure_lsh_ann_expected(sf_dir: str, queries: np.ndarray, k=10,
             out.append({"query_id": qi, "vec_id": int(vid),
                         "cosine": spark_round(float(c), 4), "rank": rank})
     _write("lsh_ann", pd.DataFrame(out, columns=["query_id", "vec_id",
-                                                 "cosine", "rank"]))
-    _done["lsh_ann"] = key
+                                                 "cosine", "rank"]), sf_dir)
+    _done.add(key)
 
 
 
@@ -350,7 +414,7 @@ def ensure_ivf_ann_expected(sf_dir: str, queries: np.ndarray, k=10,
     updates are fixed-point int64 (scale 2^20) floor-division, matching the
     engine's order-independent distributed sums bit-for-bit."""
     key = ("ivf_ann", sf_dir, queries.tobytes(), k, n_centroids, nprobe, iters)
-    if _done.get("ivf_ann") == key:
+    if key in _done:
         return
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
@@ -384,8 +448,8 @@ def ensure_ivf_ann_expected(sf_dir: str, queries: np.ndarray, k=10,
             out.append({"query_id": qi, "vec_id": int(vid),
                         "cosine": spark_round(float(c), 4), "rank": rank})
     _write("ivf_ann", pd.DataFrame(out, columns=["query_id", "vec_id",
-                                                 "cosine", "rank"]))
-    _done["ivf_ann"] = key
+                                                 "cosine", "rank"]), sf_dir)
+    _done.add(key)
 
 
 def ensure_neardup_expected(sf_dir: str, threshold=0.9, bands=4, band_bits=8,
@@ -394,7 +458,7 @@ def ensure_neardup_expected(sf_dir: str, threshold=0.9, bands=4, band_bits=8,
     sequentially over embeddings ∪ (+0.05 perturbed copies).  The cosine
     twin folds left-to-right exactly like Spark's F.aggregate."""
     key = ("neardup", sf_dir, threshold, bands, band_bits, seed)
-    if _done.get("neardup") == key:
+    if key in _done:
         return
     import math
 
@@ -441,8 +505,8 @@ def ensure_neardup_expected(sf_dir: str, threshold=0.9, bands=4, band_bits=8,
             out.append({"id_a": int(ids[a]), "id_b": int(ids[b]),
                         "cosine": spark_round(c, 6)})
     _write("embedding_neardup", pd.DataFrame(out, columns=["id_a", "id_b",
-                                                           "cosine"]))
-    _done["neardup"] = key
+                                                           "cosine"]), sf_dir)
+    _done.add(key)
 
 
 def _texttile_chunks(text: str, w: int, k: int) -> list[str]:
@@ -505,7 +569,7 @@ def ensure_topic_expected(sf_dir: str, w=20, k=4) -> None:
     sequentially from the published algorithm (independent of the engine's
     operators/chunking.py implementation)."""
     key = ("topic", sf_dir, w, k)
-    if _done.get("topic") == key:
+    if key in _done:
         return
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
@@ -515,8 +579,8 @@ def ensure_topic_expected(sf_dir: str, w=20, k=4) -> None:
             rows.append({"doc_id": int(r.doc_id), "chunk_idx": i,
                          "chunk": seg})
     _write("chunk_topic", pd.DataFrame(rows, columns=["doc_id", "chunk_idx",
-                                                      "chunk"]))
-    _done["topic"] = key
+                                                      "chunk"]), sf_dir)
+    _done.add(key)
 
 
 def _cosine_twin_clusters(texts: list[str], emb: np.ndarray, qvec,
@@ -619,15 +683,13 @@ def ensure_cosine_expected(sf_dir: str, chunk_size=20, dim=6, max_dist=1.0,
     embedding component c = xxh64('emb|c|text')/2^63 - 1)."""
     key = ("cosine", sf_dir, chunk_size, dim, max_dist, query,
            sim_threshold, word_count_threshold)
-    if _done.get("cosine") == key:
+    if key in _done:
         return
     import re
 
-    from ..hashing import xxh64
-
     def embed(text: str) -> np.ndarray:
         return np.array(
-            [xxh64(f"emb|{c}|{text}".encode()) / 2.0**63 - 1.0
+            [_xxh64_twin(f"emb|{c}|{text}".encode()) / 2.0**63 - 1.0
              for c in range(dim)],
             dtype=np.float64,
         )
@@ -650,8 +712,8 @@ def ensure_cosine_expected(sf_dir: str, chunk_size=20, dim=6, max_dist=1.0,
                          "content": content})
     _write("cosine_extract", pd.DataFrame(
         rows, columns=["doc_id", "cluster_idx", "content"]
-    ))
-    _done["cosine"] = key
+    ), sf_dir)
+    _done.add(key)
 
 
 # ----------------------------------------------------------------- images
@@ -661,7 +723,7 @@ def ensure_image_expected(n_pages=200, grid=4) -> None:
     restore dims and the pixel/PSNR/phash invariants for EVERY row);
     image_features: encode→decode→grid-means recomputed sequentially."""
     key = ("images", n_pages, grid)
-    if _done.get("images") == key:
+    if key in _done:
         return
     from .. import codecs
     from ..sources import synth
@@ -690,7 +752,7 @@ def ensure_image_expected(n_pages=200, grid=4) -> None:
                           "n_features": grid * grid * 3})
     _write("image_decode", pd.DataFrame(dec_rows))
     _write("image_features", pd.DataFrame(feat_rows))
-    _done["images"] = key
+    _done.add(key)
 
 
 # ------------------------------------------------------------------ rules
@@ -810,7 +872,7 @@ def ensure_rules_expected(sf_dir: str, threshold: float = 0.6) -> None:
     document (same construction rule as the Spark probe) through the
     sequential twin."""
     key = ("rules", sf_dir, threshold)
-    if _done.get("rules") == key:
+    if key in _done:
         return
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "lang"])
@@ -829,8 +891,8 @@ def ensure_rules_expected(sf_dir: str, threshold: float = 0.6) -> None:
         rows, columns=["url", "rank", "rtype", "value", "raw_match",
                        "confidence", "verification_score", "verified",
                        "context", "span_start", "span_end", "extra"],
-    ))
-    _done["rules"] = key
+    ), sf_dir)
+    _done.add(key)
 
 
 def ensure_phash_expected(n_pages: int = 280, max_hamming: int = 4) -> None:
@@ -839,7 +901,7 @@ def ensure_phash_expected(n_pages: int = 280, max_hamming: int = 4) -> None:
     blocking join (operators/dedup.py hamming_pairs); any blocking bug
     (missed chunk, wrong mask width) diverges from this exhaustive twin."""
     key = ("phash", n_pages, max_hamming)
-    if _done.get("phash") == key:
+    if key in _done:
         return
     from ..sources import synth
 
@@ -879,7 +941,7 @@ def ensure_phash_expected(n_pages: int = 280, max_hamming: int = 4) -> None:
         [{"image_id": i, "component": find(i), "canonical": find(i) == i}
          for i in ids],
         columns=["image_id", "component", "canonical"]))
-    _done["phash"] = key
+    _done.add(key)
 
 
 def ensure_images_input(n_pages: int = 280) -> None:
@@ -890,7 +952,7 @@ def ensure_images_input(n_pages: int = 280) -> None:
     scratch in DuckDB, so the probes stay independent of the engine's
     operators."""
     key = ("images_input", n_pages)
-    if _done.get("images_input") == key:
+    if key in _done:
         return
     from ..sources import synth
 
@@ -910,7 +972,7 @@ def ensure_images_input(n_pages: int = 280) -> None:
     _write("images_input", pd.DataFrame(
         rows, columns=["image_id", "w", "h", "fmt", "caption", "phash"]).astype(
         {"phash": "int64", "w": "int32", "h": "int32"}))
-    _done["images_input"] = key
+    _done.add(key)
 
 
 # ------------------------------------------------------------------- llm
@@ -990,7 +1052,7 @@ def ensure_llm_expected(sf_dir: str, threshold: int = 64,
     constructed directly from the fakes' intent (the engine must arrive at
     the same rows through its own merge → prompt → parse → explode)."""
     key = ("llm", sf_dir, threshold, overlap_rate, word_token_rate)
-    if _done.get("llm") == key:
+    if key in _done:
         return
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
@@ -1021,11 +1083,11 @@ def ensure_llm_expected(sf_dir: str, threshold: int = 64,
     _write("llm_extract", pd.DataFrame(
         ex_rows, columns=["url", "section_idx", "block_idx", "tags",
                           "content", "error"]).astype(
-        {"section_idx": "int64", "block_idx": "int64"}))
+        {"section_idx": "int64", "block_idx": "int64"}), sf_dir)
     _write("llm_filter", pd.DataFrame(
         fl_rows, columns=["url", "section_idx", "markdown"]).astype(
-        {"section_idx": "int64"}))
-    _done["llm"] = key
+        {"section_idx": "int64"}), sf_dir)
+    _done.add(key)
 
 
 # ------------------------------------------------------------------- pdf
@@ -1036,7 +1098,7 @@ def ensure_pdf_expected(sf_dir: str) -> None:
     metadata recipes), never from operators/pdf.py: text in == text out.
     Only file_size touches the built artifact (len of the bytes)."""
     key = ("pdf", sf_dir)
-    if _done.get("pdf") == key:
+    if key in _done:
         return
     from ..sources import pdfsynth
 
@@ -1063,8 +1125,8 @@ def ensure_pdf_expected(sf_dir: str) -> None:
         rows, columns=["doc_id", "page_number", "raw_text", "links",
                        "title", "author", "created", "n_pages",
                        "encrypted", "file_size"]).astype(
-        {"page_number": "int64", "n_pages": "int64", "file_size": "int64"}))
-    _done["pdf"] = key
+        {"page_number": "int64", "n_pages": "int64", "file_size": "int64"}), sf_dir)
+    _done.add(key)
 
 
 def ensure_pack_sequences_expected(sf_dir: str, budget: int = 120,
@@ -1078,7 +1140,7 @@ def ensure_pack_sequences_expected(sf_dir: str, budget: int = 120,
     import re
 
     key = ("pack_sequences", sf_dir, budget, seed, n_shards)
-    if _done.get("pack_sequences") == key:
+    if key in _done:
         return
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
@@ -1107,8 +1169,8 @@ def ensure_pack_sequences_expected(sf_dir: str, budget: int = 120,
     _write("pack_sequences", pd.DataFrame(
         out, columns=["doc_id", "shard", "seq_id", "seq_off", "n_tokens"]
     ).astype({"doc_id": "int64", "shard": "int32", "seq_id": "int64",
-              "seq_off": "int64", "n_tokens": "int64"}))
-    _done["pack_sequences"] = key
+              "seq_off": "int64", "n_tokens": "int64"}), sf_dir)
+    _done.add(key)
 
 
 def ensure_warc_expected(sf_dir: str) -> None:
@@ -1117,7 +1179,7 @@ def ensure_warc_expected(sf_dir: str) -> None:
     date / status / body as pure functions of (doc_id, text)), never from
     the parser (sources/warc.py): fields in == fields out."""
     key = ("warc", sf_dir)
-    if _done.get("warc") == key:
+    if key in _done:
         return
     from ..sources import warcsynth
 
@@ -1145,5 +1207,5 @@ def ensure_warc_expected(sf_dir: str) -> None:
         rows, columns=["file_id", "record_idx", "warc_type", "target_uri",
                        "warc_date", "http_status", "content_type", "body"]
     ).astype({"file_id": "int64", "record_idx": "int32",
-              "http_status": "int32"}))
-    _done["warc"] = key
+              "http_status": "int32"}), sf_dir)
+    _done.add(key)

@@ -28,3 +28,16 @@ def test_xxh64_binary_matches_spark(spark):
     df = spark.createDataFrame([(d,) for d in data], "b binary")
     got = [r["h"] for r in df.select(F.xxhash64("b").alias("h")).collect()]
     assert got == [xxh64_signed(d) for d in data]
+
+
+def test_oracle_xxh64_twin_matches_spark(spark):
+    """The VERIFICATION-INDEPENDENT twin in oracle/expected.py must agree
+    with the JVM bit-for-bit (it shares no code with hashing.py)."""
+    from crawl4ai_spark.oracle.expected import _xxh64_twin
+
+    df = spark.createDataFrame([(u,) for u in URLS], ["s"])
+    got = {r["s"]: r["h"] for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+    for u in URLS:
+        signed = _xxh64_twin(u.encode())
+        signed = signed - (1 << 64) if signed >= (1 << 63) else signed
+        assert got[u] == signed, f"twin mismatch for {u!r}"
