@@ -1409,6 +1409,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return robots_sitemaps_stage(rules)
     q["robots_sitemaps"] = q_robots_sitemaps
 
+    def q_ssl_certificates(spark, sf):
+        # SSL tier (reference ssl_certificate.py:30-184, models.py:159):
+        # synthesize a real DER certificate per host (sources/sslsynth.py),
+        # parse it back with the from-scratch ASN.1 reader in one Arrow
+        # pass over the HOST dimension; expected table from the BUILDER
+        # RECIPE (cert_fields), parser never consulted
+        from crawl4ai_spark.operators.sslcert import ssl_certificate_stage
+        from crawl4ai_spark.sources.sslsynth import host_certs_df
+
+        oracle_expected.ensure_ssl_expected(sf)
+        hosts = _t(spark, sf, "documents").select(
+            F.concat(F.lit("d"), (F.col("doc_id") % 60).cast("string"),
+                     F.lit(".corpus.test")).alias("host")
+        ).distinct()
+        out = ssl_certificate_stage(host_certs_df(hosts))
+        return out.select(
+            "host", "ssl_version", "ssl_serial", "ssl_not_before",
+            "ssl_not_after", "ssl_subject_cn", "ssl_issuer_cn",
+            "ssl_sig_alg", "ssl_fingerprint",
+            F.array_join("ssl_san", ",").alias("ssl_san"), "ssl_pem",
+        )
+    q["ssl_certificates"] = q_ssl_certificates
+
     # ----------------------------------------------------------------------
     # Registration-order rotation: the driver's correctness gate checks the
     # FIRST 50 registered probes (CORRECTNESS_r03 covered exactly the first
@@ -2259,6 +2282,12 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, page_number, raw_text, links, title, author, "
         "created, n_pages, encrypted, file_size "
         f"FROM read_parquet('{_exp('pdf_extract', True)}')"
+    )
+    o["ssl_certificates"] = (
+        "SELECT host, ssl_version, ssl_serial, ssl_not_before, "
+        "ssl_not_after, ssl_subject_cn, ssl_issuer_cn, ssl_sig_alg, "
+        "ssl_fingerprint, ssl_san, ssl_pem "
+        f"FROM read_parquet('{_exp('ssl_certificates', True)}')"
     )
 
     # fleet identity: the DuckDB expressions are generated from the same

@@ -1209,3 +1209,51 @@ def ensure_warc_expected(sf_dir: str) -> None:
     ).astype({"file_id": "int64", "record_idx": "int32",
               "http_status": "int32"}), sf_dir)
     _done.add(key)
+
+
+def ensure_ssl_expected(sf_dir: str, n_hosts: int = 60) -> None:
+    """ssl_certificates probe: the expected table is reconstructed from
+    the BUILDER RECIPE (sources/sslsynth.py cert_fields — every field a
+    pure function of the host) plus the raw built DER (fingerprint =
+    sha256 of the bytes, PEM = wrapped base64 — both computed inline
+    here), never from the engine's ASN.1 parser (operators/sslcert.py):
+    fields in == fields out."""
+    key = ("ssl", sf_dir, n_hosts)
+    if key in _done:
+        return
+    import base64
+    import hashlib
+
+    from ..sources.sslsynth import build_cert_der, cert_fields
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    hosts = sorted({f"d{int(d) % n_hosts}.corpus.test"
+                    for d in docs["doc_id"]})
+    rows = []
+    for h in hosts:
+        f = cert_fields(h)
+        der = build_cert_der(h)
+        b64 = base64.b64encode(der).decode()
+        pem = ("-----BEGIN CERTIFICATE-----\n"
+               + "\n".join(b64[i:i + 64] for i in range(0, len(b64), 64))
+               + "\n-----END CERTIFICATE-----\n")
+        rows.append({
+            "host": h, "ssl_version": f["version"],
+            "ssl_serial": f["serial_number"],
+            "ssl_not_before": f["not_before"],
+            "ssl_not_after": f["not_after"],
+            "ssl_subject_cn": f["subject_cn"],
+            "ssl_issuer_cn": f["issuer_cn"],
+            "ssl_sig_alg": f["signature_algorithm"],
+            "ssl_fingerprint": hashlib.sha256(der).hexdigest(),
+            "ssl_san": ",".join(f["san"]),
+            "ssl_pem": pem,
+        })
+    _write("ssl_certificates", pd.DataFrame(
+        rows, columns=["host", "ssl_version", "ssl_serial",
+                       "ssl_not_before", "ssl_not_after", "ssl_subject_cn",
+                       "ssl_issuer_cn", "ssl_sig_alg", "ssl_fingerprint",
+                       "ssl_san", "ssl_pem"]).astype(
+        {"ssl_version": "int32"}), sf_dir)
+    _done.add(key)

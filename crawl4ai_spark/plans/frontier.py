@@ -122,6 +122,13 @@ class CrawlConfig:
     # when True each discovery also logs candidate/passed/skipped counts
     # (one extra agg per superstep — opt-in, off the hot path by default).
     collect_filter_stats: bool = False
+    # CrawlResult.ssl_certificate analog (async_configs.py:742 default
+    # False; ssl_certificate.py:30-84).  When True, results gain the
+    # ssl_* cert-info columns: one synthetic handshake per HOST (the
+    # reference does one per page only because it is single-URL
+    # oriented), parsed in one Arrow pass over the host dimension and
+    # broadcast-joined back — never a per-row fetch.
+    fetch_ssl_certificate: bool = False
 
     @property
     def page_budget(self) -> int:
@@ -1085,6 +1092,13 @@ class CrawlEngine:
                     "depth int, parent string, score double, success boolean, "
                     "status_code int, attempt int, image_id string",
             )
+        if self.cfg.fetch_ssl_certificate:
+            from ..operators.sslcert import ssl_certificate_stage
+            from ..sources.sslsynth import host_certs_df
+
+            certs = ssl_certificate_stage(
+                host_certs_df(results.select("host").distinct()))
+            results = results.join(F.broadcast(certs), "host", "left")
         return CrawlRun(
             results=results.orderBy(*order),
             seen=seen,
