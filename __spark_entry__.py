@@ -1432,6 +1432,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["ssl_certificates"] = q_ssl_certificates
 
+    def _serp_pages(spark, sf, builder):
+        # (doc_id) -> (url, html) via the pack fixture recipes: html is a
+        # pure function of doc_id, so the DuckDB oracle reconstructs the
+        # expected items from doc_ids alone (extractor never consulted)
+        docs = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"))
+
+        def build(batches):
+            import pandas as pd
+            for b in batches:
+                yield pd.DataFrame({
+                    "url": ["q" + str(int(d)) for d in b["doc_id"]],
+                    "html": [builder(int(d)) for d in b["doc_id"]],
+                })
+
+        return docs.mapInPandas(build, "url string, html string")
+
+    def q_google_serp_extract(spark, sf):
+        # google_search hub pack (crawlers/google_search/crawler.py:60-64,
+        # hub.py:37-68): organic-results schema over templated SERPs
+        from crawl4ai_spark import crawlers
+
+        pages = _serp_pages(
+            spark, sf, lambda d: crawlers.serp_html(crawlers.serp_fields_of(d)))
+        out = crawlers.run_pack(pages, "google_search", "organic_schema")
+        g = F.get_json_object
+        return out.select(
+            F.col("url").alias("serp_query"), "item_idx",
+            g("item_json", "$.title").alias("title"),
+            g("item_json", "$.link").alias("link"),
+            g("item_json", "$.snippet").alias("snippet"),
+            g("item_json", "$.date").alias("item_date"),
+        )
+    q["google_serp_extract"] = q_google_serp_extract
+
+    def q_amazon_product_extract(spark, sf):
+        # amazon_product hub pack (crawlers/amazon_product/crawler.py:10-17)
+        from crawl4ai_spark import crawlers
+
+        pages = _serp_pages(
+            spark, sf,
+            lambda d: crawlers.product_html(crawlers.product_fields_of(d)))
+        out = crawlers.run_pack(pages, "amazon_product", "product_schema")
+        g = F.get_json_object
+        return out.select(
+            g("item_json", "$.asin").alias("asin"),
+            g("item_json", "$.name").alias("name"),
+            g("item_json", "$.price").alias("price"),
+            g("item_json", "$.rating").alias("rating"),
+            g("item_json", "$.review_count").alias("review_count"),
+        )
+    q["amazon_product_extract"] = q_amazon_product_extract
+
+    def q_xpath_positional(spark, sf):
+        # per-context positional predicates (operators/extraction.py
+        # xpath_select; lxml semantics per the reference's JsonXPath,
+        # extraction_strategy.py:1191-1254): //li[1] over a page with TWO
+        # sibling lists must yield each list's first item — under
+        # per-document indexing it would yield only one row per doc
+        from crawl4ai_spark.operators.extraction import (
+            parse_html, xpath_select)
+
+        docs = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"))
+
+        def run(batches):
+            import pandas as pd
+            rows = []
+            for b in batches:
+                for d in b["doc_id"]:
+                    d = int(d)
+                    n_a = 2 + d % 2
+                    html = ("<html><body><ul>"
+                            + "".join(f"<li>a{i}-{d}</li>" for i in range(n_a))
+                            + "</ul><ol>"
+                            + "".join(f"<li>b{i}-{d}</li>" for i in range(2))
+                            + "</ol></body></html>")
+                    firsts = xpath_select(parse_html(html), "//li[1]/text()")
+                    rows.extend({"doc_id": d, "pos": i, "value": v}
+                                for i, v in enumerate(firsts))
+            yield pd.DataFrame(rows, columns=["doc_id", "pos", "value"])
+
+        return docs.mapInPandas(run, "doc_id long, pos int, value string")
+    q["xpath_positional"] = q_xpath_positional
+
     # ----------------------------------------------------------------------
     # Registration-order rotation: the driver's correctness gate checks the
     # FIRST 50 registered probes (CORRECTNESS_r03 covered exactly the first
@@ -2289,6 +2374,34 @@ def oracle_sql() -> dict[str, str]:
         "ssl_fingerprint, ssl_san, ssl_pem "
         f"FROM read_parquet('{_exp('ssl_certificates', True)}')"
     )
+    # hub-pack probes: expected items reconstructed from doc_ids alone via
+    # the fixture recipes (crawlers.serp_fields_of / product_fields_of)
+    o["google_serp_extract"] = """
+        SELECT 'q' || CAST(doc_id AS VARCHAR) AS serp_query,
+               CAST(t.g AS INT) AS item_idx,
+               'Result ' || t.g || ' for q' || doc_id AS title,
+               'https://r' || t.g || '.example.test/q' || doc_id AS link,
+               'Snippet ' || t.g || ' about q' || doc_id AS snippet,
+               CAST(t.g + 1 AS VARCHAR) || ' hours ago' AS item_date
+        FROM documents CROSS JOIN generate_series(0, 4) t(g)
+        WHERE t.g < 3 + doc_id % 3
+    """
+    o["amazon_product_extract"] = """
+        SELECT 'B' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS asin,
+               'Product ' || doc_id || ' Deluxe' AS name,
+               '$' || (doc_id % 90 + 10) || '.99' AS price,
+               printf('%.1f', (doc_id % 40 + 10) / 10.0)
+                   || ' out of 5 stars' AS rating,
+               CAST(doc_id % 1000 + 1 AS VARCHAR) || ' ratings'
+                   AS review_count
+        FROM documents
+    """
+    o["xpath_positional"] = """
+        SELECT doc_id, CAST(t.g AS INT) AS pos,
+               CASE t.g WHEN 0 THEN 'a0-' ELSE 'b0-' END
+                   || CAST(doc_id AS VARCHAR) AS value
+        FROM documents CROSS JOIN generate_series(0, 1) t(g)
+    """
 
     # fleet identity: the DuckDB expressions are generated from the same
     # constant component tables as the Spark columns (identity.py *_sql
