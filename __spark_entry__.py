@@ -1329,16 +1329,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.lit(".test")).alias("host"),
             F.when(m == 0, F.concat(
                 F.lit("User-agent: *\nCrawl-delay: "),
-                (F.col("doc_id") % 9 + 1).cast("string"),
-                F.lit("\nDisallow: /x/\n")))
-             .when(m == 1, F.concat(
+                ((F.col("doc_id") % 9 + 1) * 20).cast("string"),
+                F.lit("\nDisallow: /x/\n")))  # 20..180 s: spans both
+             .when(m == 1, F.concat(          # sides of the 60 s window
                 F.lit("User-agent: *\nRequest-rate: 1/"),
                 (F.col("doc_id") % 5 + 2).cast("string"), F.lit("\n")))
              .when(m == 2, F.lit("User-agent: *\nDisallow: /p/\n"))
              .alias("rules"),
         )
         return crawl_delay_stage(rules, window_s=60.0).select(
-            "host", "crawl_delay", F.col("delay_budget").cast("int"))
+            "host", "crawl_delay", F.col("delay_budget").cast("int"),
+            F.col("delay_period").cast("int"))
     q["crawl_delay"] = q_crawl_delay
 
     def q_dedup_lines_within(spark, sf):
@@ -2551,13 +2552,19 @@ def oracle_sql() -> dict[str, str]:
                  unnest(ls) AS line
           FROM (SELECT doc_id, string_split(t2, chr(10)) AS ls FROM d)),
         nz AS (SELECT doc_id, pos, line FROM lines WHERE trim(line) <> ''),
-        c AS (SELECT *, count(*) OVER (PARTITION BY trim(line)) AS line_df FROM nz)
-        SELECT doc_id,
-          coalesce(string_agg(CASE WHEN line_df < 30 THEN line END,
-                              chr(10) ORDER BY pos), '') AS text_clean,
-          count(*) AS n_lines,
-          sum(CASE WHEN line_df < 30 THEN 1 ELSE 0 END) AS n_kept
-        FROM c GROUP BY doc_id
+        c AS (SELECT *, count(*) OVER (PARTITION BY trim(line)) AS line_df FROM nz),
+        agg AS (
+          SELECT doc_id,
+            coalesce(string_agg(CASE WHEN line_df < 30 THEN line END,
+                                chr(10) ORDER BY pos), '') AS text_clean,
+            count(*) AS n_lines,
+            sum(CASE WHEN line_df < 30 THEN 1 ELSE 0 END) AS n_kept
+          FROM c GROUP BY doc_id)
+        SELECT d.doc_id,
+          coalesce(agg.text_clean, '') AS text_clean,
+          coalesce(agg.n_lines, 0) AS n_lines,
+          coalesce(agg.n_kept, 0) AS n_kept
+        FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
     """
 
     # fixed-point PageRank: 8 unrolled integer iterations — the recurrence
@@ -2666,16 +2673,21 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["crawl_delay"] = """
+        WITH d AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 4 = 0 THEN CAST((doc_id % 9 + 1) * 20 AS DOUBLE)
+                 WHEN doc_id % 4 = 1 THEN CAST(doc_id % 5 + 2 AS DOUBLE)
+                 END AS delay
+          FROM documents)
         SELECT 'h' || CAST(doc_id AS VARCHAR) || '.test' AS host,
-          CASE WHEN doc_id % 4 = 0 THEN CAST(doc_id % 9 + 1 AS DOUBLE)
-               WHEN doc_id % 4 = 1 THEN CAST(doc_id % 5 + 2 AS DOUBLE)
-               END AS crawl_delay,
-          CASE WHEN doc_id % 4 = 0
-                 THEN CAST(floor(60.0 / (doc_id % 9 + 1)) AS INTEGER)
-               WHEN doc_id % 4 = 1
-                 THEN CAST(floor(60.0 / (doc_id % 5 + 2)) AS INTEGER)
-               END AS delay_budget
-        FROM documents
+          delay AS crawl_delay,
+          CASE WHEN delay IS NULL THEN NULL ELSE
+            CAST(greatest(1, floor(60.0 / delay)) AS INTEGER) END
+            AS delay_budget,
+          CASE WHEN delay IS NULL THEN NULL ELSE
+            CAST(greatest(1, ceil(delay / 60.0)) AS INTEGER) END
+            AS delay_period
+        FROM d
     """
 
     o["dedup_lines_within"] = f"""

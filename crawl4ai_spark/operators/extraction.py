@@ -50,6 +50,16 @@ VOID_TAGS = {
 }
 
 
+def _esc_text(s: str) -> str:
+    """lxml-style text escaping: & < > (quotes stay literal in text)."""
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _esc_attr(s: str) -> str:
+    """lxml-style attribute escaping: & < > " (single quote stays)."""
+    return _esc_text(s).replace('"', "&quot;")
+
+
 class Node:
     __slots__ = ("tag", "attrs", "children", "parent", "texts")
 
@@ -84,16 +94,20 @@ class Node:
     def to_html(self) -> str:
         """Normalized serialization (the reference returns the raw
         BeautifulSoup str(); byte-exact source spans are not recoverable
-        from the stdlib parser, so this re-serializes the subtree)."""
+        from the stdlib parser, so this re-serializes the subtree).
+        The parser decodes entities (convert_charrefs=True), so values
+        are RE-ESCAPED here the way lxml's tostring does — & < > (+ the
+        double quote in attributes); without it, markup like
+        data-x="a&quot;b" would round-trip to the invalid data-x="a"b"."""
         attrs = "".join(
-            f' {k}="{v}"' for k, v in self.attrs.items()
+            f' {k}="{_esc_attr(v)}"' for k, v in self.attrs.items()
         )
         slots: dict[int, list[str]] = {}
         for slot, t in self.texts:
             slots.setdefault(slot, []).append(t)
         inner: list[str] = []
         for i in range(len(self.children) + 1):
-            inner.extend(slots.get(i, []))
+            inner.extend(_esc_text(t) for t in slots.get(i, []))
             if i < len(self.children):
                 inner.append(self.children[i].to_html())
         if self.tag in VOID_TAGS:
@@ -164,7 +178,10 @@ def optimize_html(html: str, threshold: int = 200) -> str:
     Mapping note: lxml truncates the merged ``.text``/``.tail`` strings;
     the stdlib parser delivers text in segments (entities split data), so
     this twin truncates per segment — identical output whenever segments
-    aren't split mid-run (always true for entity-free markup)."""
+    aren't split mid-run (always true for entity-free markup).  Entities
+    themselves re-escape on serialization (Node.to_html matches lxml
+    tostring for & < > "), so entity-bearing markup stays VALID; only the
+    truncation boundary can differ from the reference there."""
     root = parse_html(html)
     for node in (root, *root.descendants()):
         node.attrs = {k: truncate_str(v, threshold) for k, v in node.attrs.items()}

@@ -118,24 +118,40 @@ def split_host_budget(df: DataFrame, budget: int, order_cols: list,
 def split_per_host_budget(df: DataFrame, budgets: DataFrame,
                           order_cols: list, host_col: str = "host",
                           budget_col: str = "delay_budget",
-                          default_budget: int | None = None
+                          default_budget: int | None = None,
+                          period_col: str = "delay_period",
+                          superstep: int | None = None
                           ) -> tuple[DataFrame, DataFrame]:
     """Per-HOST budget split: like ``split_host_budget`` but each host caps
-    at ITS OWN budget from the ``budgets(host, budget)`` dimension — the
-    integration point for ``robots.crawl_delay_stage``'s ``delay_budget``
-    (hosts that publish a Crawl-delay get floor(window/delay) fetches per
-    superstep; others fall back to ``default_budget``, None = uncapped).
+    at ITS OWN budget from the ``budgets(host, budget[, period])``
+    dimension — the integration point for ``robots.crawl_delay_stage``'s
+    throttle pair (hosts that publish a Crawl-delay get
+    max(1, floor(window/delay)) fetches per eligible superstep; others
+    fall back to ``default_budget``, None = uncapped).
+
+    When the dimension carries ``period_col`` and ``superstep`` is given,
+    a host with period p > 1 (published delay LONGER than the superstep
+    window) is eligible only on supersteps where
+    ``superstep % p == xxhash64(host) % p`` — its whole queue defers on
+    the other p-1 windows, the skip-N-supersteps schedule that makes a
+    Crawl-delay: 3600 host crawl slowly instead of starving (the budget
+    floor of 1 alone would over-fetch it every window).  The hash phase
+    staggers long-period hosts across supersteps instead of thundering
+    them on superstep 0.
 
     The dimension is de-duplicated on host and broadcast, so this adds no
     shuffle beyond the same per-host rank window the global split pays;
     for hot hosts compose with the two-phase salted ranking exactly as
     ``split_host_budget`` does (a per-host cap only tightens it)."""
+    has_period = superstep is not None and period_col in budgets.columns
+    dim_cols = [
+        F.col(host_col).alias("__b_host"),
+        F.col(budget_col).cast("int").alias("__b_budget"),
+    ]
+    if has_period:
+        dim_cols.append(F.col(period_col).cast("int").alias("__b_period"))
     dim = F.broadcast(
-        budgets.select(
-            F.col(host_col).alias("__b_host"),
-            F.col(budget_col).cast("int").alias("__b_budget"),
-        ).dropDuplicates(["__b_host"])
-    )
+        budgets.select(*dim_cols).dropDuplicates(["__b_host"]))
     w = Window.partitionBy(host_col).orderBy(*order_cols)
     r = (
         df.withColumn("__rn", F.row_number().over(w))
@@ -146,9 +162,18 @@ def split_per_host_budget(df: DataFrame, budgets: DataFrame,
                        F.lit(default_budget).cast("int")),
         )
     )
-    within = r.filter(F.col("__eff").isNull() | (F.col("__rn") <= F.col("__eff")))
-    deferred = r.filter(F.col("__eff").isNotNull() & (F.col("__rn") > F.col("__eff")))
     drop = ["__rn", "__b_host", "__b_budget", "__eff"]
+    ok = F.col("__eff").isNull() | (F.col("__rn") <= F.col("__eff"))
+    if has_period:
+        phase = F.pmod(F.xxhash64(F.col(host_col)), F.col("__b_period"))
+        eligible = (
+            F.col("__b_period").isNull() | (F.col("__b_period") <= 1)
+            | (F.lit(int(superstep)) % F.col("__b_period") == phase)
+        )
+        ok = eligible & ok
+        drop.append("__b_period")
+    within = r.filter(ok)
+    deferred = r.filter(~ok)
     return within.drop(*drop), deferred.drop(*drop)
 
 

@@ -386,7 +386,10 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
     any corpus size: (1) hash partition by trimmed line for the corpus-
     wide frequency (a window count — O(occurrences) per line, hot
     boilerplate costs its own cardinality only), (2) by doc id for ordered
-    reassembly.  Blank lines are dropped up front.
+    reassembly.  Blank lines are dropped up front; documents with NO
+    non-blank lines still emit a row (text_clean='', n_lines=n_kept=0) —
+    the aggregate is left-joined back onto the doc-id spine so no doc_id
+    ever vanishes from the output (downstream joins keep their keys).
     """
     lines = docs.select(
         F.col(id_col),
@@ -394,20 +397,24 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
     ).withColumn("norm", F.trim(F.col("line"))).where(F.col("norm") != "")
     w = Window.partitionBy("norm")
     flagged = lines.withColumn("line_df", F.count("*").over(w))
-    return (
-        flagged.groupBy(id_col).agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.when(
-                        F.col("line_df") < F.lit(min_df),
-                        F.struct("pos", "line"),
-                    ))),
-                    lambda s: s["line"],
-                ), "\n",
-            ).alias("text_clean"),
-            F.count("*").cast("long").alias("n_lines"),
-            F.sum(
-                (F.col("line_df") < F.lit(min_df)).cast("long")
-            ).alias("n_kept"),
-        )
+    agg = flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.when(
+                    F.col("line_df") < F.lit(min_df),
+                    F.struct("pos", "line"),
+                ))),
+                lambda s: s["line"],
+            ), "\n",
+        ).alias("text_clean"),
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(
+            (F.col("line_df") < F.lit(min_df)).cast("long")
+        ).alias("n_kept"),
+    )
+    return docs.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        F.coalesce("n_lines", F.lit(0).cast("long")).alias("n_lines"),
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
     )

@@ -202,18 +202,32 @@ def crawl_delay_stage(rules_df: DataFrame, user_agent: str = "*",
     absent or the rules are missing/unparseable — allow-fast, matching the
     gate's allow-on-error posture; Request-rate collapses to
     seconds-per-request = duration/requests, and the stricter of the two
-    wins) and, when ``window_s`` is given, ``delay_budget int`` =
-    floor(window_s / delay) — the per-superstep cap to feed
-    ``politeness.split_host_budget`` (D1) so hosts that publish a delay
-    are throttled to it.
+    wins) and, when ``window_s`` is given, the D1 throttle pair for
+    ``politeness.split_per_host_budget``:
+
+    - ``delay_budget int`` = max(1, floor(window_s / delay)) — fetches
+      allowed in an ELIGIBLE superstep window;
+    - ``delay_period int`` = max(1, ceil(delay / window_s)) — the host is
+      eligible once every ``delay_period`` supersteps.
+
+    Together these encode "at most one fetch every delay seconds" for ANY
+    delay: delay ≤ window gives (floor(window/delay), 1); delay > window
+    gives (1, ceil(delay/window)) — one fetch every N windows.  The
+    budget floor of 1 matters: an unclamped floor(window/delay) is 0 for
+    large published delays (Crawl-delay: 3600 against a 60 s window),
+    which would defer the host on EVERY superstep — permanent starvation
+    instead of a slow crawl.
 
     One Arrow pass over the per-host rules dimension (thousands of rows —
     never the frontier side); zero shuffle.
     """
+    import math
+
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                        for f in rules_df.schema.fields)
     out_schema = f"{fields}, crawl_delay double" + (
-        ", delay_budget int" if window_s is not None else "")
+        ", delay_budget int, delay_period int" if window_s is not None
+        else "")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -240,7 +254,10 @@ def crawl_delay_stage(rules_df: DataFrame, user_agent: str = "*",
             if window_s is not None:
                 out["delay_budget"] = out["crawl_delay"].map(
                     lambda x: None if pd.isna(x) or x <= 0
-                    else int(window_s // x)).astype("Int32")
+                    else max(1, int(window_s // x))).astype("Int32")
+                out["delay_period"] = out["crawl_delay"].map(
+                    lambda x: None if pd.isna(x) or x <= 0
+                    else max(1, math.ceil(x / window_s))).astype("Int32")
             yield out
 
     return rules_df.mapInPandas(parse, out_schema)

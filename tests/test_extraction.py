@@ -163,3 +163,24 @@ def test_optimize_html_truncation():
     # top-level text outside any tag survives (and truncates)
     assert optimize_html("plain text only", 5) == "plain..."
     assert optimize_html("", 5) == ""
+
+
+def test_to_html_reescapes_entities():
+    """Entity-bearing markup round-trips to VALID markup: the parser
+    decodes &quot;/&amp;, the serializer re-escapes like lxml tostring
+    (round-3 advice: data-x="a&quot;b" used to come back as the invalid
+    data-x="a"b")."""
+    from crawl4ai_spark.operators.extraction import optimize_html, parse_html
+
+    h = '<div data-x="a&quot;b" data-y="x&amp;y">T&amp;C &lt;sale&gt;</div>'
+    out = parse_html(h).children[0].to_html()
+    assert 'data-x="a&quot;b"' in out
+    assert 'data-y="x&amp;y"' in out
+    assert "T&amp;C &lt;sale&gt;" in out
+    # re-parsing the serialization yields the same decoded values (stable)
+    again = parse_html(out).children[0]
+    assert again.attrs["data-x"] == 'a"b'
+    assert again.get_text() == "T&C <sale>"
+    assert again.to_html() == out
+    # optimize_html inherits the escaping
+    assert 'a&quot;b' in optimize_html(h, threshold=200)

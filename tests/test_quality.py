@@ -220,3 +220,20 @@ def test_repetition_lines_are_trimmed(spark):
                                ["doc_id", "text"])
     row = repetition_signals(df).collect()[0]
     assert row["dup_line_frac"] == pytest.approx(round(1 / 3, 6))
+
+
+def test_line_dedup_keeps_blank_docs(spark):
+    """Documents with no non-blank lines still emit a row (text_clean='',
+    counts 0) — they must not vanish from downstream joins."""
+    docs = spark.createDataFrame(
+        [(0, "keep me\nnav bar\n"), (1, "nav bar\nother\n"),
+         # "blank" = empty after trim; trim strips spaces (both engines)
+         (2, "   \n\n  \n"), (3, "")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in line_dedup(docs, min_df=2).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    for d in (2, 3):
+        assert got[d]["text_clean"] == ""
+        assert got[d]["n_lines"] == 0 and got[d]["n_kept"] == 0
+    assert got[0]["text_clean"] == "keep me"

@@ -137,17 +137,23 @@ def test_crawl_delay_stage(spark):
         ("e", ""),                                  # empty -> NULL
         ("f", None),                                # missing -> NULL
         ("g", "User-agent: bot\nCrawl-delay: 9\n"),  # other agent -> NULL for *
+        # delay > window: budget clamps to 1, period carries the slowdown
+        # (unclamped floor(60/3600)=0 starved the host forever)
+        ("h", "User-agent: *\nCrawl-delay: 3600\n"),
+        ("i", "User-agent: *\nCrawl-delay: 90\n"),
     ]
     df = spark.createDataFrame(rows, ["host", "rules"])
-    got = {r["host"]: (r["crawl_delay"], r["delay_budget"])
+    got = {r["host"]: (r["crawl_delay"], r["delay_budget"], r["delay_period"])
            for r in crawl_delay_stage(df, window_s=60.0).collect()}
-    assert got["a"] == (3.0, 20)
-    assert got["b"] == (5.0, 12)
-    assert got["c"] == (7.0, 8)
-    assert got["d"] == (None, None)
-    assert got["e"] == (None, None)
-    assert got["f"] == (None, None)
-    assert got["g"] == (None, None)
+    assert got["a"] == (3.0, 20, 1)
+    assert got["b"] == (5.0, 12, 1)
+    assert got["c"] == (7.0, 8, 1)
+    assert got["d"] == (None, None, None)
+    assert got["e"] == (None, None, None)
+    assert got["f"] == (None, None, None)
+    assert got["g"] == (None, None, None)
+    assert got["h"] == (3600.0, 1, 60)
+    assert got["i"] == (90.0, 1, 2)
 
 
 def test_crawl_delay_feeds_per_host_budget(spark):
@@ -182,3 +188,41 @@ def test_crawl_delay_feeds_per_host_budget(spark):
     # default budget caps the NULL-delay host when given
     w2, _ = split_per_host_budget(frontier, budgets, ["seq"], default_budget=3)
     assert w2.filter(F.col("host") == "free.test").count() == 3
+
+
+def test_long_delay_period_schedule(spark):
+    """A host whose Crawl-delay exceeds the superstep window crawls on
+    exactly its eligible supersteps (superstep % period == hash phase) —
+    one fetch per eligible window, never zero forever."""
+    from crawl4ai_spark.operators.politeness import split_per_host_budget
+    from crawl4ai_spark.operators.robots import crawl_delay_stage
+
+    rules = spark.createDataFrame(
+        [("glacial.test", "User-agent: *\nCrawl-delay: 150\n"),  # period 3
+         ("quick.test", "User-agent: *\nCrawl-delay: 30\n")],    # period 1
+        ["host", "rules"],
+    )
+    budgets = crawl_delay_stage(rules, window_s=60.0)
+    frontier = spark.createDataFrame(
+        [(h, f"https://{h}/p{i}", i)
+         for h in ("glacial.test", "quick.test") for i in range(6)],
+        ["host", "url", "seq"],
+    )
+    fetched = {"glacial.test": 0, "quick.test": 0}
+    eligible_steps = []
+    for step in range(6):
+        within, _ = split_per_host_budget(
+            frontier, budgets, order_cols=["seq"], superstep=step)
+        counts = {h: 0 for h in fetched}
+        for r in within.collect():
+            counts[r["host"]] += 1
+        fetched["glacial.test"] += counts["glacial.test"]
+        fetched["quick.test"] += counts["quick.test"]
+        if counts["glacial.test"]:
+            eligible_steps.append(step)
+        # quick.test (delay 30 s, window 60 s) fetches 2 every superstep
+        assert counts["quick.test"] == 2
+    # glacial: budget 1, period 3 -> exactly 2 eligible windows in 6 steps
+    assert fetched["glacial.test"] == 2
+    assert len(eligible_steps) == 2
+    assert eligible_steps[1] - eligible_steps[0] == 3
