@@ -202,6 +202,77 @@ def crawl_dfs(graph: OracleGraph, start_url: str, spec: CrawlSpec):
     return results, visited
 
 
+def crawl_dfs_batched(graph: OracleGraph, start_url: str, spec: CrawlSpec):
+    """Batched "DFS-ish" twin (engine run_dfs_batched): pop the DEEPEST
+    ``batch_size`` stack entries per superstep, fetch them as one level,
+    push children reversed per parent in pop order — children of the
+    earliest-popped (deepest) parent pop first, first-discovered link
+    first (dfs_strategy.py:57-60 reversal, batched).
+
+    Deliberately NOT strict DFS: strict ordering needs one fetch at a
+    time (crawl_dfs / engine run_dfs, the parity-only path); this mode
+    trades sibling-before-child strictness for batch-parallel fetches.
+    Page counting and capacity are level-style: remaining is computed
+    once per superstep from the whole batch's successes (the reference
+    BFS quirk, bfs_strategy.py:87-90), and already-seen stack entries
+    are discarded at pop without consuming batch slots
+    (dfs_strategy.py:35 analog)."""
+    visited: set[str] = set()
+    depths: dict[str, int] = {start_url: 0}
+    # (stack_seq, url, parent, depth); pop = highest stack_seq first
+    stack: list[tuple[int, str, str | None, int]] = [(0, start_url, None, 0)]
+    stack_seq_base = 1
+    results: list[dict] = []
+    seq = 0
+    pages_crawled = 0
+    superstep = 0
+    while stack and pages_crawled < spec.max_pages:
+        stack.sort(key=lambda t: t[0])
+        k = min(spec.batch_size, len(stack))
+        popped = stack[-k:][::-1]
+        del stack[-k:]
+        batch = []
+        burls: set[str] = set()
+        for entry in popped:
+            _sseq, url, _parent, _depth = entry
+            if url in visited or url in burls:
+                continue
+            burls.add(url)
+            batch.append(entry)
+        if not batch:
+            superstep += 1
+            continue
+        visited.update(burls)
+        fetched = []
+        for _sseq, url, parent, depth in batch:
+            page = graph.fetch(url)
+            score = spec.scorer.py_score(url) if spec.scorer else 0.0
+            results.append({
+                "superstep": superstep, "seq": seq, "url": url,
+                "depth": depth, "parent": parent, "score": score,
+                "success": page.success, "status_code": page.status_code,
+            })
+            seq += 1
+            if page.success:
+                fetched.append((url, depth, page))
+        pages_crawled += len(fetched)
+        remaining = spec.max_pages - pages_crawled
+        if remaining > 0:
+            discovered: list[tuple[str, str | None, int]] = []
+            for url, depth, page in fetched:  # pop order
+                nl: list[tuple[str, str | None]] = []
+                _bfs_link_discovery(graph, page, url, depth, visited, nl,
+                                    depths, spec, pages_crawled)
+                discovered.extend(
+                    (u, par, depths.get(u, depth + 1)) for u, par in nl)
+            n = len(discovered)
+            for i, (u, par, d) in enumerate(discovered):
+                stack.append((stack_seq_base + n - 1 - i, u, par, d))
+            stack_seq_base += n
+        superstep += 1
+    return results, visited
+
+
 def crawl_best_first(graph: OracleGraph, start_url: str, spec: CrawlSpec):
     """bff_strategy.py:127-199 verbatim: heap of (score, depth, url, parent),
     pop ≤ BATCH_SIZE consuming slots for visited dups, raw-href URL space."""
@@ -276,7 +347,8 @@ def _bff_link_discovery(graph, page, source_url, current_depth, visited,
 
 
 def crawl(graph: OracleGraph, start_url: str, spec: CrawlSpec):
-    fn = {"bfs": crawl_bfs, "dfs": crawl_dfs, "best_first": crawl_best_first}[spec.strategy]
+    fn = {"bfs": crawl_bfs, "dfs": crawl_dfs, "best_first": crawl_best_first,
+          "dfs_batched": crawl_dfs_batched}[spec.strategy]
     return fn(graph, start_url, spec)
 
 

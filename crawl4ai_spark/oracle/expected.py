@@ -224,6 +224,23 @@ def ensure_crawl_expected() -> None:
          for r in res]
     ))
 
+    # --- dfs_batched_crawl (batched "DFS-ish" segment pops + scorer)
+    from .crawler import crawl_dfs_batched
+
+    res, _ = crawl_dfs_batched(
+        graph, seeds[0],
+        CrawlSpec(strategy="dfs_batched", max_depth=2, max_pages=120,
+                  batch_size=6,
+                  scorer=ScorerSpec(kind="freshness", current_year=2024,
+                                    weight=1.0)),
+    )
+    _write("dfs_batched_crawl", pd.DataFrame(
+        [{"superstep": r["superstep"], "seq": r["seq"], "url": r["url"],
+          "depth": r["depth"], "parent": r["parent"],
+          "score": spark_round(r["score"], 6), "success": r["success"],
+          "status_code": r["status_code"]} for r in res]
+    ))
+
     # --- backoff_crawl (D2: fail-heavy graph, retry requeue trajectories)
     pb = _graph(fail_rate=0.25)
     pages_b, links_b, _ = synth.synth_local(pb)

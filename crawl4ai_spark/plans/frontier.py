@@ -81,7 +81,7 @@ _ROWS_PER_TASK = 20_000
 
 @dataclass
 class CrawlConfig:
-    strategy: str = "bfs"  # bfs | dfs | best_first
+    strategy: str = "bfs"  # bfs | dfs | dfs_batched | best_first
     max_depth: int = 2
     max_pages: int | None = None  # None = unbounded (math.inf in reference)
     score_threshold: float = -inf  # BFS/DFS only (bfs_strategy.py:116-119)
@@ -1032,6 +1032,112 @@ class CrawlEngine:
             superstep += 1
         return self._finish(result_parts, seen, pages_crawled, order=["seq"])
 
+    def run_dfs_batched(self, seeds: list[str]) -> CrawlRun:
+        """Batched "DFS-ish" loop (oracle twin: crawl_dfs_batched): pop
+        the DEEPEST ``batch_size`` stack entries per superstep
+        (``ORDER BY stack_seq DESC LIMIT k``), fetch them as one parallel
+        stage, push discovered links reversed per parent in pop order —
+        children of the earliest-popped parent receive the highest new
+        stack seqs, so the crawl keeps diving where run_dfs would, at
+        batch_size-way parallelism.
+
+        Strict DFS ordering (child before next sibling) inherently
+        serializes fetches, which is why run_dfs is parity-only; this is
+        the usable-at-scale DFS.  Page counting and capacity are
+        level-style (remaining computed once per superstep from the
+        batch's successes), and already-seen stack entries are discarded
+        at pop without consuming batch slots."""
+        cfg = self.cfg
+        spark = self.spark
+        stack = spark.createDataFrame(
+            [(u, None, 0, len(seeds) - 1 - i) for i, u in enumerate(seeds)],
+            "url string, parent string, depth int, stack_seq long",
+        ).localCheckpoint(eager=True)
+        seen = spark.createDataFrame([], "url string")
+        pages_crawled = 0
+        stack_seq_base = len(seeds)
+        result_seq_base = 0
+        superstep = 0
+        result_parts: list[DataFrame] = []
+        while superstep < cfg.max_supersteps:
+            if pages_crawled >= cfg.page_budget:
+                break
+            if not stack.take(1):
+                break
+            popped = stack.orderBy(F.col("stack_seq").desc()).limit(
+                cfg.batch_size).persist(StorageLevel.MEMORY_AND_DISK)
+            rest = stack.join(
+                popped.select("stack_seq"), "stack_seq", "left_anti")
+            # discard already-seen entries without consuming batch slots;
+            # within-batch duplicate URLs collapse to the first pop
+            batch = popped.join(seen, "url", "left_anti")
+            wdup = Window.partitionBy("url").orderBy(F.col("stack_seq").desc())
+            batch = batch.withColumn(
+                "__r", F.row_number().over(wdup)
+            ).filter(F.col("__r") == 1).drop("__r")
+            batch = with_global_seq(
+                batch, [F.col("stack_seq").desc()], out_col="seq",
+                start=result_seq_base,
+                num_partitions=self._parts(cfg.batch_size),
+            ).withColumn("score", F.lit(0.0)).persist(
+                StorageLevel.MEMORY_AND_DISK)
+            if not batch.take(1):
+                stack = rest.localCheckpoint(eager=True)
+                popped.unpersist()
+                superstep += 1
+                continue
+            seen = self._mark_seen(seen, batch.select("url"))
+            fetched = self._fetch(
+                batch.select("url", "parent", "depth", "seq", "score"),
+                n_rows=cfg.batch_size,
+            )
+            if cfg.scorer is not None:
+                fetched = fetched.withColumn(
+                    "score", cfg.scorer.column(F.col("url")).cast("double"))
+            fetched = fetched.persist(StorageLevel.MEMORY_AND_DISK)
+            stat = fetched.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("success").cast("long")).alias("ok"),
+            ).collect()[0]
+            n_batch = int(stat["n"])
+            n_success = int(stat["ok"] or 0)
+            results_s = fetched.withColumn(
+                "superstep", F.lit(superstep)).select(RESULT_COLS)
+            result_parts.append(self._persist_results(results_s, superstep))
+            result_seq_base += n_batch
+            pages_crawled += n_success
+            remaining = cfg.page_budget - pages_crawled
+            pushed = rest
+            if remaining > 0:
+                links = self._discover(
+                    fetched, seen,
+                    remaining_expr=F.lit(remaining),
+                    next_depth_expr=F.col("depth") + 1,
+                    canonicalize=True,
+                    base_seq=0,
+                    est_rows=n_batch * 16,
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+                n_links = links.count()
+                if n_links:
+                    # reversal (dfs_strategy.py:57-60, batched): discovery
+                    # seq ascends in (parent pop order, link order), so
+                    # seq 0 gets the HIGHEST new stack_seq and pops next
+                    pushes = links.select(
+                        "url", "parent", "depth",
+                        (F.lit(stack_seq_base + n_links - 1)
+                         - F.col("seq")).alias("stack_seq"),
+                    )
+                    pushed = rest.unionByName(pushes)
+                    stack_seq_base += n_links
+            stack = pushed.localCheckpoint(eager=True)
+            self._log(superstep=superstep, popped=n_batch,
+                      successes=n_success, pages_crawled=pages_crawled)
+            popped.unpersist()
+            batch.unpersist()
+            fetched.unpersist()
+            superstep += 1
+        return self._finish(result_parts, seen, pages_crawled, order=["seq"])
+
     # ---------------------------------------------------------- helpers
     def run(self, seeds: list[str], resume: bool = False) -> CrawlRun:
         cfg = self.cfg
@@ -1050,6 +1156,8 @@ class CrawlEngine:
             return self.run_best_first(seeds, resume=resume)
         if self.cfg.strategy == "dfs":
             return self.run_dfs(seeds)
+        if self.cfg.strategy == "dfs_batched":
+            return self.run_dfs_batched(seeds)
         raise ValueError(f"unknown strategy {self.cfg.strategy!r}")
 
     def _persist_results(self, results_s: DataFrame, superstep: int) -> DataFrame:

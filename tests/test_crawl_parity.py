@@ -93,3 +93,46 @@ def test_parity(spark, spark_tables, oracle_graph, name, spec, config):
     assert got_success == want_success, f"{name}: success flags mismatch"
 
     assert run.pages_crawled == sum(1 for r in oracle_results if r.success)
+
+
+@pytest.mark.parametrize("batch_size,max_pages", [(4, 150), (8, 25)])
+def test_dfs_batched_parity(spark, spark_tables, oracle_graph,
+                            batch_size, max_pages):
+    """Batched DFS engine == its sequential twin exactly: same result
+    sequence (seq, url, depth, parent, superstep) and URL-seen set."""
+    from crawl4ai_spark.oracle.crawler import crawl_dfs_batched
+
+    pages_df, links_df = spark_tables
+    spec = CrawlSpec(strategy="dfs_batched", max_depth=2,
+                     max_pages=max_pages, batch_size=batch_size,
+                     scorer=SCORER)
+    want, want_seen = crawl_dfs_batched(
+        oracle_graph, url_of(0, PARAMS), spec)
+    cfg = CrawlConfig(strategy="dfs_batched", max_depth=2,
+                      max_pages=max_pages, batch_size=batch_size,
+                      scorer=SCORER)
+    run = deep_crawl(spark, [url_of(0, PARAMS)], pages_df, links_df, cfg)
+    got = sorted(run.results.collect(), key=lambda r: r["seq"])
+    assert [(r["seq"], r["url"], r["depth"], r["parent"], r["superstep"])
+            for r in got] == [
+        (w["seq"], w["url"], w["depth"], w["parent"], w["superstep"])
+        for w in want]
+    for r, w in zip(got, want):
+        assert r["success"] == w["success"]
+        assert abs(r["score"] - w["score"]) < 1e-9
+    assert {r["url"] for r in run.seen.collect()} == want_seen
+
+
+def test_dfs_batched_batch1_equals_dfs(spark, spark_tables, oracle_graph):
+    """batch_size=1 batched DFS visits the same URL set as strict DFS and
+    in strict-DFS order (each superstep pops exactly the stack top)."""
+    from crawl4ai_spark.oracle.crawler import crawl, crawl_dfs_batched
+
+    spec1 = CrawlSpec(strategy="dfs", max_depth=2, max_pages=20)
+    strict, strict_seen = crawl(oracle_graph, url_of(0, PARAMS), spec1)
+    specb = CrawlSpec(strategy="dfs_batched", max_depth=2, max_pages=20,
+                      batch_size=1)
+    batched, batched_seen = crawl_dfs_batched(
+        oracle_graph, url_of(0, PARAMS), specb)
+    assert [r.url for r in strict] == [w["url"] for w in batched]
+    assert strict_seen == batched_seen
