@@ -53,6 +53,12 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
+    # oracle_sql() embeds expected-table paths for ONE sf (the driver's);
+    # pin it to the sf this gate actually runs so the Spark queries and the
+    # DuckDB expected tables can never come from different scale factors.
+    import os
+    os.environ["SPARK_GRAFT_GATE_SF_DIR"] = sf_dir
+
     import __spark_entry__ as entrymod
     from crawl4ai_spark.session import get_spark
 
