@@ -1317,6 +1317,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dsir_weights"] = q_dsir_weights
 
+    def q_ccnet_buckets(spark, sf):
+        # CCNet perplexity bucketing (Wenzek et al. 2020): the English
+        # slice plays the high-quality LM-training target; integer
+        # micro-nat scores + integer tercile cutoffs, so buckets are
+        # engine- and partitioning-exact
+        from crawl4ai_spark.operators.quality import ccnet_perplexity
+
+        docs = _t(spark, sf, "documents")
+        target = docs.where(F.col("lang") == "en")
+        return ccnet_perplexity(docs, target).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_tokens", "n_bigrams", "nll_micro", "nll_per", "bucket",
+        )
+    q["ccnet_buckets"] = q_ccnet_buckets
+
+    def q_dup_span_removal(spark, sf):
+        # duplicated-span REMOVAL (Lee et al. 2022 acting half): tokens
+        # covered by any corpus-duplicated 8-gram are excised; the oracle
+        # re-derives coverage from gram strings with list lambdas
+        from crawl4ai_spark.operators.dedup import remove_dup_spans
+
+        docs = _t(spark, sf, "documents")
+        return remove_dup_spans(docs, n=8, min_count=2).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "text_clean", "n_tokens", "n_removed",
+        )
+    q["dup_span_removal"] = q_dup_span_removal
+
     def q_optimize_html(spark, sf):
         # optimize_html twin (reference utils.py:2764-2781): the oracle
         # rebuilds the expected serialization directly from the raw text
@@ -1558,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 additions (registered below if present)
         "ssl_certificates", "google_serp_extract", "amazon_product_extract",
         "dfs_batched_crawl", "xpath_positional",
+        "ccnet_buckets", "dup_span_removal",
     ]
     ordered = {k: q[k] for k in _priority if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -2681,6 +2710,83 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, coalesce(per.n_feats, 0) AS n_feats,
                coalesce(per.llr_micro, 0) AS llr_micro
         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """
+
+    o["ccnet_buckets"] = """
+        WITH w AS (
+          SELECT doc_id, lang,
+            list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+          FROM documents),
+        p AS (
+          SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+          FROM w),
+        tb AS (
+          SELECT w1, w2, count(*) AS c12
+          FROM p JOIN w USING (doc_id) WHERE w.lang = 'en' GROUP BY w1, w2),
+        hist AS (SELECT w1, sum(c12) AS c1 FROM tb GROUP BY w1),
+        v AS (SELECT count(DISTINCT u.wd) + 1.0 AS vv
+              FROM (SELECT unnest(ws) AS wd FROM w WHERE lang = 'en') u),
+        sr AS (
+          SELECT p.doc_id,
+            CAST(round(-1000000.0 * ln(
+              (coalesce(c12, 0) + 1.0) / (coalesce(c1, 0) + 1.0 * vv)
+            ), 0) AS BIGINT) AS nll
+          FROM p LEFT JOIN tb USING (w1, w2) LEFT JOIN hist USING (w1), v),
+        per AS (SELECT doc_id, count(*) AS nb, sum(nll) AS nm
+                FROM sr GROUP BY doc_id),
+        sc AS (
+          SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+                 CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+                 CAST(coalesce(nm, 0) AS BIGINT) AS nll_micro,
+                 CAST(CASE WHEN coalesce(nb, 0) > 0
+                      THEN coalesce(nm, 0) // nb ELSE 0 END AS BIGINT) AS nll_per
+          FROM w LEFT JOIN per USING (doc_id)),
+        r AS (SELECT nll_per,
+                     row_number() OVER (ORDER BY nll_per, doc_id) AS rn,
+                     count(*) OVER () AS n
+              FROM sc WHERE n_bigrams > 0),
+        cuts AS (
+          SELECT max(CASE WHEN rn = CAST(ceil(n / 3.0) AS BIGINT)
+                          THEN nll_per END) AS cut1,
+                 max(CASE WHEN rn = CAST(ceil(2.0 * n / 3.0) AS BIGINT)
+                          THEN nll_per END) AS cut2
+          FROM r)
+        SELECT doc_id, n_tokens, n_bigrams, nll_micro, nll_per,
+          CASE WHEN n_bigrams = 0 THEN 'tail'
+               WHEN nll_per <= cut1 THEN 'head'
+               WHEN nll_per <= cut2 THEN 'middle'
+               ELSE 'tail' END AS bucket
+        FROM sc, cuts
+    """
+
+    o["dup_span_removal"] = f"""
+        WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+        g AS (SELECT doc_id, tk,
+                CASE WHEN len(tk) >= 8 THEN
+                  list_transform(range(0, len(tk)-8+1),
+                                 i -> array_to_string(tk[i+1:i+8], ' '))
+                ELSE [] END AS grams
+              FROM t),
+        post AS (SELECT doc_id, unnest(range(0, len(grams))) AS pos,
+                        unnest(grams) AS gram
+                 FROM g),
+        dup AS (SELECT gram FROM post GROUP BY gram HAVING count(*) >= 2),
+        starts AS (SELECT doc_id, list(pos ORDER BY pos) AS ss
+                   FROM post JOIN dup USING (gram) GROUP BY doc_id),
+        fin AS (SELECT g.doc_id, tk,
+                       coalesce(ss, CAST([] AS BIGINT[])) AS ss
+                FROM g LEFT JOIN starts USING (doc_id)),
+        k AS (SELECT doc_id, tk,
+                list_transform(
+                  list_filter(range(0, len(tk)),
+                    i -> len(list_filter(ss, s -> s <= i AND i < s + 8)) = 0),
+                  i -> tk[i+1]) AS kept
+              FROM fin)
+        SELECT doc_id,
+               coalesce(array_to_string(kept, ' '), '') AS text_clean,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(len(tk) - len(kept) AS BIGINT) AS n_removed
+        FROM k
     """
 
     o["optimize_html"] = """

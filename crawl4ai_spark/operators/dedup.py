@@ -562,3 +562,91 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str,
             (F.coalesce("comp", F.col("id")) == F.col("id")).alias("canonical"),
         )
     )
+
+
+def remove_dup_spans(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 8,
+                     min_count: int = 2) -> DataFrame:
+    """Duplicated-span REMOVAL (the acting half of the Lee et al. 2022
+    exact-substring criterion whose measuring half is ``dup_ngram_stats``):
+    delete every token covered by a token n-gram that occurs >= ``min_count``
+    times across the whole corpus (within-doc repeats count — the paper
+    removes ALL copies of a duplicated substring, not all-but-one).
+
+    Operates in normalized token space (lowercased, whitespace-collapsed —
+    the same stream the measuring op and exact dedup key on; Lee et al.
+    likewise dedup the tokenized stream, not raw bytes).  Returns
+    ``(id_col, text_clean, n_tokens, n_removed)`` where text_clean is the
+    surviving tokens re-joined with single spaces, in original order.
+
+    Scale shape: gram occurrences are counted with ONE partial-aggregating
+    groupBy over xxhash64'd grams (8-byte exchange keys; counting is
+    O(occurrences), no pair join); the duplicated-gram set joins back to
+    the posting list (AQE broadcasts it when small), duplicate START
+    positions fold to a sorted per-doc array, and coverage is resolved
+    per row: starts merge into disjoint intervals with one linear
+    ``aggregate`` pass, then each token index tests membership against the
+    MERGED intervals — O(L × intervals) per row with intervals ≤ L/n
+    after merging, so a fully-boilerplate doc costs O(L²/n), not O(L²).
+    Docs with no duplicated grams skip the join entirely (left join +
+    coalesce keeps the doc-id spine intact)."""
+    toks = F.filter(F.split(normalized_text(F.col(text_col)), " "),
+                    lambda t: t != "")
+    g = widen(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"),
+        toks.alias("toks"),
+    ).localCheckpoint(eager=False)  # tokens built once: posting + rebuild
+    posting = g.select(
+        "id",
+        F.posexplode(F.when(
+            F.size("toks") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n))),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))).alias("pos", "gram"),
+    )
+    dup_grams = (
+        posting.groupBy("gram").agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= min_count).select("gram")
+    )
+    dup_starts = (
+        posting.join(dup_grams, "gram")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("starts"))
+    )
+    iv = F.aggregate(
+        F.col("starts"),
+        F.array().cast("array<struct<s:int,e:int>>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (s <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1)["s"].alias("s"),
+                    F.greatest(F.element_at(acc, -1)["e"],
+                               s + F.lit(n)).cast("int").alias("e"),
+                )),
+            ),
+        ).otherwise(F.concat(acc, F.array(F.struct(
+            s.cast("int").alias("s"), (s + F.lit(n)).cast("int").alias("e"),
+        )))),
+    )
+    joined = g.join(dup_starts, "id", "left").select(
+        "id", "toks",
+        F.coalesce(iv, F.array().cast("array<struct<s:int,e:int>>"))
+         .alias("iv"),
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.exists(
+            F.col("iv"), lambda m: (m["s"] <= i) & (i < m["e"])
+        ),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.array_join(kept, " ").alias("text_clean"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+    )

@@ -418,3 +418,145 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
         F.coalesce("n_lines", F.lit(0).cast("long")).alias("n_lines"),
         F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
     )
+
+def _lm_tokens(text: Column) -> Column:
+    """LM token stream: lowercased whitespace tokens (same normalization as
+    the DSIR features so the two selection signals share a vocabulary)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+def _lm_bigrams(toks: Column) -> Column:
+    """Adjacent-token bigram structs ``(w1, w2)``; < 2 tokens → empty."""
+    return F.when(
+        F.size(toks) < 2,
+        F.array().cast("array<struct<w1:string,w2:string>>"),
+    ).otherwise(F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("w1"),
+            F.element_at(toks, i + 2).alias("w2"),
+        ),
+    ))
+
+
+def ccnet_perplexity(corpus: DataFrame, target: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     target_text_col: str | None = None,
+                     smoothing: float = 1.0,
+                     sample_fraction: float = 1.0,
+                     seed: str = "ccnet") -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    train a smoothed bigram language model on a TARGET corpus (CCNet uses
+    a Wikipedia KenLM; any high-quality slice works), score every corpus
+    document by its per-bigram negative log-likelihood, and split the
+    corpus into head / middle / tail terciles — head being the most
+    target-like text, the slice CCNet keeps for training.
+
+    The LM is add-``smoothing`` over the target's bigram table:
+    ``p(w2|w1) = (c(w1,w2)+a) / (c1(w1)+a*V)`` where ``c1(w1)`` is the
+    number of target bigrams with history ``w1`` and ``V`` = distinct
+    target vocabulary + 1 (the OOV type).  Unseen histories degrade to
+    the uniform ``1/V``.
+
+    Returns ``(id_col, n_tokens, n_bigrams, nll_micro, nll_per, bucket)``:
+    ``nll_micro`` is the per-doc sum of ``round(-1e6 * ln p)`` in integer
+    MICRO-NATS (the DSIR idiom — only the per-(c12,c1) constant goes
+    through floating point; integer sums are exact under any partitioning),
+    ``nll_per = nll_micro DIV n_bigrams`` (integer), and ``bucket`` is
+    'head' / 'middle' / 'tail' by the tercile cutoffs of ``nll_per``
+    (lower = more target-like).  Docs with < 2 tokens carry
+    ``n_bigrams = 0`` and bucket 'tail' (no evidence — CCNet drops them).
+
+    Scale shape: the bigram and history tables are target-corpus-sized
+    dimensions (the target is the SMALL side by construction — CCNet's is
+    one Wikipedia) and are broadcast, so scoring the 100 TB corpus side is
+    two map-side joins + one partial-agg groupBy on the doc id.  Tercile
+    cutoffs come from an md5-deterministic Bernoulli sample of the scored
+    docs (``sample_fraction``; pick ~1e6/corpus_rows at scale) whose
+    single-partition rank window is bounded by the SAMPLE size, never the
+    corpus; the two cutoffs ride back as a broadcast one-row dimension.
+    Everything downstream of the ln is integer, so buckets are
+    reproducible on any engine/partitioning/cluster size.
+    """
+    tb = target_text_col or text_col
+    a = float(smoothing)
+
+    tgt_bi = (
+        target.select(F.explode(_lm_bigrams(_lm_tokens(F.col(tb)))).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    )
+    hist = tgt_bi.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = F.broadcast(
+        target.select(F.explode(_lm_tokens(F.col(tb))).alias("w"))
+        .agg((F.count_distinct("w") + F.lit(1)).cast("double").alias("__v"))
+    )
+
+    toks = _lm_tokens(F.col(text_col))
+    base = corpus.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        _lm_bigrams(toks).alias("bi"),
+    ).localCheckpoint(eager=False)  # bigrams built once: scorer + spine
+    pos = base.select(
+        id_col, F.explode("bi").alias("b")
+    ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    scored_rows = (
+        pos.join(F.broadcast(tgt_bi), ["w1", "w2"], "left")
+        .join(F.broadcast(hist), "w1", "left")
+        .crossJoin(vocab)
+        .select(
+            id_col,
+            F.round(F.lit(-1_000_000.0) * F.log(
+                (F.coalesce("c12", F.lit(0)).cast("double") + F.lit(a))
+                / (F.coalesce("c1", F.lit(0)).cast("double")
+                   + F.lit(a) * F.col("__v"))
+            ), 0).cast("long").alias("nll"),
+        )
+    )
+    per_doc = scored_rows.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"), F.sum("nll").alias("nll_micro")
+    )
+    scored = (
+        base.select(id_col, "n_tokens").join(per_doc, id_col, "left")
+        .select(
+            id_col, "n_tokens",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("nll_micro", F.lit(0)).cast("long").alias("nll_micro"),
+        )
+        .withColumn("nll_per", F.when(
+            F.col("n_bigrams") > 0,
+            F.expr("nll_micro div n_bigrams"),  # exact integer division
+        ).otherwise(F.lit(0).cast("long")))
+    )
+
+    # Tercile cutoffs over an md5-deterministic sample of scoreable docs.
+    # The rank window sorts only the SAMPLE (bounded by sample_fraction);
+    # at sf the probe uses fraction 1.0.
+    in_sample = F.lit(True) if sample_fraction >= 1.0 else (
+        F.substring(F.md5(F.concat_ws("#", F.col(id_col).cast("string"),
+                                      F.lit(seed))), 1, 8)
+        < F.lit(format(min(int(sample_fraction * 16**8), 16**8 - 1), "08x"))
+    )
+    samp = scored.where(
+        (F.col("n_bigrams") > 0) & in_sample
+    ).select("nll_per", F.col(id_col).alias("__tie"))
+    rk = Window.orderBy("nll_per", "__tie")
+    ranked = samp.select(
+        "nll_per", F.row_number().over(rk).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    cuts = F.broadcast(ranked.agg(
+        F.max(F.when(F.col("rn") == F.ceil(F.col("n") / 3.0), F.col("nll_per")))
+         .alias("__cut1"),
+        F.max(F.when(F.col("rn") == F.ceil(F.lit(2.0) * F.col("n") / 3.0),
+                     F.col("nll_per"))).alias("__cut2"),
+    ))
+    return scored.crossJoin(cuts).select(
+        id_col, "n_tokens", "n_bigrams", "nll_micro", "nll_per",
+        F.when(F.col("n_bigrams") == 0, F.lit("tail"))
+         .when(F.col("nll_per") <= F.col("__cut1"), F.lit("head"))
+         .when(F.col("nll_per") <= F.col("__cut2"), F.lit("middle"))
+         .otherwise(F.lit("tail")).alias("bucket"),
+    )

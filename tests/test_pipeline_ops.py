@@ -509,3 +509,72 @@ def test_heavy_hitters_df_semantics(spark):
     got = [(r["term"], r["df"]) for r in heavy_hitters(df, k=3).collect()]
     # document frequency, not term frequency; ties break lexicographically
     assert got == [("spark", 3), ("table", 2), ("rare", 1)]
+
+
+# --------------------------------------------------------------------------
+# remove_dup_spans — independent sequential twin (pure Python)
+# --------------------------------------------------------------------------
+
+def _twin_remove_spans(docs, n=8, min_count=2):
+    import re
+
+    def norm_toks(t):
+        return [w for w in re.sub(r"\s+", " ", t).strip().lower().split(" ")
+                if w]
+
+    posting = []  # (doc, pos, gram)
+    toks = {}
+    for did, t in docs:
+        ws = norm_toks(t)
+        toks[did] = ws
+        for i in range(len(ws) - n + 1):
+            posting.append((did, i, " ".join(ws[i:i + n])))
+    occ = {}
+    for _, _, g in posting:
+        occ[g] = occ.get(g, 0) + 1
+    out = {}
+    for did, ws in toks.items():
+        covered = set()
+        for d2, i, g in posting:
+            if d2 == did and occ[g] >= min_count:
+                covered.update(range(i, i + n))
+        kept = [w for i, w in enumerate(ws) if i not in covered]
+        out[did] = (" ".join(kept), len(ws), len(ws) - len(kept))
+    return out
+
+
+def test_remove_dup_spans_matches_twin(spark):
+    from crawl4ai_spark.operators import dedup
+
+    boiler = "subscribe to our newsletter for all the latest updates today"
+    rows = [
+        (0, f"unique prose alpha beta gamma delta epsilon zeta eta theta. {boiler}"),
+        (1, f"{boiler} and then some totally different trailing words here"),
+        (2, "short doc"),                                # < n tokens
+        (3, "Entirely   Unique\ncontent with MIXED case and  spaces kept"),
+        (4, f"{boiler} {boiler} middle words {boiler}"),  # within-doc repeats
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_removed"])
+        for r in dedup.remove_dup_spans(df, n=8).collect()
+    }
+    want = _twin_remove_spans(rows, n=8)
+    assert got == want
+    # the boilerplate run must actually be excised from both carriers
+    assert boiler not in got[0][0] and boiler not in got[1][0]
+    assert got[2] == ("short doc", 2, 0)       # too short to gram: untouched
+    assert got[4][2] > 0                        # self-repeats removed too
+
+
+def test_remove_dup_spans_partition_invariance(spark):
+    from crawl4ai_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog every single day"
+    rows = [(i, base + f" variant {i % 4}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, dedup.remove_dup_spans(df).collect()))
+    b = sorted(map(tuple, dedup.remove_dup_spans(df.repartition(11)).collect()))
+    assert a == b == sorted(
+        (k,) + v for k, v in _twin_remove_spans(rows).items()
+    )

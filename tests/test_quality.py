@@ -237,3 +237,100 @@ def test_line_dedup_keeps_blank_docs(spark):
         assert got[d]["text_clean"] == ""
         assert got[d]["n_lines"] == 0 and got[d]["n_kept"] == 0
     assert got[0]["text_clean"] == "keep me"
+
+
+# --------------------------------------------------------------------------
+# ccnet_perplexity — independent sequential twin (hashlib/math only)
+# --------------------------------------------------------------------------
+
+def _twin_ccnet(corpus, target, a=1.0):
+    """Sequential bigram-LM twin: dict counts + math.log, no engine code."""
+    import math
+
+    def toks(t):
+        return [w for w in t.lower().split() if w]
+
+    c12, c1, vocab = {}, {}, set()
+    for t in target:
+        ws = toks(t)
+        vocab.update(ws)
+        for i in range(len(ws) - 1):
+            b = (ws[i], ws[i + 1])
+            c12[b] = c12.get(b, 0) + 1
+            c1[ws[i]] = c1.get(ws[i], 0) + 1
+    v = float(len(vocab) + 1)
+
+    out = {}
+    for did, t in corpus:
+        ws = toks(t)
+        nll = 0
+        nb = 0
+        for i in range(len(ws) - 1):
+            b = (ws[i], ws[i + 1])
+            p = (c12.get(b, 0) + a) / (c1.get(ws[i], 0) + a * v)
+            nll += int(round(-1e6 * math.log(p)))
+            nb += 1
+        per = nll // nb if nb else 0
+        out[did] = (len(ws), nb, nll, per)
+    # terciles over scoreable docs, ties by doc id
+    sc = sorted((p, d) for d, (_, nb, _, p) in out.items() if nb > 0)
+    k1, k2 = -(-len(sc) // 3), -(-2 * len(sc) // 3)
+    cut1 = sc[k1 - 1][0] if sc else None
+    cut2 = sc[k2 - 1][0] if sc else None
+    res = {}
+    for did, (nt, nb, nll, per) in out.items():
+        if nb == 0:
+            b = "tail"
+        elif per <= cut1:
+            b = "head"
+        elif per <= cut2:
+            b = "middle"
+        else:
+            b = "tail"
+        res[did] = (nt, nb, nll, per, b)
+    return res
+
+
+def test_ccnet_perplexity_matches_twin(spark):
+    from crawl4ai_spark.operators.quality import ccnet_perplexity
+
+    target = [
+        "the cat sat on the mat and the dog sat on the rug",
+        "a cat and a dog sat by the door of the house",
+        "the house has a door and the door has a mat",
+    ]
+    corpus = [
+        (0, "the cat sat on the mat"),           # very target-like
+        (1, "the dog sat by the door"),          # target-like
+        (2, "quantum flux capacitors oscillate wildly"),  # OOV-heavy
+        (3, "a dog and a cat"),                  # target-like
+        (4, "zzz"),                              # 1 token -> no bigrams
+        (5, ""),                                 # empty
+        (6, "the the the the the the"),          # seen history, odd bigram
+    ]
+    cdf = spark.createDataFrame(corpus, ["doc_id", "text"])
+    tdf = spark.createDataFrame([(t,) for t in target], ["text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_bigrams"], r["nll_micro"],
+                      r["nll_per"], r["bucket"])
+        for r in ccnet_perplexity(cdf, tdf).collect()
+    }
+    want = _twin_ccnet(corpus, target)
+    assert got == want
+    # sanity: the OOV-heavy doc must be strictly worse than target-like docs
+    assert got[2][3] > got[0][3]
+    assert got[4][4] == "tail" and got[5][4] == "tail"
+
+
+def test_ccnet_partitioning_invariance(spark):
+    from crawl4ai_spark.operators.quality import ccnet_perplexity
+
+    target = ["the cat sat on the mat", "a dog by the door"]
+    corpus = [(i, f"the cat sat near door number {i} " * (1 + i % 3))
+              for i in range(40)]
+    cdf = spark.createDataFrame(corpus, ["doc_id", "text"])
+    tdf = spark.createDataFrame([(t,) for t in target], ["text"])
+    a = sorted(map(tuple, ccnet_perplexity(cdf, tdf).collect()))
+    b = sorted(map(tuple, ccnet_perplexity(
+        cdf.repartition(13), tdf.repartition(3)).collect()))
+    assert a == b
