@@ -43,6 +43,18 @@ from bench import training_prep_bench
 tp_cold = training_prep_bench(spark, {n_images} * 25)["sec"]
 tp_runs = [training_prep_bench(spark, {n_images} * 25)["sec"] for _ in range(3)]
 tp_s = min(tp_runs)
+# same-JVM pure-codegen machine-ceiling control (zero shuffle, zero
+# Python): how fast THIS window's host scales ANY code 8->32
+from pyspark.sql import functions as _F
+def _ctl():
+    t0 = time.time()
+    spark.range(0, 2_000_000_000, 1, int(os.environ["SPARK_GRAFT_CPUS"])) \
+        .select(_F.xxhash64("id").alias("h")) \
+        .agg(_F.sum(_F.col("h") / 1e18)).collect()
+    return time.time() - t0
+_ctl()
+ctl_runs = [_ctl() for _ in range(3)]
+ctl_s = min(ctl_runs)
 print("CHILD_RESULT " + json.dumps({{
     "cpus": int(os.environ["SPARK_GRAFT_CPUS"]),
     "frontier_sec": round(fs_s, 2), "frontier_links": fs_n,
@@ -54,6 +66,8 @@ print("CHILD_RESULT " + json.dumps({{
     "training_sec": round(tp_s, 2), "training_rows": {n_images} * 25,
     "training_cold_sec": round(tp_cold, 2),
     "training_runs": [round(s, 2) for s in tp_runs],
+    "control_sec": round(ctl_s, 3),
+    "control_runs": [round(s, 2) for s in ctl_runs],
 }}))
 """
 
@@ -110,6 +124,15 @@ def main() -> None:
             "frontier": eff("frontier_sec"),
             "decode": eff("decode_sec"),
             "training_prep": eff("training_sec"),
+        },
+        # same-JVM pure-codegen ceiling: what THIS window's host gives ANY
+        # code from N to 4N — normalize pipeline efficiencies against it
+        "control_ceiling": eff("control_sec"),
+        "efficiency_vs_ceiling": {
+            "frontier": round(eff("frontier_sec") / eff("control_sec"), 3),
+            "decode": round(eff("decode_sec") / eff("control_sec"), 3),
+            "training_prep": round(
+                eff("training_sec") / eff("control_sec"), 3),
         },
     }
     print(json.dumps(result))
