@@ -1345,6 +1345,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dup_span_removal"] = q_dup_span_removal
 
+    def q_text_utils(spark, sf):
+        # scalar-utils parity pack (reference utils.py:716-2662): four of
+        # the column twins over templated document columns; the oracle
+        # re-derives fast_format_html's indentation with WINDOW running
+        # sums — a different algorithm than the engine's aggregate fold
+        from crawl4ai_spark.functions.textutils import (
+            clean_tokens_col, extract_xml_data_cols, fast_format_html_col,
+            normalize_text_col,
+        )
+
+        docs = _t(spark, sf, "documents")
+        norm = normalize_text_col(F.col("text"))
+        html = F.concat(
+            F.lit("<div><p>"), F.substring("text", 1, 40),
+            F.lit("</p><br/><span>"), F.col("lang"), F.lit("</span></div>"))
+        xml = F.concat(F.lit("<title>"), F.col("source"),
+                       F.lit("</title><lang>"), F.col("lang"), F.lit("</lang>"))
+        return docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            norm.alias("norm_text"),
+            F.size(clean_tokens_col(F.split(norm, " ")))
+             .cast("long").alias("n_clean_tokens"),
+            fast_format_html_col(html).alias("fmt_html"),
+            extract_xml_data_cols(xml, ["lang", "title"])
+             .getItem("title").alias("xml_title"),
+        )
+    q["text_utils"] = q_text_utils
+
+    _bpe_memo: dict[str, list] = {}
+
+    def _bpe_merges_df(spark, sf):
+        # train once per sf per process (both bpe probes consume it);
+        # the memo holds the COLLECTED merge rows (k=20 tuples)
+        from crawl4ai_spark.operators.bpe import bpe_train
+
+        if sf not in _bpe_memo:
+            _bpe_memo[sf] = [
+                (r["rank"], r["left"], r["right"], r["freq"])
+                for r in bpe_train(_t(spark, sf, "documents"),
+                                   num_merges=20).collect()
+            ]
+        return spark.createDataFrame(
+            _bpe_memo[sf], "rank int, left string, right string, freq long")
+
+    def q_bpe_merges(spark, sf):
+        # distributed BPE tokenizer training (Sennrich et al. 2016): the
+        # corpus-sized pass is ONE word-count groupBy; merge rounds run on
+        # the vocabulary-sized word table.  Expected table from the
+        # independent sequential twin (dicts + loops, no engine imports)
+        oracle_expected.ensure_bpe_expected(sf)
+        return _bpe_merges_df(spark, sf)
+    q["bpe_merges"] = q_bpe_merges
+
+    def q_bpe_segment(spark, sf):
+        # corpus segmentation with the learned merges: one Arrow stage,
+        # merge ranks closed over, per-batch distinct-word memo
+        from crawl4ai_spark.operators.bpe import bpe_segment
+
+        oracle_expected.ensure_bpe_expected(sf)
+        docs = _t(spark, sf, "documents")
+        return bpe_segment(docs, _bpe_merges_df(spark, sf)).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_tokens", "n_pieces",
+        )
+    q["bpe_segment"] = q_bpe_segment
+
+    def q_chunk_stream(spark, sf):
+        # cross-document streaming chunker (reference utils.py:46-130):
+        # sharded like pack_sequences, one Arrow fold per shard; expected
+        # table from the independent hashlib/deque twin
+        from crawl4ai_spark.operators.chunking import stream_chunks
+
+        oracle_expected.ensure_stream_chunks_expected(sf)
+        docs = _t(spark, sf, "documents")
+        return stream_chunks(
+            docs, chunk_token_threshold=100, overlap=12,
+        ).select(
+            F.col("shard").cast("int").alias("shard"),
+            "chunk_idx", "chunk", "n_words",
+        )
+    q["chunk_stream"] = q_chunk_stream
+
     def q_optimize_html(spark, sf):
         # optimize_html twin (reference utils.py:2764-2781): the oracle
         # rebuilds the expected serialization directly from the raw text
@@ -1586,7 +1668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 additions (registered below if present)
         "ssl_certificates", "google_serp_extract", "amazon_product_extract",
         "dfs_batched_crawl", "xpath_positional",
-        "ccnet_buckets", "dup_span_removal",
+        "ccnet_buckets", "dup_span_removal", "text_utils",
+        "bpe_merges", "bpe_segment", "chunk_stream",
     ]
     ordered = {k: q[k] for k in _priority if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -2393,6 +2476,18 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, shard, seq_id, seq_off, n_tokens "
         f"FROM read_parquet('{_exp('pack_sequences', True)}')"
     )
+    o["bpe_merges"] = (
+        'SELECT rank, "left", "right", freq '
+        f"FROM read_parquet('{_exp('bpe_merges', True)}')"
+    )
+    o["bpe_segment"] = (
+        "SELECT doc_id, n_tokens, n_pieces "
+        f"FROM read_parquet('{_exp('bpe_segment', True)}')"
+    )
+    o["chunk_stream"] = (
+        "SELECT shard, chunk_idx, chunk, n_words "
+        f"FROM read_parquet('{_exp('chunk_stream', True)}')"
+    )
 
     o["llm_extract"] = (
         "SELECT url, section_idx, block_idx, tags, content, error "
@@ -2787,6 +2882,55 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(tk) AS BIGINT) AS n_tokens,
                CAST(len(tk) - len(kept) AS BIGINT) AS n_removed
         FROM k
+    """
+
+    from crawl4ai_spark.functions.textutils import (
+        CLEAN_TOKENS_NOISE, CLEAN_TOKENS_STOP)
+    _ct_stop = ", ".join(
+        "'" + w.replace("'", "''") + "'"
+        for w in sorted(set(CLEAN_TOKENS_NOISE) | set(CLEAN_TOKENS_STOP)))
+    o["text_utils"] = f"""
+        WITH base AS (
+          SELECT doc_id,
+            regexp_replace(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                           '[^a-zA-Z0-9_ ]', '', 'g') AS norm_text,
+            '<div><p>' || substr(text, 1, 40) || '</p><br/><span>' || lang
+              || '</span></div>' AS html,
+            '<title>' || source || '</title><lang>' || lang || '</lang>' AS xml
+          FROM documents),
+        parts AS (
+          SELECT doc_id, unnest(range(0, len(ps))) AS pos,
+                 trim(unnest(ps)) AS p
+          FROM (SELECT doc_id,
+                  string_split(replace(replace(html, '>', '>' || chr(10)),
+                                       '<', chr(10) || '<'), chr(10)) AS ps
+                FROM base)),
+        d AS (
+          SELECT doc_id, pos, p,
+            CASE WHEN starts_with(p, '</') THEN -1
+                 WHEN starts_with(p, '<') AND ends_with(p, '/>') THEN 0
+                 WHEN starts_with(p, '<') THEN 1 ELSE 0 END AS delta
+          FROM parts WHERE p <> ''),
+        i AS (
+          SELECT doc_id, pos, p,
+            coalesce(sum(delta) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + CASE WHEN starts_with(p, '</') THEN -1 ELSE 0 END AS ind
+          FROM d),
+        f AS (
+          SELECT doc_id,
+                 string_agg(repeat('  ', CAST(greatest(ind, 0) AS INTEGER)) || p,
+                            chr(10) ORDER BY pos) AS fmt_html
+          FROM i GROUP BY doc_id)
+        SELECT base.doc_id, norm_text,
+          CAST(len(list_filter(string_split(norm_text, ' '),
+            t -> len(t) > 2 AND NOT list_contains([{_ct_stop}], t)
+                 AND NOT starts_with(t, '↑') AND NOT starts_with(t, '▲')
+                 AND NOT starts_with(t, '⬆'))) AS BIGINT) AS n_clean_tokens,
+          coalesce(fmt_html, '') AS fmt_html,
+          trim(coalesce(regexp_extract(xml, '(?s)<title>(.*?)</title>', 1), ''))
+            AS xml_title
+        FROM base LEFT JOIN f ON base.doc_id = f.doc_id
     """
 
     o["optimize_html"] = """

@@ -200,3 +200,89 @@ def overlapping_window_chunks(df: DataFrame, window: int = 1000,
         )
     )
     return _explode(df, chunks, text_col)
+
+
+def stream_chunks(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  chunk_token_threshold: int = 100, overlap: int = 10,
+                  word_token_rate: float = 0.75,
+                  n_shards: int = 8, seed: int = 5) -> DataFrame:
+    """Cross-document streaming chunker — the reference's
+    ``chunk_documents`` (utils.py:46-130): a token queue runs ACROSS
+    document boundaries, emitting chunks whose weighted token total stays
+    under ``chunk_token_threshold`` (each word weighs ``word_token_rate``
+    tokens); up to ``overlap`` token-weight of each chunk's TAIL is pushed
+    back onto the queue and opens the next chunk (reference quirk
+    preserved: the yielded chunk EXCLUDES that tail — overlap defers
+    tokens, it does not duplicate them).  The queue remainder flushes as a
+    final short chunk per stream.
+
+    The reference consumes one ordered iterable; at corpus scale the
+    stream is sharded exactly like ``sampling.pack_sequences``: shard =
+    first 16 bits of the md5 pack key (reproducible under any
+    partitioning), docs ordered by (pack_key, id) within shard, ONE hash
+    shuffle, then one Arrow ``applyInPandas`` fold per shard — shards are
+    independent streams and run in parallel.
+
+    Returns ``(shard int, chunk_idx long, chunk string, n_words long)``.
+    Requires ``overlap < chunk_token_threshold`` (the reference loops
+    forever otherwise).  Weights are multiples of 0.25 (0.75 or the
+    tokenizer path's 1.0), so float comparisons are exact and the fold is
+    bit-deterministic on any engine.
+    """
+    if overlap >= chunk_token_threshold:
+        raise ValueError("overlap must be < chunk_token_threshold")
+    key = F.md5(F.concat_ws("#", F.col(id_col).cast("string"), F.lit(str(seed))))
+    staged = docs.select(
+        F.col(id_col), F.col(text_col),
+        key.alias("__pk"),
+        (F.conv(F.substring(key, 1, 4), 16, 10).cast("int") % n_shards)
+         .alias("shard"),
+    )
+    fields = "shard int, chunk_idx long, chunk string, n_words long"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        from collections import deque
+
+        pdf = pdf.sort_values(["__pk", id_col])
+        shard = int(pdf["shard"].iloc[0])
+        toks: deque = deque()
+        count = 0.0
+        out = []
+
+        def emit(chunk_toks: list[str]):
+            out.append((shard, len(out), " ".join(chunk_toks),
+                        len(chunk_toks)))
+
+        for text in pdf[text_col]:
+            ws = (text or "").split()
+            toks.extend(ws)
+            count += word_token_rate * len(ws)
+            while count >= chunk_token_threshold:
+                chunk: list[str] = []
+                total = 0.0
+                while toks:
+                    if total + word_token_rate > chunk_token_threshold:
+                        break
+                    total += word_token_rate
+                    chunk.append(toks.popleft())
+                if not chunk:  # single token exceeds threshold
+                    chunk.append(toks.popleft())
+                    total += word_token_rate
+                ov_total, ov_idx = 0.0, 0
+                for _ in reversed(chunk):
+                    if ov_total + word_token_rate > overlap:
+                        break
+                    ov_total += word_token_rate
+                    ov_idx += 1
+                if ov_idx > 0:
+                    toks.extendleft(reversed(chunk[-ov_idx:]))
+                    count += ov_total
+                count -= total
+                emit(chunk[:len(chunk) - ov_idx] if ov_idx else chunk)
+        if toks:
+            emit(list(toks))
+        return pd.DataFrame(out, columns=["shard", "chunk_idx", "chunk",
+                                          "n_words"])
+
+    return staged.groupBy("shard").applyInPandas(fold, schema=fields)

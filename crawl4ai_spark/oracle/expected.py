@@ -1274,3 +1274,149 @@ def ensure_ssl_expected(sf_dir: str, n_hosts: int = 60) -> None:
                        "ssl_san", "ssl_pem"]).astype(
         {"ssl_version": "int32"}), sf_dir)
     _done.add(key)
+
+
+def ensure_bpe_expected(sf_dir: str, num_merges: int = 20) -> None:
+    """Independent sequential BPE twin over the documents table (no
+    engine imports): word counts with the Java-regex ASCII ``\\s+`` split,
+    greedy merge learning with the (freq DESC, left ASC, right ASC)
+    argmax, and standard lowest-rank-first encoding.  Writes BOTH the
+    merge table (``bpe_merges``) and the per-doc piece counts
+    (``bpe_segment``)."""
+    import re
+
+    key = ("bpe", sf_dir, num_merges)
+    if key in _done:
+        return
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    wc: dict = {}
+    per_doc: dict = {}
+    for r in docs.itertuples():
+        ws = [t for t in re.split(r"\s+", r.text.lower(), flags=re.ASCII)
+              if t]
+        per_doc[int(r.doc_id)] = ws
+        for w in ws:
+            wc[w] = wc.get(w, 0) + 1
+    syms = {w: list(w) + ["</w>"] for w in wc}
+    merges = []
+    for rank in range(num_merges):
+        pf: dict = {}
+        for w, ss in syms.items():
+            c = wc[w]
+            for a, b in zip(ss, ss[1:]):
+                pf[(a, b)] = pf.get((a, b), 0) + c
+        if not pf:
+            break
+        (l, rt), freq = min(pf.items(), key=lambda kv: (-kv[1], kv[0]))
+        if freq < 2:
+            break
+        merges.append((rank, l, rt, freq))
+        for w, ss in syms.items():
+            out = []
+            for s in ss:
+                if out and out[-1] == l and s == rt:
+                    out[-1] = l + rt
+                else:
+                    out.append(s)
+            syms[w] = out
+    _write("bpe_merges", pd.DataFrame(
+        merges, columns=["rank", "left", "right", "freq"]
+    ).astype({"rank": "int32", "freq": "int64"}), sf_dir)
+
+    ranks = {(l, rt): k for k, l, rt, _ in merges}
+
+    def enc_len(word: str) -> int:
+        ss = list(word) + ["</w>"]
+        while len(ss) >= 2:
+            cands = [(ranks[(a, b)], (a, b)) for a, b in zip(ss, ss[1:])
+                     if (a, b) in ranks]
+            if not cands:
+                break
+            _, (l, rt) = min(cands)
+            out = []
+            for s in ss:
+                if out and out[-1] == l and s == rt:
+                    out[-1] = l + rt
+                else:
+                    out.append(s)
+            ss = out
+        return len(ss)
+
+    memo: dict = {}
+    rows = []
+    for did, ws in per_doc.items():
+        pieces = 0
+        for w in ws:
+            n = memo.get(w)
+            if n is None:
+                n = enc_len(w)
+                memo[w] = n
+            pieces += n
+        rows.append((did, len(ws), pieces))
+    _write("bpe_segment", pd.DataFrame(
+        rows, columns=["doc_id", "n_tokens", "n_pieces"]
+    ).astype({"doc_id": "int64", "n_tokens": "int64", "n_pieces": "int64"}),
+        sf_dir)
+    _done.add(key)
+
+
+def ensure_stream_chunks_expected(sf_dir: str, threshold: int = 100,
+                                  overlap: int = 12, rate: float = 0.75,
+                                  n_shards: int = 8, seed: int = 5) -> None:
+    """Independent twin of operators/chunking.stream_chunks over the
+    documents table: md5 shard keys via hashlib, the reference's
+    cross-document token-queue fold (utils.py:46-130 semantics) re-derived
+    with a deque — no engine imports."""
+    import hashlib
+    from collections import deque
+
+    key = ("stream_chunks", sf_dir, threshold, overlap, rate, n_shards, seed)
+    if key in _done:
+        return
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    staged = []
+    for r in docs.itertuples():
+        pk = hashlib.md5(f"{int(r.doc_id)}#{seed}".encode()).hexdigest()
+        staged.append((int(pk[:4], 16) % n_shards, pk, int(r.doc_id),
+                       r.text or ""))
+    out = []
+    for shard in sorted({s for s, *_ in staged}):
+        stream = sorted([x for x in staged if x[0] == shard],
+                        key=lambda x: (x[1], x[2]))
+        toks, count, idx = deque(), 0.0, 0
+        for _s, _pk, _did, text in stream:
+            ws = text.split()
+            toks.extend(ws)
+            count += rate * len(ws)
+            while count >= threshold:
+                chunk, total = [], 0.0
+                while toks:
+                    if total + rate > threshold:
+                        break
+                    total += rate
+                    chunk.append(toks.popleft())
+                if not chunk:
+                    chunk.append(toks.popleft())
+                    total += rate
+                ov_total, ov_idx = 0.0, 0
+                for _ in reversed(chunk):
+                    if ov_total + rate > overlap:
+                        break
+                    ov_total += rate
+                    ov_idx += 1
+                if ov_idx:
+                    toks.extendleft(reversed(chunk[-ov_idx:]))
+                    count += ov_total
+                count -= total
+                kept = chunk[:len(chunk) - ov_idx] if ov_idx else chunk
+                out.append((shard, idx, " ".join(kept), len(kept)))
+                idx += 1
+        if toks:
+            out.append((shard, idx, " ".join(toks), len(toks)))
+    _write("chunk_stream", pd.DataFrame(
+        out, columns=["shard", "chunk_idx", "chunk", "n_words"]
+    ).astype({"shard": "int32", "chunk_idx": "int64", "n_words": "int64"}),
+        sf_dir)
+    _done.add(key)

@@ -339,6 +339,57 @@ def main() -> None:
         sections[-1] = (sections[-1][0] + " — FAIL: plan shuffles",
                         cp_plan, sections[-1][2])
 
+    # 24. CCNet perplexity: LM dims broadcast (corpus side never shuffles
+    # for scoring), ONE per-doc partial aggregate; the tercile window runs
+    # on the SAMPLE only (bounded)
+    from crawl4ai_spark.operators.quality import ccnet_perplexity
+
+    cc_plan = plan_of(ccnet_perplexity(dq, tgt))
+    sections.append((
+        "CCNet perplexity (broadcast bigram-LM dims, per-doc partial agg)",
+        cc_plan, ["BroadcastHashJoin", "HashAggregate", "Generate"],
+    ))
+
+    # 25. duplicated-span removal: gram occurrence count is ONE partial
+    # aggregate; the dup join must stay an equality hash join
+    from crawl4ai_spark.operators.dedup import remove_dup_spans
+
+    ds_plan = plan_of(remove_dup_spans(dq))
+    sections.append((
+        "Dup-span removal (partial-agg occurrence count → equality join)",
+        ds_plan, ["HashAggregate", "Generate", "hashpartitioning"],
+    ))
+    assert "CartesianProduct" not in ds_plan, \
+        "dup-span gram join degenerated to all-pairs"
+
+    # 26. BPE: the only corpus-sized pass (word count) is a partial-agg
+    # groupBy; one merge round's pair count runs on the vocab-sized table
+    from crawl4ai_spark.operators.bpe import _word_counts
+
+    wc = _word_counts(dq, "text")
+    sections.append((
+        "BPE word count (corpus pays ONE partial-agg groupBy)",
+        plan_of(wc), ["HashAggregate", "Generate", "hashpartitioning"],
+    ))
+
+    # 27. fast_format_html + normalize_text: pure codegen, zero Exchange
+    from crawl4ai_spark.functions.textutils import (
+        fast_format_html_col, normalize_text_col)
+
+    tu = dq.select(
+        normalize_text_col(F.col("text")).alias("n"),
+        fast_format_html_col(
+            F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"))).alias("f"),
+    )
+    tu_plan = plan_of(tu)
+    sections.append((
+        "Text utils (normalize + fast_format_html — codegen, zero Exchange)",
+        tu_plan, ["ReadSchema"],
+    ))
+    if "Exchange" in tu_plan:
+        sections[-1] = (sections[-1][0] + " — FAIL: plan shuffles",
+                        tu_plan, sections[-1][2])
+
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)\n"]
     out.append(
         "Generated by tools/explain_audit.py. Verdict lines check the "
