@@ -1427,6 +1427,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["chunk_stream"] = q_chunk_stream
 
+    def q_cuckoo_seen(spark, sf):
+        # partitioned cuckoo URL-seen with DELETION (north_rule's other
+        # named structure): add doc urls < 300, evict the 100..199 slice
+        # (recrawl-TTL scenario), probe all — vs the sequential twin
+        from crawl4ai_spark.operators.seen import CuckooSidecar
+
+        oracle_expected.ensure_cuckoo_expected(sf)
+        docs = _t(spark, sf, "documents").select("doc_id")
+        urls = docs.select(
+            F.concat(F.lit("https://ex.test/p"), F.col("doc_id")).alias("url"),
+            F.col("doc_id"))
+        ck = CuckooSidecar(spark, capacity=1024, n_shards=8)
+        ck.add(urls.where(F.col("doc_id") < 300).select("url"))
+        ck.delete(urls.where((F.col("doc_id") >= 100)
+                             & (F.col("doc_id") < 200)).select("url"))
+        return ck.prefilter(urls.select("url"), "url", num_partitions=8)
+    q["cuckoo_seen"] = q_cuckoo_seen
+
     def q_optimize_html(spark, sf):
         # optimize_html twin (reference utils.py:2764-2781): the oracle
         # rebuilds the expected serialization directly from the raw text
@@ -1669,7 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ssl_certificates", "google_serp_extract", "amazon_product_extract",
         "dfs_batched_crawl", "xpath_positional",
         "ccnet_buckets", "dup_span_removal", "text_utils",
-        "bpe_merges", "bpe_segment", "chunk_stream",
+        "bpe_merges", "bpe_segment", "chunk_stream", "cuckoo_seen",
     ]
     ordered = {k: q[k] for k in _priority if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -2487,6 +2505,10 @@ def oracle_sql() -> dict[str, str]:
     o["chunk_stream"] = (
         "SELECT shard, chunk_idx, chunk, n_words "
         f"FROM read_parquet('{_exp('chunk_stream', True)}')"
+    )
+    o["cuckoo_seen"] = (
+        "SELECT url, maybe_seen "
+        f"FROM read_parquet('{_exp('cuckoo_seen', True)}')"
     )
 
     o["llm_extract"] = (

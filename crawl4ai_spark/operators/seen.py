@@ -279,3 +279,206 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame, url_col: str = "url",
     suspect = flagged.filter(F.col("maybe_seen")).drop("maybe_seen", "__h")
     checked = suspect.join(seen_urls, on=url_col, how="left_anti")
     return fresh.unionByName(checked)
+
+
+# ---------------------------------------------------------------------------
+# Cuckoo sidecar — the north_rule's other named URL-seen structure.
+# Fan et al. 2014, "Cuckoo Filter: Practically Better Than Bloom": buckets
+# of 4 slots hold 16-bit fingerprints; item → two candidate buckets
+# (i2 = i1 XOR h(fp)); membership = fingerprint present in either.  Unlike
+# Bloom it supports DELETE — the recrawl scheduler can evict a URL whose
+# TTL expired so the frontier re-admits it, without rebuilding the filter.
+# ---------------------------------------------------------------------------
+
+_CK_SLOTS = 4
+_CK_KICKS = 500
+_CK_MUL = np.uint64(0x5BD1E995)  # fp → alt-bucket offset hash
+
+
+def _ck_fp(h: np.ndarray) -> np.ndarray:
+    """16-bit nonzero fingerprint from the key's high half."""
+    fp = ((h.astype(np.uint64) >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.uint16)
+    fp[fp == 0] = 1
+    return fp
+
+
+def _ck_i1(h: np.ndarray, mask: int) -> np.ndarray:
+    return (h.astype(np.uint64) & np.uint64(mask)).astype(np.int64)
+
+
+def _ck_alt(i: np.ndarray, fp: np.ndarray, mask: int) -> np.ndarray:
+    off = (fp.astype(np.uint64) * _CK_MUL) & np.uint64(mask)
+    return (i.astype(np.uint64) ^ off).astype(np.int64)
+
+
+def _ck_insert(table: np.ndarray, h: np.ndarray) -> bool:
+    """Insert keys (SORTED for determinism) with cuckoo kicking.  Returns
+    False if any insertion failed (caller marks the shard saturated)."""
+    mask = table.shape[0] - 1
+    fps = _ck_fp(h)
+    i1s = _ck_i1(h, mask)
+    ok = True
+    for fp, i1 in zip(fps, i1s):
+        i2 = int(_ck_alt(np.array([i1]), np.array([fp]), mask)[0])
+        placed = False
+        for b in (int(i1), i2):
+            row = table[b]
+            free = np.nonzero(row == 0)[0]
+            if len(free):
+                row[free[0]] = fp
+                placed = True
+                break
+        if placed:
+            continue
+        cur, b = fp, int(i1)
+        for kick in range(_CK_KICKS):
+            slot = kick % _CK_SLOTS  # deterministic eviction sequence
+            cur, table[b][slot] = table[b][slot], cur
+            b = int(_ck_alt(np.array([b]), np.array([cur]), mask)[0])
+            row = table[b]
+            free = np.nonzero(row == 0)[0]
+            if len(free):
+                row[free[0]] = cur
+                placed = True
+                break
+        if not placed:
+            # park the homeless fingerprint back; shard saturates
+            ok = False
+    return ok
+
+
+def _ck_delete(table: np.ndarray, h: np.ndarray) -> None:
+    mask = table.shape[0] - 1
+    fps = _ck_fp(h)
+    i1s = _ck_i1(h, mask)
+    for fp, i1 in zip(fps, i1s):
+        i2 = int(_ck_alt(np.array([i1]), np.array([fp]), mask)[0])
+        for b in (int(i1), i2):
+            row = table[b]
+            hit = np.nonzero(row == fp)[0]
+            if len(hit):
+                row[hit[0]] = 0
+                break
+
+
+def _ck_contains(table: np.ndarray, h: np.ndarray) -> np.ndarray:
+    mask = table.shape[0] - 1
+    fps = _ck_fp(h)
+    i1 = _ck_i1(h, mask)
+    i2 = _ck_alt(i1, fps, mask)
+    in1 = (table[i1] == fps[:, None]).any(axis=1)
+    in2 = (table[i2] == fps[:, None]).any(axis=1)
+    return in1 | in2
+
+
+class CuckooSidecar:
+    """Incremental, fully distributed partitioned CUCKOO filter — the
+    deletable sibling of :class:`BloomSidecar` (north_rule names both).
+
+    State is a ``(shard int, table binary, overflow boolean)`` DataFrame of
+    ≤ ``n_shards`` rows that never reaches the driver: ``add`` / ``delete``
+    fold each batch's xxhash64 keys into their shard's table via a
+    same-shard cogroup (batch keys SORTED before insertion so the table
+    bytes are deterministic under any partitioning), ``prefilter`` probes
+    with a same-shard cogroup and flags ``maybe_seen``.
+
+    Guarantees: no false negatives for every added-and-not-deleted URL, so
+    the exact anti-join stays exact when only the maybe-seen slice joins;
+    a shard whose insert overflows (load > ~95%) is marked ``overflow`` and
+    probes in it return maybe_seen=True for everything — degraded to the
+    plain anti-join, never wrong.  ``delete`` removes ONE fingerprint copy
+    (delete only URLs previously added — cuckoo's standard contract);
+    after deletion the URL probes definitely-new and can be re-admitted —
+    the recrawl-TTL eviction Bloom cannot express.
+    """
+
+    def __init__(self, spark, capacity: int, n_shards: int = 32):
+        per_shard = max(16, capacity // n_shards + 1)
+        n_buckets = 1
+        while n_buckets * _CK_SLOTS * 0.95 < per_shard:
+            n_buckets *= 2
+        self.n_buckets = n_buckets
+        self.n_shards = n_shards
+        self.state: DataFrame = spark.createDataFrame(
+            [], "shard int, table binary, overflow boolean")
+
+    def _keyed(self, urls: DataFrame, url_col: str) -> DataFrame:
+        h = F.xxhash64(F.col(url_col))
+        return urls.select(
+            h.alias("__h"),
+            F.pmod(h, F.lit(self.n_shards)).cast("int").alias("shard"),
+        )
+
+    def _apply(self, urls: DataFrame, url_col: str, mode: str) -> None:
+        nb = self.n_buckets
+
+        def fold(old: pd.DataFrame, batch: pd.DataFrame) -> pd.DataFrame:
+            if len(old):
+                table = np.frombuffer(old["table"].iloc[0],
+                                      dtype=np.uint16).reshape(nb, _CK_SLOTS).copy()
+                overflow = bool(old["overflow"].iloc[0])
+                shard = int(old["shard"].iloc[0])
+            else:
+                table = np.zeros((nb, _CK_SLOTS), dtype=np.uint16)
+                overflow = False
+                shard = int(batch["shard"].iloc[0])
+            if len(batch):
+                h = np.sort(batch["__h"].to_numpy(dtype=np.int64))
+                if mode == "add":
+                    overflow = (not _ck_insert(table, h)) or overflow
+                else:
+                    _ck_delete(table, h)
+            return pd.DataFrame({"shard": [shard], "table": [table.tobytes()],
+                                 "overflow": [overflow]})
+
+        batch = self._keyed(urls, url_col)
+        self.state = (
+            self.state.repartition(1, "shard").groupBy("shard")
+            .cogroup(batch.repartition(1, "shard").groupBy("shard"))
+            .applyInPandas(fold, "shard int, table binary, overflow boolean")
+            .localCheckpoint(eager=False)
+        )
+
+    def add(self, urls: DataFrame, url_col: str = "url") -> None:
+        self._apply(urls, url_col, "add")
+
+    def delete(self, urls: DataFrame, url_col: str = "url") -> None:
+        self._apply(urls, url_col, "delete")
+
+    def prefilter(self, cand: DataFrame, url_col: str,
+                  num_partitions: int | None = None) -> DataFrame:
+        """Append boolean ``maybe_seen`` via a same-shard cogroup probe."""
+        nb, ns = self.n_buckets, self.n_shards
+        h = F.xxhash64(F.col(url_col))
+        keyed = cand.withColumn("__h", h).withColumn(
+            "__bb", F.pmod(F.col("__h"), F.lit(ns)).cast("int"))
+        state = self.state
+        if num_partitions is not None:
+            n = max(1, min(num_partitions, ns))
+            keyed = keyed.repartition(n, "__bb")
+            state = state.repartition(n, "shard")
+        fields = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in cand.schema.fields)
+
+        def probe(cpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+            out = cpdf.drop(columns=["__h", "__bb"]).copy()
+            if not len(cpdf):
+                out["maybe_seen"] = pd.Series(dtype="bool")
+                return out
+            if not len(spdf):
+                out["maybe_seen"] = False
+                return out
+            if bool(spdf["overflow"].iloc[0]):
+                out["maybe_seen"] = True  # saturated: exact join takes over
+                return out
+            table = np.frombuffer(spdf["table"].iloc[0],
+                                  dtype=np.uint16).reshape(nb, _CK_SLOTS)
+            out["maybe_seen"] = _ck_contains(
+                table, cpdf["__h"].to_numpy(dtype=np.int64))
+            return out
+
+        return (
+            keyed.groupBy("__bb")
+            .cogroup(state.groupBy("shard"))
+            .applyInPandas(probe, f"{fields}, maybe_seen boolean")
+        )

@@ -1420,3 +1420,103 @@ def ensure_stream_chunks_expected(sf_dir: str, threshold: int = 100,
     ).astype({"shard": "int32", "chunk_idx": "int64", "n_words": "int64"}),
         sf_dir)
     _done.add(key)
+
+
+def ensure_cuckoo_expected(sf_dir: str, n_shards: int = 8,
+                           capacity: int = 1024) -> None:
+    """Independent sequential twin of the partitioned cuckoo sidecar over
+    URLs derived from the documents table: xxh64 via the inline twin
+    above, shard = pmod(signed, n_shards), per-shard SIGNED-sorted
+    insertion with the deterministic kick sequence, one-copy deletion.
+    Probe scenario (mirrors the q_cuckoo_seen probe exactly): add urls for
+    doc_id < 300, delete the 100..199 slice, probe every doc's url."""
+    key = ("cuckoo", sf_dir, n_shards, capacity)
+    if key in _done:
+        return
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = sorted(int(x) for x in docs["doc_id"])
+
+    SLOTS, KICKS, MUL = 4, 500, 0x5BD1E995
+    per_shard = max(16, capacity // n_shards + 1)
+    nb = 1
+    while nb * SLOTS * 0.95 < per_shard:
+        nb *= 2
+    mask = nb - 1
+
+    def signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    def key_of(url):
+        u = _xxh64_twin(url.encode())
+        return signed(u), u  # (signed for sort/shard, raw bits for fp/i1)
+
+    def fp_of(raw):
+        f = (raw >> 32) & 0xFFFF
+        return f if f else 1
+
+    def alt(i, f):
+        return i ^ ((f * MUL) & mask)
+
+    tables = {s: [[0] * SLOTS for _ in range(nb)] for s in range(n_shards)}
+    overflow = {s: False for s in range(n_shards)}
+
+    def insert_batch(urls):
+        byshard: dict = {}
+        for url in urls:
+            sg, raw = key_of(url)
+            byshard.setdefault(sg % n_shards, []).append((sg, raw))
+        for s, items in byshard.items():
+            t = tables[s]
+            for _sg, raw in sorted(items):
+                f, i1 = fp_of(raw), raw & mask
+                i2 = alt(i1, f)
+                placed = False
+                for b in (i1, i2):
+                    if 0 in t[b]:
+                        t[b][t[b].index(0)] = f
+                        placed = True
+                        break
+                if placed:
+                    continue
+                cur, b = f, i1
+                for kick in range(KICKS):
+                    slot = kick % SLOTS
+                    cur, t[b][slot] = t[b][slot], cur
+                    b = alt(b, cur)
+                    if 0 in t[b]:
+                        t[b][t[b].index(0)] = cur
+                        placed = True
+                        break
+                if not placed:
+                    overflow[s] = True
+
+    def delete_batch(urls):
+        byshard: dict = {}
+        for url in urls:
+            sg, raw = key_of(url)
+            byshard.setdefault(sg % n_shards, []).append((sg, raw))
+        for s, items in byshard.items():
+            t = tables[s]
+            for _sg, raw in sorted(items):
+                f, i1 = fp_of(raw), raw & mask
+                for b in (i1, alt(i1, f)):
+                    if f in t[b]:
+                        t[b][t[b].index(f)] = 0
+                        break
+
+    def contains(url):
+        sg, raw = key_of(url)
+        s = sg % n_shards
+        if overflow[s]:
+            return True
+        t = tables[s]
+        f, i1 = fp_of(raw), raw & mask
+        return f in t[i1] or f in t[alt(i1, f)]
+
+    url_of = "https://ex.test/p{}".format
+    insert_batch([url_of(i) for i in ids if i < 300])
+    delete_batch([url_of(i) for i in ids if 100 <= i < 200])
+    rows = [(url_of(i), bool(contains(url_of(i)))) for i in ids]
+    _write("cuckoo_seen", pd.DataFrame(
+        rows, columns=["url", "maybe_seen"]), sf_dir)
+    _done.add(key)
