@@ -111,6 +111,12 @@ class CrawlConfig:
     bloom_capacity: int | None = 1 << 20
     bloom_fp_rate: float = 0.01
     bloom_buckets: int = 32
+    # which sidecar structure guards the seen-table anti-join: "bloom"
+    # (pure-add, vectorized bit ops) or "cuckoo" (deletable fingerprints —
+    # pair with recrawl-TTL eviction); both are exact-by-construction
+    # prefilters, results are identical.  bloom_capacity None disables
+    # either.
+    seen_filter: str = "bloom"
     # D7: hosts with more than this many frontier rows in one superstep are
     # salted across salt_buckets sub-partitions (execution-only: the budget
     # split and slot ranks stay exactly the unsalted semantics).
@@ -1144,12 +1150,18 @@ class CrawlEngine:
         # DFS is the sequential parity-only path (one URL per superstep) —
         # a per-pop Bloom fold would just add jobs; scale strategies get
         # the sidecar.
-        self.bloom = (
-            BloomSidecar(self.spark, cfg.bloom_capacity, cfg.bloom_fp_rate,
-                         cfg.bloom_buckets)
-            if cfg.bloom_capacity and cfg.strategy != "dfs"
-            else None
-        )
+        if cfg.bloom_capacity and cfg.strategy != "dfs":
+            if cfg.seen_filter == "cuckoo":
+                from ..operators.seen import CuckooSidecar
+
+                self.bloom = CuckooSidecar(
+                    self.spark, cfg.bloom_capacity, n_shards=cfg.bloom_buckets)
+            else:
+                self.bloom = BloomSidecar(
+                    self.spark, cfg.bloom_capacity, cfg.bloom_fp_rate,
+                    cfg.bloom_buckets)
+        else:
+            self.bloom = None
         if self.cfg.strategy == "bfs":
             return self.run_bfs(seeds, resume=resume)
         if self.cfg.strategy == "best_first":
