@@ -210,6 +210,49 @@ def frontier_schedule_bloom(spark, n_pages: int) -> dict:
     }
 
 
+def cuckoo_seen_bench(spark, n_urls: int = 200_000,
+                      evict_frac: float = 0.25) -> dict:
+    """The cuckoo sidecar's full lifecycle at a scale batch: add n_urls,
+    delete evict_frac of them (the recrawl-TTL scenario Bloom cannot
+    express), probe everything.  Separate timers per phase — the insert
+    fold is per-key Python inside each shard's Arrow batch (eviction
+    chains are inherently sequential), so its cost per URL is THE number
+    that decides bloom-vs-cuckoo for pure-add crawls."""
+    from crawl4ai_spark.operators.seen import CuckooSidecar
+
+    urls = spark.range(n_urls).select(
+        F.concat(F.lit("https://ck.test/p"), F.col("id")).alias("url"),
+        F.col("id"))
+    urls = urls.localCheckpoint(eager=True)
+    ck = CuckooSidecar(spark, capacity=int(n_urls * 1.25), n_shards=64)
+
+    t0 = time.time()
+    ck.add(urls.select("url"))
+    ck.state.count()  # materialize the fold
+    add_s = time.time() - t0
+
+    t0 = time.time()
+    ck.delete(urls.where(F.col("id") < int(n_urls * evict_frac))
+              .select("url"))
+    ck.state.count()
+    del_s = time.time() - t0
+
+    t0 = time.time()
+    flagged = ck.prefilter(urls.select("url"), "url", num_partitions=64)
+    n_seen = flagged.agg(
+        F.sum(F.col("maybe_seen").cast("long"))).collect()[0][0]
+    probe_s = time.time() - t0
+    return {
+        "sec": round(add_s + del_s + probe_s, 3),
+        "urls": n_urls,
+        "add_sec": round(add_s, 3),
+        "delete_sec": round(del_s, 3),
+        "probe_sec": round(probe_s, 3),
+        "add_urls_per_sec": round(n_urls / max(add_s, 1e-9), 1),
+        "still_seen": int(n_seen),
+    }
+
+
 def _ensure_crawl_graph(spark, n_pages: int):
     """Materialize (once per n_pages) the synthetic crawl graph both
     engine-loop benches read; returns (params, pages, links)."""
@@ -787,6 +830,10 @@ def main() -> None:
     drift: dict[str, float] = {}
     section_reset(spark, drift, "frontier_bloom")
     extras["frontier_bloom"] = frontier_schedule_bloom(spark, n_link_pages)
+
+    # cuckoo sidecar lifecycle (add / TTL-evict / probe) at a scale batch
+    section_reset(spark, drift, "cuckoo_seen")
+    extras["cuckoo_seen"] = cuckoo_seen_bench(spark, n_urls=200_000)
 
     # integrated engine loop (multi-seed deep crawl, full schedule)
     section_reset(spark, drift, "crawl_e2e")

@@ -302,8 +302,20 @@ def _ck_fp(h: np.ndarray) -> np.ndarray:
     return fp
 
 
+def _ck_mix(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer.  The shard key is ``pmod(h, n_shards)`` —
+    the key's LOW bits — so the in-shard bucket index must NOT reuse
+    them: without mixing, every key in a shard lands in the same
+    ``n_buckets/n_shards`` bucket slice and the filter overflows at ~2%
+    real load (observed: 22/64 shards saturated at 38% nominal load)."""
+    z = h.astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def _ck_i1(h: np.ndarray, mask: int) -> np.ndarray:
-    return (h.astype(np.uint64) & np.uint64(mask)).astype(np.int64)
+    return (_ck_mix(h) & np.uint64(mask)).astype(np.int64)
 
 
 def _ck_alt(i: np.ndarray, fp: np.ndarray, mask: int) -> np.ndarray:
@@ -311,13 +323,29 @@ def _ck_alt(i: np.ndarray, fp: np.ndarray, mask: int) -> np.ndarray:
     return (i.astype(np.uint64) ^ off).astype(np.int64)
 
 
+def _ck_mix1(z: int) -> int:
+    """Scalar splitmix64 finalizer (same constants as _ck_mix)."""
+    m = (1 << 64) - 1
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & m
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & m
+    return z ^ (z >> 31)
+
+
 def _ck_insert(table: np.ndarray, h: np.ndarray) -> bool:
     """Insert keys (SORTED for determinism) with cuckoo kicking.  Returns
-    False if any insertion failed (caller marks the shard saturated)."""
+    False if any insertion failed (caller marks the shard saturated).
+
+    Eviction slots come from a MIXED strictly-increasing counter shared
+    across the whole batch: deterministic (same batch ⇒ same table bytes)
+    but never state-repeating, so the fixed-sequence livelock of
+    ``slot = kick % 4`` (two full buckets permuting the same 8
+    fingerprints for all 500 kicks) cannot occur — the walk behaves like
+    the random walk of the paper, which succeeds w.h.p. below ~95% load."""
     mask = table.shape[0] - 1
     fps = _ck_fp(h)
     i1s = _ck_i1(h, mask)
     ok = True
+    ctr = 0
     for fp, i1 in zip(fps, i1s):
         i2 = int(_ck_alt(np.array([i1]), np.array([fp]), mask)[0])
         placed = False
@@ -331,8 +359,9 @@ def _ck_insert(table: np.ndarray, h: np.ndarray) -> bool:
         if placed:
             continue
         cur, b = fp, int(i1)
-        for kick in range(_CK_KICKS):
-            slot = kick % _CK_SLOTS  # deterministic eviction sequence
+        for _kick in range(_CK_KICKS):
+            ctr += 1
+            slot = _ck_mix1(ctr) & 3
             cur, table[b][slot] = table[b][slot], cur
             b = int(_ck_alt(np.array([b]), np.array([cur]), mask)[0])
             row = table[b]
@@ -342,7 +371,9 @@ def _ck_insert(table: np.ndarray, h: np.ndarray) -> bool:
                 placed = True
                 break
         if not placed:
-            # park the homeless fingerprint back; shard saturates
+            # the homeless fingerprint is dropped; overflow=True makes
+            # every probe in this shard maybe_seen, so no false negative
+            # can escape — degraded, never wrong
             ok = False
     return ok
 

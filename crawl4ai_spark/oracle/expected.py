@@ -1454,6 +1454,13 @@ def ensure_cuckoo_expected(sf_dir: str, n_shards: int = 8,
         f = (raw >> 32) & 0xFFFF
         return f if f else 1
 
+    def mix(z):
+        # splitmix64 finalizer — decorrelates the in-shard bucket index
+        # from the low-bit shard key (same as the engine's _ck_mix)
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+        return z ^ (z >> 31)
+
     def alt(i, f):
         return i ^ ((f * MUL) & mask)
 
@@ -1467,8 +1474,9 @@ def ensure_cuckoo_expected(sf_dir: str, n_shards: int = 8,
             byshard.setdefault(sg % n_shards, []).append((sg, raw))
         for s, items in byshard.items():
             t = tables[s]
+            ctr = 0  # batch-wide mixed eviction counter (engine twin)
             for _sg, raw in sorted(items):
-                f, i1 = fp_of(raw), raw & mask
+                f, i1 = fp_of(raw), mix(raw) & mask
                 i2 = alt(i1, f)
                 placed = False
                 for b in (i1, i2):
@@ -1479,8 +1487,9 @@ def ensure_cuckoo_expected(sf_dir: str, n_shards: int = 8,
                 if placed:
                     continue
                 cur, b = f, i1
-                for kick in range(KICKS):
-                    slot = kick % SLOTS
+                for _kick in range(KICKS):
+                    ctr += 1
+                    slot = mix(ctr) & 3
                     cur, t[b][slot] = t[b][slot], cur
                     b = alt(b, cur)
                     if 0 in t[b]:
@@ -1498,7 +1507,7 @@ def ensure_cuckoo_expected(sf_dir: str, n_shards: int = 8,
         for s, items in byshard.items():
             t = tables[s]
             for _sg, raw in sorted(items):
-                f, i1 = fp_of(raw), raw & mask
+                f, i1 = fp_of(raw), mix(raw) & mask
                 for b in (i1, alt(i1, f)):
                     if f in t[b]:
                         t[b][t[b].index(f)] = 0
@@ -1510,7 +1519,7 @@ def ensure_cuckoo_expected(sf_dir: str, n_shards: int = 8,
         if overflow[s]:
             return True
         t = tables[s]
-        f, i1 = fp_of(raw), raw & mask
+        f, i1 = fp_of(raw), mix(raw) & mask
         return f in t[i1] or f in t[alt(i1, f)]
 
     url_of = "https://ex.test/p{}".format
