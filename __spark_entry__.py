@@ -1445,6 +1445,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ck.prefilter(urls.select("url"), "url", num_partitions=8)
     q["cuckoo_seen"] = q_cuckoo_seen
 
+    def q_semdedup(spark, sf):
+        # SemDeDup (Abbas et al. 2023): k-means cluster + within-cluster
+        # cosine prune, keep-lowest-id; expected table from the sequential
+        # numpy twin (same fixed-point k-means replica as the IVF twin)
+        from crawl4ai_spark.operators.similarity import semdedup
+
+        oracle_expected.ensure_semdedup_expected(sf)
+        emb = _t(spark, sf, "embeddings")
+        return semdedup(emb, threshold=0.95, n_centroids=16).select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("centroid").cast("int").alias("centroid"),
+            "keep", "dup_of",
+        )
+    q["semdedup"] = q_semdedup
+
     def q_optimize_html(spark, sf):
         # optimize_html twin (reference utils.py:2764-2781): the oracle
         # rebuilds the expected serialization directly from the raw text
@@ -1688,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfs_batched_crawl", "xpath_positional",
         "ccnet_buckets", "dup_span_removal", "text_utils",
         "bpe_merges", "bpe_segment", "chunk_stream", "cuckoo_seen",
+        "semdedup",
     ]
     ordered = {k: q[k] for k in _priority if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -2509,6 +2525,10 @@ def oracle_sql() -> dict[str, str]:
     o["cuckoo_seen"] = (
         "SELECT url, maybe_seen "
         f"FROM read_parquet('{_exp('cuckoo_seen', True)}')"
+    )
+    o["semdedup"] = (
+        "SELECT vec_id, centroid, keep, dup_of "
+        f"FROM read_parquet('{_exp('semdedup', True)}')"
     )
 
     o["llm_extract"] = (

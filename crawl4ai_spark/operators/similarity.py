@@ -367,3 +367,53 @@ def ivf_ann_topk(embeddings: DataFrame, queries: np.ndarray, k: int = 10,
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semdedup(embeddings: DataFrame, threshold: float = 0.95,
+             n_centroids: int = 16, iters: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             train_rows: int | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding
+    space with the k-means coarse quantizer, then WITHIN each cluster
+    drop every item whose cosine to ANY lower-id cluster-mate exceeds
+    ``threshold`` — the keep-lowest-id rule every dedup tier here uses.
+
+    Returns ``(id_col, centroid, keep, dup_of)`` — ``dup_of`` is the
+    lowest-id above-threshold neighbor (-1 for kept rows).
+
+    Scale shape: the quantizer is ``ivf_index`` (iters × one partial-agg
+    shuffle over the train prefix; centroid stats are the only driver
+    traffic, O(n_centroids × dim)); dedup is then ONE hash shuffle on the
+    centroid key + a per-cluster Arrow pairwise pass — O(Σ m_c²) exactly
+    as the paper runs it, with cluster sizes ~ corpus/k.  Pick
+    ``n_centroids`` so corpus/k fits an executor's Arrow batch; a skewed
+    giant cluster degrades to its own quadratic cost, never a global one.
+    """
+    from .similarity import ivf_index  # self-import keeps patchability
+
+    assign, _cent = ivf_index(embeddings, n_centroids, iters,
+                              id_col=id_col, vec_col=vec_col,
+                              train_rows=train_rows)
+    fields = f"{id_col} long, centroid int, keep boolean, dup_of long"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        cent = int(pdf["centroid"].iloc[0])
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        unit = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        sim = unit @ unit.T
+        m = len(pdf)
+        keep = np.ones(m, dtype=bool)
+        dup_of = np.full(m, -1, dtype=np.int64)
+        for j in range(1, m):
+            over = np.nonzero(sim[:j, j] > threshold)[0]
+            if len(over):
+                keep[j] = False
+                dup_of[j] = ids[over[0]]
+        return pd.DataFrame({id_col: ids, "centroid": cent,
+                             "keep": keep, "dup_of": dup_of})
+
+    return assign.groupBy("centroid").applyInPandas(fold, schema=fields)

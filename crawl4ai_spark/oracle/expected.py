@@ -1529,3 +1529,52 @@ def ensure_cuckoo_expected(sf_dir: str, n_shards: int = 8,
     _write("cuckoo_seen", pd.DataFrame(
         rows, columns=["url", "maybe_seen"]), sf_dir)
     _done.add(key)
+
+
+def ensure_semdedup_expected(sf_dir: str, threshold: float = 0.95,
+                             n_centroids: int = 16, iters: int = 3) -> None:
+    """Sequential SemDeDup twin — pure numpy, no engine imports: the same
+    fixed-point k-means replica as the IVF twin, then per-cluster
+    pairwise cosine with the keep-lowest-id rule."""
+    key = ("semdedup", sf_dir, threshold, n_centroids, iters)
+    if key in _done:
+        return
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_numpy()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    scale = 1 << 20
+    fx = np.round(unit * scale).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    cent_fx = fx[order[:n_centroids]].copy()
+    for _ in range(iters):
+        cent_f = cent_fx.astype(np.float64) / scale
+        cid = np.argmax(unit @ cent_f.T, axis=1)
+        sums = np.zeros_like(cent_fx)
+        cnts = np.zeros(n_centroids, dtype=np.int64)
+        np.add.at(sums, cid, fx)
+        np.add.at(cnts, cid, 1)
+        live = cnts > 0
+        cent_fx[live] = np.floor_divide(sums[live], cnts[live, None])
+    cent_f = cent_fx.astype(np.float64) / scale
+    cid = np.argmax(unit @ cent_f.T, axis=1)
+
+    rows = []
+    for c in sorted(set(int(x) for x in cid)):
+        sel = np.nonzero(cid == c)[0]
+        sel = sel[np.argsort(ids[sel], kind="stable")]
+        u = unit[sel]
+        sim = u @ u.T
+        cids = ids[sel]
+        for j in range(len(sel)):
+            over = np.nonzero(sim[:j, j] > threshold)[0]
+            if len(over):
+                rows.append((int(cids[j]), c, False, int(cids[over[0]])))
+            else:
+                rows.append((int(cids[j]), c, True, -1))
+    _write("semdedup", pd.DataFrame(
+        rows, columns=["vec_id", "centroid", "keep", "dup_of"]
+    ).astype({"vec_id": "int64", "centroid": "int32", "dup_of": "int64"}),
+        sf_dir)
+    _done.add(key)

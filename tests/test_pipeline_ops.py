@@ -578,3 +578,60 @@ def test_remove_dup_spans_partition_invariance(spark):
     assert a == b == sorted(
         (k,) + v for k, v in _twin_remove_spans(rows).items()
     )
+
+
+# --------------------------------------------------------------------------
+# semdedup — independent sequential twin (numpy only)
+# --------------------------------------------------------------------------
+
+def test_semdedup_matches_twin_and_plants(spark):
+    import numpy as np
+    from crawl4ai_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 8))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # plant near-dups: ids 100+i are scaled copies of ids 0..9 (cosine 1)
+    for i in range(10):
+        rows.append((100 + i, [float(x * 1.7) for x in base[i]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {r["vec_id"]: (r["centroid"], r["keep"], r["dup_of"])
+           for r in semdedup(df, threshold=0.95, n_centroids=4).collect()}
+
+    # twin: same fixed-point k-means + per-cluster keep-lowest-id prune
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    scale = 1 << 20
+    fx = np.round(unit * scale).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    cent_fx = fx[order[:4]].copy()
+    for _ in range(3):
+        cent_f = cent_fx.astype(np.float64) / scale
+        cid = np.argmax(unit @ cent_f.T, axis=1)
+        sums = np.zeros_like(cent_fx)
+        cnts = np.zeros(4, dtype=np.int64)
+        np.add.at(sums, cid, fx)
+        np.add.at(cnts, cid, 1)
+        live = cnts > 0
+        cent_fx[live] = np.floor_divide(sums[live], cnts[live, None])
+    cent_f = cent_fx.astype(np.float64) / scale
+    cid = np.argmax(unit @ cent_f.T, axis=1)
+    want = {}
+    for c in sorted(set(int(x) for x in cid)):
+        sel = np.nonzero(cid == c)[0]
+        sel = sel[np.argsort(ids[sel], kind="stable")]
+        u, cids = unit[sel], ids[sel]
+        sim = u @ u.T
+        for j in range(len(sel)):
+            over = np.nonzero(sim[:j, j] > 0.95)[0]
+            want[int(cids[j])] = (
+                c, not len(over),
+                int(cids[over[0]]) if len(over) else -1)
+    assert got == want
+    # every planted copy must be dropped as a dup of its original
+    for i in range(10):
+        assert got[100 + i] == (got[i][0], False, i)
