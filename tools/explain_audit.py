@@ -390,6 +390,27 @@ def main() -> None:
         sections[-1] = (sections[-1][0] + " — FAIL: plan shuffles",
                         tu_plan, sections[-1][2])
 
+    # 28. cuckoo sidecar probe: same-shard cogroup, state never driver-side
+    from crawl4ai_spark.operators.seen import CuckooSidecar
+
+    ck = CuckooSidecar(spark, capacity=4096, n_shards=8)
+    ck.add(urls.limit(1000))
+    ck_plan = plan_of(ck.prefilter(urls, "url", num_partitions=8))
+    sections.append((
+        "Cuckoo URL-seen probe (same-shard cogroup, deletable fingerprints)",
+        ck_plan, ["FlatMapCoGroupsInPandas"],
+    ))
+
+    # 29. SemDeDup: one centroid-key shuffle + per-cluster Arrow pairwise
+    from crawl4ai_spark.operators.similarity import semdedup
+
+    emb2 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sd_plan = plan_of(semdedup(emb2, n_centroids=8))
+    sections.append((
+        "SemDeDup (centroid shuffle → per-cluster pairwise Arrow fold)",
+        sd_plan, ["FlatMapGroupsInPandas", "hashpartitioning(centroid"],
+    ))
+
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)\n"]
     out.append(
         "Generated by tools/explain_audit.py. Verdict lines check the "
