@@ -1460,6 +1460,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["semdedup"] = q_semdedup
 
+    def q_corpus_stats(spark, sf):
+        # dataset-card rollup: per-lang + grand-total counts, ONE
+        # partial-agg pass; oracle re-derives with GROUP BY ROLLUP
+        from crawl4ai_spark.operators.text import corpus_stats
+
+        return corpus_stats(_t(spark, sf, "documents")).select(
+            "lang", F.col("n_docs").cast("long").alias("n_docs"),
+            "n_tokens", "n_chars", "max_tokens", "min_tokens",
+            "mean_tokens",
+        )
+    q["corpus_stats"] = q_corpus_stats
+
     def q_optimize_html(spark, sf):
         # optimize_html twin (reference utils.py:2764-2781): the oracle
         # rebuilds the expected serialization directly from the raw text
@@ -1703,7 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfs_batched_crawl", "xpath_positional",
         "ccnet_buckets", "dup_span_removal", "text_utils",
         "bpe_merges", "bpe_segment", "chunk_stream", "cuckoo_seen",
-        "semdedup",
+        "semdedup", "corpus_stats",
     ]
     ordered = {k: q[k] for k in _priority if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -1744,6 +1756,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b,
                round(CAST(boths AS DOUBLE)/(na+nb-boths), 6) AS jaccard
         FROM inter WHERE CAST(boths AS DOUBLE)/(na+nb-boths) >= 0.1
+    """
+
+    o["corpus_stats"] = """
+        SELECT coalesce(lang, '*') AS lang,
+               count(*) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens,
+               CAST(sum(nc) AS BIGINT) AS n_chars,
+               CAST(max(nt) AS BIGINT) AS max_tokens,
+               CAST(min(nt) AS BIGINT) AS min_tokens,
+               round(CAST(sum(nt) AS DOUBLE) / count(*), 6) AS mean_tokens
+        FROM (
+          SELECT coalesce(lang, '?') AS lang,
+                 len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '')) AS nt,
+                 length(text) AS nc
+          FROM documents)
+        GROUP BY ROLLUP(lang)
     """
 
     o["token_stats"] = f"""

@@ -119,3 +119,38 @@ def heavy_hitters(df, text_col: str = "text", id_col: str = "doc_id",
         .orderBy(F.col("df").desc(), F.col("term"))
         .limit(k)
     )
+
+
+def corpus_stats(docs, text_col: str = "text",
+                 lang_col: str = "lang"):
+    """Dataset-card summary: per-language (plus the '*' grand-total
+    rollup row) document / token / char counts and token extremes — the
+    numbers a training-data release publishes (dataset cards, mixture
+    weights, length screens).
+
+    ONE partial-aggregating rollup pass — map-side combine makes it
+    O(rows) with a ≤ |langs|+1-row output; everything except
+    ``mean_tokens`` is exact integer arithmetic, and the mean is a single
+    division of two exact longs (identical on any engine/partitioning)."""
+    toks = token_count(F.col(text_col))
+    base = docs.select(
+        F.coalesce(F.col(lang_col), F.lit("?")).alias("lang"),
+        toks.alias("nt"),
+        F.length(F.col(text_col)).alias("nc"),
+    )
+    return (
+        base.rollup("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.sum("nc").cast("long").alias("n_chars"),
+            F.max("nt").cast("long").alias("max_tokens"),
+            F.min("nt").cast("long").alias("min_tokens"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("*")).alias("lang"),
+            "n_docs", "n_tokens", "n_chars", "max_tokens", "min_tokens",
+            F.round(F.col("n_tokens") / F.col("n_docs"), 6)
+             .alias("mean_tokens"),
+        )
+    )

@@ -635,3 +635,23 @@ def test_semdedup_matches_twin_and_plants(spark):
     # every planted copy must be dropped as a dup of its original
     for i in range(10):
         assert got[100 + i] == (got[i][0], False, i)
+
+
+def test_corpus_stats_rollup(spark):
+    from crawl4ai_spark.operators.text import corpus_stats
+
+    rows = [
+        (0, "one two three", "en"),
+        (1, "uno dos", "es"),
+        (2, "four five six seven", "en"),
+        (3, "", "en"),
+        (4, "solo", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["lang"]: (r["n_docs"], r["n_tokens"], r["n_chars"],
+                       r["max_tokens"], r["min_tokens"], r["mean_tokens"])
+           for r in corpus_stats(df).collect()}
+    assert got["en"] == (3, 7, 32, 4, 0, round(7 / 3, 6))
+    assert got["es"] == (1, 2, 7, 2, 2, 2.0)
+    assert got["?"] == (1, 1, 4, 1, 1, 1.0)
+    assert got["*"] == (5, 10, 43, 4, 0, 2.0)
