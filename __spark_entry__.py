@@ -1694,31 +1694,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ----------------------------------------------------------------------
     # Registration-order rotation: the driver's correctness gate checks the
-    # FIRST 50 registered probes (CORRECTNESS_r03 covered exactly the first
-    # 50 of 78).  Round 3 appended its new tier at the end, so those 28
-    # probes never earned a driver row.  Promote every never-driver-checked
-    # probe (plus this round's new ones) to the head of the dict; the
-    # remaining slots re-confirm round-3-green probes in original order.
-    _priority = [
-        # round-3 suffix, never driver-checked in r01-r03
-        "image_decode", "image_features", "phash_neardup",
-        "image_dedup_clusters", "caption_dedup", "image_curation",
-        "image_buckets", "crop_plan", "image_joint_neardup",
-        "pdf_extract", "warc_ingest", "warc_scrape",
-        "llm_extract", "llm_filter", "fleet_identity",
-        "gopher_quality", "repetition_signals", "decontaminate",
-        "line_dedup", "pagerank", "authority_join", "anchor_texts",
-        "dsir_weights", "optimize_html", "crawl_delay",
-        "dedup_lines_within", "sitemap_entries", "robots_sitemaps",
-        # round-4 additions (registered below if present)
-        "ssl_certificates", "google_serp_extract", "amazon_product_extract",
-        "dfs_batched_crawl", "xpath_positional",
-        "ccnet_buckets", "dup_span_removal", "text_utils",
-        "bpe_merges", "bpe_segment", "chunk_stream", "cuckoo_seen",
-        "semdedup", "corpus_stats",
-    ]
-    ordered = {k: q[k] for k in _priority if k in q}
-    ordered.update((k, v) for k, v in q.items() if k not in ordered)
+    # FIRST 50 registered probes only (CORRECTNESS_r03 covered exactly the
+    # first 50 of 78 — round 3's appended tier never earned a driver row).
+    # Order DYNAMICALLY by least-recently-green: probes with no green
+    # CORRECTNESS_r*.json row ever come first (alphabetical), then probes
+    # whose newest green row is oldest — so every round the gate's window
+    # lands on exactly the probes with the weakest evidence, with no
+    # hand-maintained list to go stale.
+    def _last_green_round() -> dict[str, int]:
+        import glob
+        import json as _json
+        import re as _re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        last: dict[str, int] = {}
+        for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+            m = _re.search(r"r(\d+)", os.path.basename(path))
+            if not m:
+                continue
+            rnd = int(m.group(1))
+            try:
+                with open(path) as fh:
+                    data = _json.load(fh)
+            except Exception:
+                continue
+            for k, v in data.items():
+                if (isinstance(v, dict) and v.get("rows_match")
+                        and v.get("schema_match") and v.get("hash_match")):
+                    last[k] = max(last.get(k, -1), rnd)
+        return last
+
+    last = _last_green_round()
+    ordered = {k: q[k] for k in sorted(q, key=lambda n: (last.get(n, -1), n))}
     return ordered
 
 
