@@ -1472,6 +1472,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["corpus_stats"] = q_corpus_stats
 
+    def q_dsir_resample(spark, sf):
+        # the resampling half of DSIR (Xie et al. 2023 §3): Gumbel-top-k
+        # draw ∝ exp(llr) over the dsir_weights output; race keys rounded
+        # to integer micro-nats so the drawn set is engine-exact
+        from crawl4ai_spark.operators.quality import dsir_weights
+        from crawl4ai_spark.operators.sampling import importance_resample
+
+        docs = _t(spark, sf, "documents")
+        target = docs.where(F.col("doc_id") % 20 == 0)
+        scored = dsir_weights(docs, target).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "llr_micro")
+        return importance_resample(scored, n=100).select(
+            "doc_id", "llr_micro", "race_micro", "draw_rank")
+    q["dsir_resample"] = q_dsir_resample
+
     def q_optimize_html(spark, sf):
         # optimize_html twin (reference utils.py:2764-2781): the oracle
         # rebuilds the expected serialization directly from the raw text
@@ -2883,6 +2898,52 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, coalesce(per.n_feats, 0) AS n_feats,
                coalesce(per.llr_micro, 0) AS llr_micro
         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """
+
+    o["dsir_resample"] = """
+        WITH w AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+            unnest(list_concat(words,
+              list_transform(range(0, len(words) - 1),
+                             i -> array_to_string(words[i+1:i+2], ' ')))) AS gram
+          FROM w),
+        rf AS (SELECT doc_id, substr(md5(gram), 1, 4) AS bucket FROM g),
+        tf AS (SELECT bucket FROM rf WHERE doc_id % 20 = 0),
+        rc AS (SELECT bucket, count(*) AS cr FROM rf GROUP BY bucket),
+        tc AS (SELECT bucket, count(*) AS ct FROM tf GROUP BY bucket),
+        tot AS (SELECT (SELECT coalesce(sum(cr), 0) FROM rc) AS tr,
+                       (SELECT coalesce(sum(ct), 0) FROM tc) AS tt),
+        llr AS (
+          SELECT coalesce(rc.bucket, tc.bucket) AS bucket,
+                 CAST(round(1000000.0 * ln(
+                   ((coalesce(ct, 0) + 1.0) / (tt + 65536.0))
+                   / ((coalesce(cr, 0) + 1.0) / (tr + 65536.0))
+                 ), 0) AS BIGINT) AS wgt
+          FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket, tot),
+        per AS (
+          SELECT rf.doc_id, sum(wgt) AS llr_micro
+          FROM rf JOIN llr USING (bucket) GROUP BY rf.doc_id),
+        sc AS (
+          SELECT d.doc_id, CAST(coalesce(per.llr_micro, 0) AS BIGINT) AS llr_micro
+          FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id),
+        race AS (
+          SELECT doc_id, llr_micro,
+            CAST(round(CAST(llr_micro AS DOUBLE) + 1000000.0 * (
+              -ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#11'), 1, 12))
+                            AS UBIGINT) + 1.0) / 281474976710656.0))
+            ), 0) AS BIGINT) AS race_micro
+          FROM sc),
+        top AS (
+          SELECT doc_id, llr_micro, race_micro,
+                 row_number() OVER (ORDER BY race_micro DESC, doc_id ASC)
+                   AS draw_rank
+          FROM race)
+        SELECT doc_id, llr_micro, race_micro, CAST(draw_rank AS BIGINT) AS draw_rank
+        FROM top WHERE draw_rank <= 100
     """
 
     o["ccnet_buckets"] = """

@@ -254,3 +254,48 @@ def stratified_topn(
         .filter(F.col("__rk") <= n_per_stratum)
         .drop("__rk")
     )
+
+
+def importance_resample(scored: DataFrame, n: int,
+                        id_col: str = "doc_id",
+                        weight_col: str = "llr_micro",
+                        seed: int = 11) -> DataFrame:
+    """The resampling half of DSIR (Xie et al. 2023 §3: sample without
+    replacement with probability ∝ exp(score)) — consume
+    ``quality.dsir_weights`` output and draw ``n`` documents by the
+    Gumbel-top-k / exponential-race trick: rank by
+    ``score + Gumbel(id, seed)`` and keep the top n, which IS
+    without-replacement sampling ∝ exp(score).
+
+    Determinism: the Gumbel comes from the md5-uniform idiom
+    (``u = (first 12 hex chars + 1) / 16^12``, ``g = -ln(-ln u)``) and
+    the race key is rounded to integer MICRO-NATS before ranking (the
+    dsir_weights idiom — the two lns are computed identically on both
+    engines, and the ordering compares longs with an id tiebreak), so
+    the drawn set is a pure function of (ids, scores, seed): invariant
+    under partitioning, retries, and cluster size.
+
+    Scale shape: one codegen projection + a global top-n
+    (``TakeOrdered`` — per-partition heaps, no full sort, no
+    single-partition window).  Returns
+    ``(id_col, weight_col, race_micro, draw_rank)``.
+    """
+    u = (
+        F.conv(F.substring(
+            F.md5(F.concat_ws("#", F.col(id_col).cast("string"),
+                              F.lit(str(seed)))), 1, 12), 16, 10)
+        .cast("double") + F.lit(1.0)
+    ) / F.lit(float(16 ** 12))
+    gumbel = -F.log(-F.log(u))
+    race = F.round(
+        F.col(weight_col).cast("double") + F.lit(1_000_000.0) * gumbel, 0
+    ).cast("long")
+    from pyspark.sql import Window
+
+    ranked = scored.select(
+        F.col(id_col), F.col(weight_col), race.alias("race_micro")
+    ).orderBy(F.col("race_micro").desc(), F.col(id_col).asc()).limit(n)
+    # the window sorts only the n already-drawn rows
+    w = Window.orderBy(F.col("race_micro").desc(), F.col(id_col).asc())
+    return ranked.withColumn(
+        "draw_rank", F.row_number().over(w).cast("long"))

@@ -655,3 +655,35 @@ def test_corpus_stats_rollup(spark):
     assert got["es"] == (1, 2, 7, 2, 2, 2.0)
     assert got["?"] == (1, 1, 4, 1, 1, 1.0)
     assert got["*"] == (5, 10, 43, 4, 0, 2.0)
+
+
+def test_importance_resample_deterministic(spark):
+    import hashlib
+    import math
+    from crawl4ai_spark.operators.sampling import importance_resample
+
+    rows = [(i, (i % 7) * 250_000 - 500_000) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, llr_micro long")
+    got = [(r["doc_id"], r["race_micro"], r["draw_rank"])
+           for r in importance_resample(df, n=25, seed=11).collect()]
+    # twin: identical race arithmetic in pure python
+    want = []
+    for did, s in rows:
+        u = (int(hashlib.md5(f"{did}#11".encode()).hexdigest()[:12], 16)
+             + 1.0) / 16 ** 12
+        race = int(round(float(s) + 1e6 * (-math.log(-math.log(u)))))
+        want.append((did, race))
+    want = sorted(want, key=lambda t: (-t[1], t[0]))[:25]
+    want = [(d, r, k + 1) for k, (d, r) in enumerate(want)]
+    assert got == want
+    # partitioning invariance
+    got2 = [(r["doc_id"], r["race_micro"], r["draw_rank"])
+            for r in importance_resample(df.repartition(13), n=25,
+                                         seed=11).collect()]
+    assert got2 == want
+    # higher-weight docs dominate the draw: mean weight of the drawn set
+    # must exceed the corpus mean
+    drawn = {d for d, _, _ in got}
+    mean_drawn = sum(s for d, s in rows if d in drawn) / len(drawn)
+    mean_all = sum(s for _, s in rows) / len(rows)
+    assert mean_drawn > mean_all
