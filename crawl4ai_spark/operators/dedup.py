@@ -580,8 +580,15 @@ def remove_dup_spans(df: DataFrame, text_col: str = "text",
     surviving tokens re-joined with single spaces, in original order.
 
     Scale shape: gram occurrences are counted with ONE partial-aggregating
-    groupBy over xxhash64'd grams (8-byte exchange keys; counting is
-    O(occurrences), no pair join); the duplicated-gram set joins back to
+    groupBy over 128-bit hashed grams (a struct of two independent
+    xxhash64 draws — 16-byte exchange keys; at ~10^11 grams for a 100 TB
+    corpus a single 64-bit key would already expect birthday collisions,
+    which for this ACTING op would excise never-duplicated tokens and
+    violate the Lee et al. exact-substring contract; 128 bits pushes the
+    expected first collision past ~2^64 grams.  The measuring twin
+    ``dup_ngram_stats`` keeps 64-bit keys deliberately — a collision there
+    only perturbs one count.  Counting is O(occurrences), no pair join);
+    the duplicated-gram set joins back to
     the posting list (AQE broadcasts it when small), duplicate START
     positions fold to a sorted per-doc array, and coverage is resolved
     per row: starts merge into disjoint intervals with one linear
@@ -589,22 +596,30 @@ def remove_dup_spans(df: DataFrame, text_col: str = "text",
     MERGED intervals — O(L × intervals) per row with intervals ≤ L/n
     after merging, so a fully-boilerplate doc costs O(L²/n), not O(L²).
     Docs with no duplicated grams skip the join entirely (left join +
-    coalesce keeps the doc-id spine intact)."""
-    toks = F.filter(F.split(normalized_text(F.col(text_col)), " "),
-                    lambda t: t != "")
+    coalesce keeps the doc-id spine intact).  NULL text is coalesced to ''
+    up front (otherwise F.size(NULL) = -1 would emit n_tokens=-1)."""
+    toks = F.filter(
+        F.split(normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda t: t != "")
     g = widen(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         toks.alias("toks"),
     ).localCheckpoint(eager=False)  # tokens built once: posting + rebuild
+    gram_strs = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - n),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
+    )
     posting = g.select(
         "id",
         F.posexplode(F.when(
             F.size("toks") >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - n),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n))),
-            ),
-        ).otherwise(F.array().cast("array<bigint>"))).alias("pos", "gram"),
+            F.transform(gram_strs, lambda s: F.struct(
+                F.xxhash64(s).alias("h1"),
+                F.xxhash64(s, F.lit(1)).alias("h2"),
+            )),
+        ).otherwise(
+            F.array().cast("array<struct<h1:bigint,h2:bigint>>")
+        )).alias("pos", "gram"),
     )
     dup_grams = (
         posting.groupBy("gram").agg(F.count("*").alias("occ"))

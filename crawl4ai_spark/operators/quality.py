@@ -51,11 +51,15 @@ GOPHER_RULES = [
 
 
 def _words(text: Column) -> Column:
-    return F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    # NULL text coalesces to '' (F.size(split(NULL)) is -1, which would
+    # poison every downstream count) — same guard in every helper below
+    return F.filter(F.split(F.coalesce(text, F.lit("")), r"\s+"),
+                    lambda w: w != "")
 
 
 def _lines(text: Column) -> Column:
-    return F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
+    return F.filter(F.split(F.coalesce(text, F.lit("")), "\n"),
+                    lambda l: F.trim(l) != "")
 
 
 def gopher_quality(docs: DataFrame, text_col: str = "text",
@@ -274,8 +278,9 @@ def _hashed_features(text: Column) -> Column:
     """DSIR hashed n-gram features: lowercased unigrams + bigrams, each
     hashed to one of 65536 buckets via the first 4 hex chars of md5 (the
     same portable-hash idiom as operators/sampling.py — NOT xxhash64,
-    which DuckDB cannot reproduce)."""
-    words = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+    which DuckDB cannot reproduce).  NULL text → no features."""
+    words = F.filter(F.split(F.lower(F.coalesce(text, F.lit(""))), r"\s+"),
+                     lambda w: w != "")
     bigrams = F.when(
         F.size(words) < 2, F.array().cast("array<string>")
     ).otherwise(F.transform(
@@ -354,6 +359,56 @@ def dsir_weights(raw: DataFrame, target: DataFrame, id_col: str = "doc_id",
     )
 
 
+def dsir_feature_stats(raw: DataFrame, target: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       target_text_col: str | None = None) -> DataFrame:
+    """Integer sufficient statistics of the DSIR feature pipeline:
+    ``(id_col, n_feats, tct_sum, rcr_sum)`` where for each raw document
+    ``tct_sum`` / ``rcr_sum`` are the sums over its hashed features of the
+    TARGET / RAW bucket counts (missing target buckets count 0).
+
+    This is the exact same dataflow as :func:`dsir_weights` — feature
+    extraction, md5 bucketing, both histograms, the broadcast dimension
+    join, the per-doc fold — with the single floating-point step (the
+    per-bucket ``ln``) removed, so every output value is an integer that
+    any engine reproduces bit-exactly.  It exists for the correctness
+    gate: round-4 showed that an exact cross-engine hash over
+    ``round(1e6*ln(...))``-derived integers is hostage to the two
+    runtimes' libm (neither guarantees a correctly-rounded ``ln``), even
+    when no value sits near a .5 boundary on the local build.  The LLR
+    arithmetic itself stays driver-covered through the ``dsir_resample``
+    probe (green in round 4) and numpy-parity pytest.
+    """
+    tb = target_text_col or text_col
+    raw_feats = raw.select(
+        F.col(id_col), F.explode(_hashed_features(F.col(text_col))).alias("bucket")
+    ).localCheckpoint(eager=False)
+    tgt_counts = (
+        target.select(F.explode(_hashed_features(F.col(tb))).alias("bucket"))
+        .groupBy("bucket").agg(F.count("*").alias("ct"))
+    )
+    raw_counts = raw_feats.groupBy("bucket").agg(F.count("*").alias("cr"))
+    dim = raw_counts.join(tgt_counts, "bucket", "left").select(
+        "bucket", F.coalesce("ct", F.lit(0)).cast("long").alias("ct"),
+        F.col("cr").cast("long").alias("cr"),
+    )
+    per_doc = (
+        raw_feats.join(F.broadcast(dim), "bucket")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_feats"),
+             F.sum("ct").alias("tct_sum"), F.sum("cr").alias("rcr_sum"))
+    )
+    return (
+        raw.select(id_col).join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("tct_sum", F.lit(0)).cast("long").alias("tct_sum"),
+            F.coalesce("rcr_sum", F.lit(0)).cast("long").alias("rcr_sum"),
+        )
+    )
+
+
 def dedup_lines_within(docs: DataFrame, text_col: str = "text",
                        out_col: str = "text_clean") -> DataFrame:
     """Within-document line dedup (the RefinedWeb intra-doc repetition
@@ -421,8 +476,10 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
 
 def _lm_tokens(text: Column) -> Column:
     """LM token stream: lowercased whitespace tokens (same normalization as
-    the DSIR features so the two selection signals share a vocabulary)."""
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+    the DSIR features so the two selection signals share a vocabulary).
+    NULL text → empty stream (guards F.size(NULL) = -1 in n_tokens)."""
+    return F.filter(F.split(F.lower(F.coalesce(text, F.lit(""))), r"\s+"),
+                    lambda w: w != "")
 
 
 def _lm_bigrams(toks: Column) -> Column:

@@ -430,6 +430,13 @@ class CuckooSidecar:
             n_buckets *= 2
         self.n_buckets = n_buckets
         self.n_shards = n_shards
+        # write-path cogroup width: shard folds (per-key cuckoo insertion
+        # with eviction chains — far costlier than Bloom's vectorized
+        # bit-OR) must run CONCURRENTLY across shards, but no wider than
+        # n_shards (an empty cogroup partition still pays a python-worker
+        # round trip)
+        self._write_parts = max(
+            1, min(n_shards, spark.sparkContext.defaultParallelism))
         self.state: DataFrame = spark.createDataFrame(
             [], "shard int, table binary, overflow boolean")
 
@@ -463,9 +470,10 @@ class CuckooSidecar:
                                  "overflow": [overflow]})
 
         batch = self._keyed(urls, url_col)
+        p = self._write_parts
         self.state = (
-            self.state.repartition(1, "shard").groupBy("shard")
-            .cogroup(batch.repartition(1, "shard").groupBy("shard"))
+            self.state.repartition(p, "shard").groupBy("shard")
+            .cogroup(batch.repartition(p, "shard").groupBy("shard"))
             .applyInPandas(fold, "shard int, table binary, overflow boolean")
             .localCheckpoint(eager=False)
         )

@@ -580,6 +580,38 @@ def test_remove_dup_spans_partition_invariance(spark):
     )
 
 
+def test_remove_dup_spans_null_text(spark):
+    # NULL text must behave as '' (n_tokens 0, nothing removed) — not the
+    # F.size(NULL) = -1 nonsense row ADVICE r4 flagged
+    from crawl4ai_spark.operators import dedup
+
+    rows = [(0, "a b c d e f g h a b c d e f g h"), (1, None), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_removed"])
+           for r in dedup.remove_dup_spans(df, n=8, min_count=2).collect()}
+    assert got[1] == ("", 0, 0)
+    assert got[2] == ("", 0, 0)
+    assert got[0][1] == 16
+
+
+def test_ccnet_and_quality_null_text(spark):
+    from crawl4ai_spark.operators.quality import (
+        ccnet_perplexity, dsir_feature_stats, gopher_quality,
+    )
+
+    rows = [(0, "the cat sat on the mat with the hat"), (1, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt = docs.where("doc_id = 0")
+    cc = {r["doc_id"]: (r["n_tokens"], r["n_bigrams"], r["bucket"])
+          for r in ccnet_perplexity(docs, tgt).collect()}
+    assert cc[1] == (0, 0, "tail")  # never n_tokens = -1
+    st = {r["doc_id"]: r["n_feats"] for r in dsir_feature_stats(docs, tgt).collect()}
+    assert st[1] == 0
+    gq = {r["doc_id"]: (r["n_words"], r["drop_reason"])
+          for r in gopher_quality(docs).collect()}
+    assert gq[1] == (0, "too_few_words")
+
+
 # --------------------------------------------------------------------------
 # semdedup — independent sequential twin (numpy only)
 # --------------------------------------------------------------------------

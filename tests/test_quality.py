@@ -196,6 +196,50 @@ def test_dsir_weights_match_independent_twin(spark):
     assert got[3] == (0, 0)
 
 
+def test_dsir_feature_stats_match_independent_twin(spark):
+    import hashlib
+
+    from crawl4ai_spark.operators.quality import dsir_feature_stats
+
+    raw_rows = [
+        (0, "spark shuffles the big table"),
+        (1, "the quick dog naps"),
+        (2, "quantum flux capacitor hums"),
+        (3, ""),
+    ]
+    tgt_rows = [(100, "the quick dog runs fast"), (101, "the dog barks")]
+
+    def feats(text):
+        ws = [w for w in text.lower().split() if w]
+        grams = ws + [" ".join(ws[i:i + 2]) for i in range(len(ws) - 1)]
+        return [hashlib.md5(g.encode()).hexdigest()[:4] for g in grams]
+
+    rc, tc = {}, {}
+    for _, t in raw_rows:
+        for b in feats(t):
+            rc[b] = rc.get(b, 0) + 1
+    for _, t in tgt_rows:
+        for b in feats(t):
+            tc[b] = tc.get(b, 0) + 1
+
+    expected = {}
+    for i, t in raw_rows:
+        fs = feats(t)
+        expected[i] = (len(fs), sum(tc.get(b, 0) for b in fs),
+                       sum(rc[b] for b in fs))
+
+    raw = spark.createDataFrame(raw_rows, ["doc_id", "text"])
+    tgt = spark.createDataFrame(tgt_rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_feats"], r["tct_sum"], r["rcr_sum"])
+        for r in dsir_feature_stats(raw, tgt).collect()
+    }
+    assert got == expected
+    # target-overlapping doc carries target mass; disjoint doc carries none
+    assert got[1][1] > 0 and got[2][1] == 0
+    assert got[3] == (0, 0, 0)
+
+
 def test_dedup_lines_within(spark):
     from crawl4ai_spark.operators.quality import dedup_lines_within
 
