@@ -360,6 +360,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["sessionize"] = q_sessionize
 
+    def q_sessionize_stream_equiv(spark, sf):
+        # batch-equivalence gate for the STREAMING sessionizer
+        # (streaming/sessions.py): replay the state-store fold core over
+        # the static events table (closed + final open sessions) — by the
+        # module's equivalence contract this equals batch session_stats,
+        # so the stream fold gets a DuckDB-hash driver row (VERDICT r4 #3)
+        from crawl4ai_spark.streaming.sessions import session_stream_batch
+
+        ev = _t(spark, sf, "events")
+        return session_stream_batch(ev, gap_s=1800).select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("session_idx").cast("long").alias("session_idx"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "start_ts", "end_ts", "duration_us", "total_value",
+        )
+    q["sessionize_stream_equiv"] = q_sessionize_stream_equiv
+
+    def q_term_df_stream_equiv(spark, sf):
+        # batch-equivalence gate for the streaming vocab-df fold
+        # (streaming/hitters.py): replay the SAME _fold callable through a
+        # GroupState twin over the static corpus; final running df per
+        # term == plain document frequency
+        from crawl4ai_spark.streaming.hitters import term_df_batch
+
+        docs = _t(spark, sf, "documents")
+        return term_df_batch(docs).select(
+            "term", F.col("df").cast("long").alias("df"))
+    q["term_df_stream_equiv"] = q_term_df_stream_equiv
+
     # --------------------------------- URL canonicalizer (C2, utils.py:2162)
     def q_url_canonicalize(spark, sf):
         o = _t(spark, sf, "orders")
@@ -2079,6 +2108,20 @@ def oracle_sql() -> dict[str, str]:
                  AS duration_us,
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM tagged GROUP BY user_id, session_idx
+    """
+
+    # the streaming fold replayed in batch must equal batch sessionization
+    # exactly — same oracle as `sessionize`
+    o["sessionize_stream_equiv"] = o["sessionize"]
+
+    o["term_df_stream_equiv"] = """
+        WITH post AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_filter(
+                   string_split_regex(lower(text), '\\s+'), x -> x <> '')))
+                   AS term
+          FROM documents)
+        SELECT term, count(*) AS df FROM post GROUP BY term
     """
 
     o["url_canonicalize"] = """

@@ -40,28 +40,65 @@ STATE_SCHEMA = "df long"
 OUTPUT_SCHEMA = "term string, df long"
 
 
+def _fold(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state
+) -> Iterator[pd.DataFrame]:
+    """The fold shared by the STREAM operator and the batch equivalence
+    harness: add the batch's row count for this term onto the running df."""
+    n = sum(len(p) for p in pdfs)
+    df = (state.get[0] if state.exists else 0) + n
+    state.update((df,))
+    yield pd.DataFrame([{"term": key[0], "df": int(df)}])
+
+
+def _terms(docs: DataFrame, text_col: str) -> DataFrame:
+    return docs.select(
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("term")
+    )
+
+
 def term_df_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """``applyInPandasWithState`` over a streaming documents DataFrame:
     emits the running document frequency of every term touched by each
     micro-batch.  The explode of per-doc DISTINCT tokens happens in
     Catalyst before the shuffle, so the stateful stage only ever adds
     row counts per key."""
-
-    def fold(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        n = sum(len(p) for p in pdfs)
-        df = (state.get[0] if state.exists else 0) + n
-        state.update((df,))
-        yield pd.DataFrame([{"term": key[0], "df": int(df)}])
-
-    terms = docs.select(
-        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("term")
-    )
+    terms = _terms(docs, text_col)
     return terms.groupBy("term").applyInPandasWithState(
-        fold,
+        _fold,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class _BatchState:
+    """Minimal GroupState twin so the stream fold can replay in batch."""
+
+    def __init__(self) -> None:
+        self.exists = False
+        self._v: tuple | None = None
+
+    @property
+    def get(self) -> tuple:
+        return self._v
+
+    def update(self, v: tuple) -> None:
+        self._v = v
+        self.exists = True
+
+
+def term_df_batch(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Batch-equivalence harness for :func:`term_df_stream`: replay the
+    SAME ``_fold`` callable over a static frame (one batch per term)
+    through a minimal GroupState twin.  The result — each term's final
+    running df — equals the plain document frequency, so the driver probe
+    ``term_df_stream_equiv`` can gate the stream fold against a DuckDB
+    oracle the way ``heavy_hitters`` gates the batch operator."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return next(_fold((pdf["term"].iloc[0],), iter([pdf]), _BatchState()))
+
+    return _terms(docs, text_col).groupBy("term").applyInPandas(
+        run, OUTPUT_SCHEMA)

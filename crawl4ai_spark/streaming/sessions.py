@@ -83,6 +83,28 @@ def _closed_row(user: int, state: tuple) -> dict:
     }
 
 
+def _fold_user(user, ts_us, cents, cur: tuple | None,
+               gap_us: int) -> tuple[list[dict], tuple]:
+    """The fold core shared by the STREAM operator and the batch
+    equivalence harness: advance the open-session state ``cur`` through
+    one user's (sorted) events, returning (closed-session rows, new
+    open-session state)."""
+    closed: list[dict] = []
+    for t, c in zip(ts_us, cents):
+        if cur is None:
+            cur = (0, 1, int(t), int(t), int(c))
+        elif t - cur[3] > gap_us:
+            closed.append(_closed_row(user, cur))
+            cur = (cur[0] + 1, 1, int(t), int(t), int(c))
+        else:
+            cur = (cur[0], cur[1] + 1, cur[2], int(t), cur[4] + int(c))
+    return closed, cur
+
+
+_OUT_COLS = ["user_id", "session_idx", "n_events", "start_ts", "end_ts",
+             "duration_us", "total_value"]
+
+
 def session_stream(
     events: DataFrame,
     gap_s: int = 1800,
@@ -102,15 +124,7 @@ def session_stream(
         ts_us = _us(rows["ts"]).to_numpy()
         cents = _cents(rows["value"])
         cur: tuple | None = state.get if state.exists else None
-        closed: list[dict] = []
-        for t, c in zip(ts_us, cents):
-            if cur is None:
-                cur = (0, 1, int(t), int(t), int(c))
-            elif t - cur[3] > gap_us:
-                closed.append(_closed_row(user, cur))
-                cur = (cur[0] + 1, 1, int(t), int(t), int(c))
-            else:
-                cur = (cur[0], cur[1] + 1, cur[2], int(t), cur[4] + int(c))
+        closed, cur = _fold_user(user, ts_us, cents, cur, gap_us)
         state.update(cur)
         if closed:
             yield pd.DataFrame(closed)
@@ -125,4 +139,40 @@ def session_stream(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def session_stream_batch(
+    events: DataFrame,
+    gap_s: int = 1800,
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Batch-equivalence harness for :func:`session_stream`: run the SAME
+    fold core (``_fold_user`` — the state-store transition function) over
+    a STATIC events frame via plain ``applyInPandas``, emitting every
+    session (the closed ones plus each user's final open session).
+
+    By the module's equivalence contract this equals the batch
+    ``session_stats`` output exactly, which is what makes the streaming
+    fold DuckDB-gateable: the driver probe ``sessionize_stream_equiv``
+    runs this harness against the same gap-sessionization SQL oracle as
+    the batch ``sessionize`` probe.  (``applyInPandasWithState`` itself
+    cannot run on a static frame; the harness is the standard way to pin
+    a stateful fold's semantics to a batch oracle.)"""
+    gap_us = int(gap_s) * 1_000_000
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        user = pdf["user_id"].iloc[0]
+        rows = pdf.sort_values(["ts", order_col])
+        ts_us = _us(rows["ts"]).to_numpy()
+        cents = _cents(rows["value"])
+        closed, cur = _fold_user(user, ts_us, cents, None, gap_us)
+        if cur is not None:
+            closed.append(_closed_row(user, cur))
+        return pd.DataFrame(closed, columns=_OUT_COLS)
+
+    return (
+        events.select("user_id", "ts", order_col, "value")
+        .groupBy("user_id")
+        .applyInPandas(run, OUTPUT_SCHEMA)
     )

@@ -99,3 +99,26 @@ def test_session_stream_matches_batch_minus_open(spark, event_store):
         assert g["end_ts"] == b["end_ts"], k
         assert g["duration_us"] == b["duration_us"], k
         assert g["total_value"] == b["total_value"], k
+
+
+def test_session_stream_batch_harness_equals_batch(spark, event_store):
+    """The batch-equivalence harness (same fold core, closed + final open
+    session) must equal session_stats exactly — the contract the
+    sessionize_stream_equiv driver probe gates against DuckDB."""
+    from crawl4ai_spark.operators.sessions import session_stats
+    from crawl4ai_spark.streaming.sessions import session_stream_batch
+
+    path, rows = event_store
+    batch_df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, value double")
+    cols = ["user_id", "session_idx", "n_events", "start_ts", "end_ts",
+            "duration_us", "total_value"]
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in session_stream_batch(batch_df, gap_s=1800).collect()
+    )
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in session_stats(batch_df, gap_s=1800).collect()
+    )
+    assert got == want
