@@ -1237,6 +1237,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["llm_filter"] = q_llm_filter
 
+    def q_llm_extract_malformed(spark, sf):
+        # NEGATIVE probe for the LLM plumbing (VERDICT r4 #4): a fake
+        # model that answers malformed output drives every parse_blocks
+        # failure path — <blocks> happy path, the depth-scan fallback with
+        # a trailing invalid segment folded into an error block, and the
+        # unparseable silent-drop path (extraction_strategy.py:644-662)
+        oracle_expected.ensure_llm_malformed_expected(sf)
+        docs = _t(spark, sf, "documents").select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("long").cast("string")
+                     ).alias("url"),
+            "text",
+        )
+        out = llm_extract_stage(
+            docs, complete_fn=oracle_expected.fake_llm_malformed,
+            chunk_token_threshold=64, overlap_rate=0.25,
+        )
+        return out.select(
+            "url", F.col("section_idx").cast("long").alias("section_idx"),
+            F.col("block_idx").cast("long").alias("block_idx"),
+            F.array_join("tags", ",").alias("tags"), "content", "error",
+        )
+    q["llm_extract_malformed"] = q_llm_extract_malformed
+
     def q_fleet_identity(spark, sf):
         # deterministic fleet identity (user_agent_generator.py:300-345,
         # :388-417; proxy_strategy.py:20-44): stable per-key UA + matching
@@ -2694,6 +2717,10 @@ def oracle_sql() -> dict[str, str]:
     )
     o["llm_filter"] = (
         f"SELECT url, section_idx, markdown FROM read_parquet('{_exp('llm_filter', True)}')"
+    )
+    o["llm_extract_malformed"] = (
+        "SELECT url, section_idx, block_idx, tags, content, error "
+        f"FROM read_parquet('{_exp('llm_extract_malformed', True)}')"
     )
     o["warc_scrape"] = """
         SELECT 'https://w' || CAST(doc_id % 7 AS VARCHAR) || '.test/doc/'

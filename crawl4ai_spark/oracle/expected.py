@@ -1107,6 +1107,82 @@ def ensure_llm_expected(sf_dir: str, threshold: int = 64,
     _done.add(key)
 
 
+def fake_llm_malformed(prompts):
+    """Deterministic 'model' for the llm_extract_malformed NEGATIVE probe:
+    exercises every parse_blocks failure path
+    (extraction_strategy.py:644-662 semantics).  Keyed on the section's
+    escaped token count mod 3:
+
+      0 → well-formed <blocks> JSON (one block) — happy path;
+      1 → NO blocks tag, one parseable top-level object followed by a
+          balanced-but-invalid segment ``{oops}`` — the depth-scan
+          fallback keeps the object and folds the rest into ONE error
+          block (tags=['error'], error=true);
+      2 → unclosed ``<blocks>`` tag and no balanced braces — zero blocks
+          (the page yields no rows, the reference's silent-drop path).
+    """
+    import json as _j
+    out = []
+    for p in prompts:
+        content = p.split("CONTENT:\n", 1)[1].split("\nINSTRUCTION:", 1)[0]
+        toks = content.split()
+        m = len(toks) % 3
+        # payloads are derived from the token COUNT only (never the token
+        # text) so no document content can reach the depth-scan fallback
+        # and confuse its brace counting
+        if m == 0:
+            blocks = [{"index": 0, "tags": ["ok"],
+                       "content": [f"sec of {len(toks)} toks"]}]
+            out.append("<blocks>" + _j.dumps(blocks) + "</blocks>")
+        elif m == 1:
+            good = _j.dumps({"index": 1, "tags": ["fallback"],
+                             "content": f"fb {len(toks)}"})
+            out.append(good + " {oops}")
+        else:
+            out.append("<blocks>[{unterminated")
+    return out
+
+
+def ensure_llm_malformed_expected(sf_dir: str, threshold: int = 64,
+                                  overlap_rate: float = 0.25,
+                                  word_token_rate: float = 1.3) -> None:
+    """Expected rows for the malformed-model negative probe, constructed
+    from the fake's INTENT (which parse path each response takes), never
+    by running the engine's parser."""
+    key = ("llm_malformed", sf_dir, threshold, overlap_rate, word_token_rate)
+    if key in _done:
+        return
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    overlap = int(threshold * overlap_rate)
+    rows = []
+    for r in docs.itertuples():
+        url = f"doc://{int(r.doc_id)}"
+        text = r.text or ""
+        for ix, sec in enumerate(_merge_twin(text, threshold, overlap,
+                                             word_token_rate)):
+            toks = _prompt_escape_twin(sec).split()
+            m = len(toks) % 3
+            if m == 0:
+                rows.append({"url": url, "section_idx": ix, "block_idx": 0,
+                             "tags": "ok",
+                             "content": f"sec of {len(toks)} toks",
+                             "error": False})
+            elif m == 1:
+                rows.append({"url": url, "section_idx": ix, "block_idx": 1,
+                             "tags": "fallback",
+                             "content": f"fb {len(toks)}", "error": False})
+                rows.append({"url": url, "section_idx": ix, "block_idx": 0,
+                             "tags": "error", "content": "{oops}",
+                             "error": True})
+            # m == 2 → the drop path: no rows for this section
+    _write("llm_extract_malformed", pd.DataFrame(
+        rows, columns=["url", "section_idx", "block_idx", "tags",
+                       "content", "error"]).astype(
+        {"section_idx": "int64", "block_idx": "int64"}), sf_dir)
+    _done.add(key)
+
+
 # ------------------------------------------------------------------- pdf
 
 def ensure_pdf_expected(sf_dir: str) -> None:
