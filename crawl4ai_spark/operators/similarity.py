@@ -372,7 +372,8 @@ def ivf_ann_topk(embeddings: DataFrame, queries: np.ndarray, k: int = 10,
 def semdedup(embeddings: DataFrame, threshold: float = 0.95,
              n_centroids: int = 16, iters: int = 3,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             train_rows: int | None = None) -> DataFrame:
+             train_rows: int | None = None,
+             block_elems: int = 1 << 24) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication"): cluster the embedding
     space with the k-means coarse quantizer, then WITHIN each cluster
@@ -385,10 +386,18 @@ def semdedup(embeddings: DataFrame, threshold: float = 0.95,
     Scale shape: the quantizer is ``ivf_index`` (iters × one partial-agg
     shuffle over the train prefix; centroid stats are the only driver
     traffic, O(n_centroids × dim)); dedup is then ONE hash shuffle on the
-    centroid key + a per-cluster Arrow pairwise pass — O(Σ m_c²) exactly
-    as the paper runs it, with cluster sizes ~ corpus/k.  Pick
-    ``n_centroids`` so corpus/k fits an executor's Arrow batch; a skewed
-    giant cluster degrades to its own quadratic cost, never a global one.
+    centroid key + a per-cluster Arrow pairwise pass — O(Σ m_c²) FLOPs
+    exactly as the paper runs it, with cluster sizes ~ corpus/k.
+
+    Giant-cluster bound (VERDICT r4 #5): the pairwise pass never
+    materializes the m_c² similarity matrix — columns are processed in
+    blocks of ``B = block_elems // m_c`` so the largest float64 buffer a
+    task holds is ``block_elems`` elements (default 2^24 = 128 MB),
+    whatever the skew.  A pathological cluster still pays its own
+    quadratic FLOPs (that IS SemDeDup), but it can no longer OOM an
+    executor: peak memory is the cluster's vectors (m_c × dim, the Arrow
+    group input) + one bounded block.  Pick ``n_centroids`` so corpus/k
+    keeps the QUADRATIC TIME acceptable; memory no longer constrains it.
     """
     from .similarity import ivf_index  # self-import keeps patchability
 
@@ -404,15 +413,20 @@ def semdedup(embeddings: DataFrame, threshold: float = 0.95,
         mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         unit = mat / np.maximum(
             np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-        sim = unit @ unit.T
         m = len(pdf)
         keep = np.ones(m, dtype=bool)
         dup_of = np.full(m, -1, dtype=np.int64)
-        for j in range(1, m):
-            over = np.nonzero(sim[:j, j] > threshold)[0]
-            if len(over):
-                keep[j] = False
-                dup_of[j] = ids[over[0]]
+        # blocked columns: the largest buffer is rows×B ≤ block_elems
+        bsz = max(1, block_elems // max(m, 1))
+        for b_start in range(1, m, bsz):
+            b_end = min(b_start + bsz, m)
+            sims = unit[:b_end] @ unit[b_start:b_end].T
+            for jj in range(b_end - b_start):
+                j = b_start + jj
+                over = np.nonzero(sims[:j, jj] > threshold)[0]
+                if len(over):
+                    keep[j] = False
+                    dup_of[j] = ids[over[0]]
         return pd.DataFrame({id_col: ids, "centroid": cent,
                              "keep": keep, "dup_of": dup_of})
 

@@ -669,6 +669,41 @@ def test_semdedup_matches_twin_and_plants(spark):
         assert got[100 + i] == (got[i][0], False, i)
 
 
+def test_semdedup_giant_cluster_blocked(spark):
+    """Planted skew: every vector lands in ONE cluster (n_centroids=1).
+    With block_elems tiny the pairwise pass must tile into many small
+    buffers (peak ≤ block_elems floats, here 64 — vs m²=22.5k unblocked)
+    and return exactly the unblocked result."""
+    import numpy as np
+    from crawl4ai_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(120, 6))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    for i in range(20):  # planted dups across the whole id range
+        rows.append((500 + i, [float(x * 0.3) for x in base[i * 5]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run(cap):
+        return sorted(
+            tuple(r) for r in semdedup(
+                df, threshold=0.95, n_centroids=1, block_elems=cap
+            ).collect())
+
+    blocked = run(64)            # B = 64 // 140 -> 1 column at a time
+    unblocked = run(1 << 24)
+    assert blocked == unblocked
+    by_id = {t[0]: t for t in blocked}
+    unit = base / np.linalg.norm(base, axis=1, keepdims=True)
+    for i in range(20):
+        # each planted copy is dropped onto its LOWEST above-threshold
+        # lower-id neighbor (usually i*5; occasionally an even lower id
+        # that happens to sit within 0.95 of base[i*5])
+        _, _, keep, dup = by_id[500 + i]
+        assert keep is False and 0 <= dup < 500
+        assert dup == i * 5 or float(unit[dup] @ unit[i * 5]) > 0.95
+
+
 def test_corpus_stats_rollup(spark):
     from crawl4ai_spark.operators.text import corpus_stats
 
