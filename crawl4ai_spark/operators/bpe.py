@@ -66,12 +66,47 @@ def _merge_pair_expr(symbols, left: str, right: str):
     )
 
 
+def _select_disjoint(cands: list, k: int) -> list:
+    """Greedy prefix of candidate pairs (already ordered by freq desc,
+    l, r) whose SYMBOL SETS are pairwise disjoint.  Fusing (a,b) can only
+    change the occurrence count of a pair that shares a symbol with it
+    (it consumes a's and b's and mints ab), so a disjoint batch's measured
+    frequencies all stay valid and the k merges commute — the batch is
+    order-independent and deterministic."""
+    out, used = [], set()
+    for row in cands:
+        if len(out) >= k:
+            break
+        if row["l"] in used or row["r"] in used:
+            continue
+        out.append(row)
+        used.update((row["l"], row["r"], row["l"] + row["r"]))
+    return out
+
+
 def bpe_train(docs: DataFrame, text_col: str = "text",
-              num_merges: int = 50, min_pair_freq: int = 2) -> DataFrame:
+              num_merges: int = 50, min_pair_freq: int = 2,
+              merges_per_round: int = 1) -> DataFrame:
     """Learn ``num_merges`` BPE merges from the corpus.  Returns the merge
     table ``(rank int, left string, right string, freq long)`` in learned
     order; stops early when the best pair's corpus frequency drops under
-    ``min_pair_freq``."""
+    ``min_pair_freq``.
+
+    ``merges_per_round`` — the real-tokenizer knob (VERDICT r4 #6).  At 1
+    (default) this is EXACT classic BPE: one vocab-scale Spark job + one
+    1-row collect per merge, so a production ~30k-merge tokenizer would
+    pay ~30k sequential job launches — hours of fixed overhead at any
+    cluster size.  At k > 1 each round collects the top candidates once
+    and applies the greedy largest prefix with pairwise-DISJOINT symbol
+    sets (``_select_disjoint``): within such a batch every measured
+    frequency stays valid and the merges commute, so the batch is
+    deterministic; the learned SEQUENCE can differ from classic BPE only
+    where a merge's product would have immediately out-ranked a later
+    batch member (the standard batched-BPE approximation — e.g. the
+    SentencePiece/HF "max merges per iteration" trick).  ~30k merges at
+    k=64 is ~500 rounds — the job-launch overhead drops by the batch
+    factor.  Batched rounds re-segment the vocab table in ONE Arrow pass
+    (k chained Catalyst folds would nest k aggregates deep)."""
     spark = docs.sparkSession
     wc = _word_counts(docs, text_col)
     words = wc.select(
@@ -82,8 +117,10 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
         ).alias("syms"),
     ).localCheckpoint(eager=True)
 
+    k = max(1, int(merges_per_round))
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(num_merges):
+    while len(merges) < num_merges:
+        want = min(k, num_merges - len(merges))
         pairs = words.select(
             "wc",
             F.explode(F.when(
@@ -98,32 +135,66 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
             ).otherwise(F.array().cast(
                 "array<struct<l:string,r:string>>"))).alias("p"),
         )
-        best = (
+        # over-fetch 4x: disjointness filtering skips interacting pairs
+        cands = (
             pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("wc").alias("freq"))
+            .where(F.col("freq") >= F.lit(min_pair_freq))
             .orderBy(F.col("freq").desc(), F.col("l").asc(), F.col("r").asc())
-            .limit(1)
-            .collect()  # ONE row — scalar control read
+            .limit(want if want == 1 else want * 4)
+            .collect()  # ≤ 4k rows — scalar control read
         )
-        if not best or best[0]["freq"] < min_pair_freq:
+        batch = _select_disjoint(cands, want)
+        if not batch:
             break
-        l, r, freq = best[0]["l"], best[0]["r"], int(best[0]["freq"])
-        merges.append((rank, l, r, freq))
-        has = F.exists(
-            F.when(F.size("syms") >= 2, F.transform(
-                F.sequence(F.lit(0), F.size("syms") - 2),
-                lambda i: F.struct(
-                    F.element_at("syms", i + 1).alias("l"),
-                    F.element_at("syms", i + 2).alias("r"),
-                ),
-            )).otherwise(F.array().cast("array<struct<l:string,r:string>>")),
-            lambda p: (p["l"] == F.lit(l)) & (p["r"] == F.lit(r)),
+        base_rank = len(merges)
+        merges.extend(
+            (base_rank + i, row["l"], row["r"], int(row["freq"]))
+            for i, row in enumerate(batch)
         )
-        words = words.select(
-            "wc",
-            F.when(has, _merge_pair_expr(F.col("syms"), l, r))
-             .otherwise(F.col("syms")).alias("syms"),
-        ).localCheckpoint(eager=True)  # flat lineage: round k costs round k
+        if len(batch) == 1:
+            l, r = batch[0]["l"], batch[0]["r"]
+            has = F.exists(
+                F.when(F.size("syms") >= 2, F.transform(
+                    F.sequence(F.lit(0), F.size("syms") - 2),
+                    lambda i: F.struct(
+                        F.element_at("syms", i + 1).alias("l"),
+                        F.element_at("syms", i + 2).alias("r"),
+                    ),
+                )).otherwise(F.array().cast("array<struct<l:string,r:string>>")),
+                lambda p: (p["l"] == F.lit(l)) & (p["r"] == F.lit(r)),
+            )
+            words = words.select(
+                "wc",
+                F.when(has, _merge_pair_expr(F.col("syms"), l, r))
+                 .otherwise(F.col("syms")).alias("syms"),
+            ).localCheckpoint(eager=True)  # flat lineage
+        else:
+            # ONE Arrow pass applying the whole (commuting) batch to the
+            # vocab-sized word table
+            todo = [(row["l"], row["r"]) for row in batch]
+
+            def apply_batch(
+                batches: Iterator[pd.DataFrame],
+            ) -> Iterator[pd.DataFrame]:
+                for b in batches:
+                    out = []
+                    for syms in b["syms"]:
+                        syms = list(syms)
+                        for l_, r_ in todo:
+                            fused: list[str] = []
+                            for s in syms:
+                                if fused and fused[-1] == l_ and s == r_:
+                                    fused[-1] = l_ + r_
+                                else:
+                                    fused.append(s)
+                            syms = fused
+                        out.append(syms)
+                    yield pd.DataFrame({"wc": b["wc"], "syms": out})
+
+            words = words.mapInPandas(
+                apply_batch, "wc long, syms array<string>"
+            ).localCheckpoint(eager=True)
 
     return spark.createDataFrame(
         merges, "rank int, left string, right string, freq long"

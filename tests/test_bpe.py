@@ -110,3 +110,38 @@ def test_bpe_segment_matches_twin(spark):
     raw = {i: sum(len(w) + 1 for w in t.lower().split())
            for i, t in enumerate(CORPUS)}
     assert all(got[i][1] < raw[i] for i in got)
+
+
+def test_bpe_train_batched_rounds(spark):
+    from crawl4ai_spark.operators.bpe import _select_disjoint, bpe_train
+
+    # _select_disjoint drops any pair sharing a symbol with an earlier pick
+    cands = [
+        {"l": "a", "r": "b", "freq": 9},
+        {"l": "b", "r": "c", "freq": 8},   # shares 'b' -> skipped
+        {"l": "c", "r": "d", "freq": 7},
+        {"l": "ab", "r": "e", "freq": 6},  # 'ab' is a minted symbol -> skipped
+        {"l": "x", "r": "y", "freq": 5},
+    ]
+    picked = [(r["l"], r["r"]) for r in _select_disjoint(cands, 4)]
+    assert picked == [("a", "b"), ("c", "d"), ("x", "y")]
+
+    # a corpus whose top pairs are symbol-disjoint learns the SAME table
+    # batched as classic (the batch is exact when no interaction exists):
+    # (a,a) (b,b) (c,c) (d,d) all at freq 12, every other pair ≤ 6
+    corpus = ["aaa bbb ccc ddd"] * 6
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)],
+                               "doc_id long, text string")
+    classic = [(r["rank"], r["left"], r["right"], r["freq"])
+               for r in bpe_train(df, num_merges=4).orderBy("rank").collect()]
+    batched = [(r["rank"], r["left"], r["right"], r["freq"])
+               for r in bpe_train(df, num_merges=4, merges_per_round=4)
+               .orderBy("rank").collect()]
+    assert classic == batched
+    assert len(batched) == 4
+
+    # batched training still early-stops under min_pair_freq
+    tiny = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
+    got = bpe_train(tiny, num_merges=8, min_pair_freq=2,
+                    merges_per_round=4).collect()
+    assert got == []
