@@ -696,12 +696,19 @@ def bpe_train_bench(spark, n_docs: int = 50_000, num_merges: int = 500,
     from crawl4ai_spark.operators.bpe import bpe_train
 
     n_parts = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # ~25k distinct 6-char words over a 26-letter alphabet: enough pair
-    # diversity that 500 distinct merges exist with freq >= 2
+    # ~25k distinct 6-char words over a 72-symbol LOWERCASE-STABLE
+    # alphabet (the trainer lowercases; A-Z would fold onto a-z and
+    # concentrate pair mass on 26 hot symbols, capping the disjoint-batch
+    # yield at ~13/round no matter the batch size).  The yield cap is
+    # alphabet/2 early on, so symbol diversity is what lets batching
+    # actually amortize.
+    chars = ("abcdefghijklmnopqrstuvwxyz" "0123456789"
+             "!#$%&()*+,-./:;<=>?@[]^_{|}~" "åæçèéêëìíîïð")
+    alpha = F.array(*[F.lit(c) for c in chars])
     word = lambda salt: F.concat(*[
-        F.chr(F.lit(97) + F.pmod(
+        F.element_at(alpha, (F.pmod(
             F.xxhash64(F.col("id").cast("string"), F.lit(salt * 7 + k)),
-            F.lit(26)))
+            F.lit(len(chars))) + 1).cast("int"))
         for k in range(6)
     ])
     docs = spark.range(0, n_docs, 1, n_parts).select(

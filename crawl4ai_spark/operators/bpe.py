@@ -115,7 +115,16 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
             F.filter(F.split(F.col("word"), ""), lambda c: c != ""),
             F.array(F.lit(END)),
         ).alias("syms"),
-    ).localCheckpoint(eager=True)
+    )
+    # Size the vocab table's partitioning by ITS rows, not the corpus's:
+    # every merge round launches jobs over this table, and a chained
+    # Python stage costs ~0.3 s per PARTITION per job regardless of rows.
+    # ~50k words/partition keeps a 10^8-word production vocab at ~2k
+    # tasks while a bench-scale 25k-word vocab pays 1 task per round
+    # (500 batched merges: 179 s -> sub-minute at sf0.1).
+    n_vocab = words.count()  # one scalar control read, amortized over all rounds
+    vocab_parts = max(1, (n_vocab + 49_999) // 50_000)
+    words = words.repartition(vocab_parts).localCheckpoint(eager=True)
 
     k = max(1, int(merges_per_round))
     merges: list[tuple[int, str, str, int]] = []
@@ -135,14 +144,17 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
             ).otherwise(F.array().cast(
                 "array<struct<l:string,r:string>>"))).alias("p"),
         )
-        # over-fetch 4x: disjointness filtering skips interacting pairs
+        # over-fetch 16x: disjointness filtering skips interacting pairs,
+        # and the TOP of the freq-desc list clusters on hot symbols (every
+        # word-final pair shares END, for one) — a shallow pool starves
+        # the greedy picker and caps the batch yield far under ``want``
         cands = (
             pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("wc").alias("freq"))
             .where(F.col("freq") >= F.lit(min_pair_freq))
             .orderBy(F.col("freq").desc(), F.col("l").asc(), F.col("r").asc())
-            .limit(want if want == 1 else want * 4)
-            .collect()  # ≤ 4k rows — scalar control read
+            .limit(want if want == 1 else want * 16)
+            .collect()  # ≤ 16k tiny rows — scalar control read
         )
         batch = _select_disjoint(cands, want)
         if not batch:
