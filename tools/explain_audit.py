@@ -407,7 +407,8 @@ def main() -> None:
     emb2 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     sd_plan = plan_of(semdedup(emb2, n_centroids=8))
     sections.append((
-        "SemDeDup (centroid shuffle → per-cluster pairwise Arrow fold)",
+        "SemDeDup (centroid shuffle → per-cluster Arrow fold; pairwise pass "
+        "blocked to ≤block_elems floats per task, so cluster skew cannot OOM)",
         sd_plan, ["FlatMapGroupsInPandas", "hashpartitioning(centroid"],
     ))
 
