@@ -144,6 +144,18 @@ _STOP_EN = ["the", "and", "of", "to", "in", "is", "a", "that", "it", "for"]
 
 # language-rebalancing rates for the stratified_sample probe (fr → default)
 _SAMPLE_RATES = {"en": 0.9, "es": 0.5, "de": 0.25, "zh": 0.1}
+
+# Round-5 curation-tier fixtures (pure data, shared by probe and oracle).
+from crawl4ai_spark.operators.quality import PII_PATTERNS as _PII_PATTERNS  # noqa: E402
+_BLOCKLIST_ROWS = [
+    ("site0.com", "domain", "ads"),
+    ("site3.com", "domain", "adult"),
+    ("site7.com", "domain", "malware"),
+    ("h2.site2.com", "host", "phishing"),
+    ("www.h0.site0.com", "host", "tracking"),
+]
+_MIX_WEIGHTS = {"en": 5, "fr": 2, "es": 2, "de": 1}
+_MIX_BUDGET = 40_000  # chars of corpus budget split 5:2:2:1
 # proxy pool for the fleet_identity probe (round-robin over push seq)
 _PROXY_POOL = [
     "http://proxy-a:8080", "http://proxy-b:8080",
@@ -1811,6 +1823,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return docs.mapInPandas(run, "doc_id long, pos int, value string")
     q["xpath_positional"] = q_xpath_positional
 
+    # --------- round-5 curation tier: PII scrub / URL blocklist / mixture
+    def q_pii_redact(spark, sf):
+        # operators/quality.py pii_redact: C4/BigCode-style typed-placeholder
+        # scrub.  PII spans are PLANTED as a pure function of doc_id (both
+        # engines build the identical string), so detection exercises real
+        # corpus text + known spans; the compared payload is integer counts
+        # plus md5+length of the redacted text (round-5 parity idiom).
+        from crawl4ai_spark.operators.quality import pii_redact
+
+        docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@mail"), (F.col("doc_id") % 9).cast("string"),
+                F.lit(".example.com or +1415555"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0."), (F.col("doc_id") % 200).cast("string"),
+            ).alias("text"),
+        )
+        out = pii_redact(docs)
+        return out.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_email", "n_ipv4", "n_phone", "n_pii",
+            F.length("text_redacted").cast("long").alias("red_len"),
+            F.md5("text_redacted").alias("red_md5"),
+        )
+    q["pii_redact"] = q_pii_redact
+
+    def q_url_blocklist(spark, sf):
+        # operators/blocklist.py blocklist_gate: UT1-style category
+        # blocklist, exact-host entries beating registrable-domain entries.
+        # URLs are a pure function of doc_id; doc_id 0 exercises precedence
+        # (host 'www.h0.site0.com' -> tracking beats domain 'site0.com' ->
+        # ads) at every sf.
+        from crawl4ai_spark.operators.blocklist import blocklist_gate
+
+        urls = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.concat(
+                F.lit("https://"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit("www."))
+                 .otherwise(F.lit("")),
+                F.lit("h"), (F.col("doc_id") % 37).cast("string"),
+                F.lit(".site"), (F.col("doc_id") % 11).cast("string"),
+                F.lit(".com/p/"), F.col("doc_id").cast("string"),
+            ).alias("url"),
+        )
+        bl = spark.createDataFrame(
+            _BLOCKLIST_ROWS, "pattern string, kind string, category string")
+        out = blocklist_gate(urls, bl)
+        return out.select(
+            "doc_id", "url", "host", "base_dom", "category",
+            F.col("blocked").cast("int").alias("blocked"),
+        )
+    q["url_blocklist"] = q_url_blocklist
+
+    def q_mixture_sample(spark, sf):
+        # operators/sampling.py mixture_sample: DoReMi/Pile-style
+        # token-budget quota per language; every compared quantity is an
+        # exact integer (budgets derived by integer arithmetic, cum_size a
+        # long cumsum), the per-domain order is the md5(key '#' seed)
+        # portable draw.  Budget 40k chars binds every weighted stratum at
+        # both gate sfs; zh carries no weight and drops out.
+        from crawl4ai_spark.operators.sampling import mixture_sample
+
+        docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+        out = mixture_sample(
+            docs, "doc_id", "lang", _MIX_WEIGHTS, _MIX_BUDGET, "n_chars",
+            seed=7)
+        return out.select(
+            F.col("doc_id").cast("long").alias("doc_id"), "lang",
+            F.col("n_chars").cast("long").alias("n_chars"), "cum_size",
+        )
+    q["mixture_sample"] = q_mixture_sample
+
     # ----------------------------------------------------------------------
     # Registration-order rotation: the driver's correctness gate checks the
     # FIRST 50 registered probes only (CORRECTNESS_r03 covered exactly the
@@ -3273,6 +3362,80 @@ def oracle_sql() -> dict[str, str]:
         SELECT host, 'https://' || host || '/sitemap.xml' AS sitemap_url FROM h
         UNION ALL
         SELECT host, 'https://' || host || '/news.xml' FROM h
+    """
+
+    # ------------- round-5 curation tier (pii / blocklist / mixture)
+    _email_pat, _ipv4_pat, _phone_pat = (p for _, p, _ in _PII_PATTERNS)
+    o["pii_redact"] = f"""
+        WITH p AS (
+          SELECT doc_id,
+            coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail' || CAST(doc_id % 9 AS VARCHAR)
+              || '.example.com or +1415555'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.' || CAST(doc_id % 200 AS VARCHAR) AS t
+          FROM documents),
+        s1 AS (SELECT doc_id, t,
+                 len(regexp_extract_all(t, '{_email_pat}')) AS n_email,
+                 regexp_replace(t, '{_email_pat}', '<EMAIL>', 'g') AS r1
+               FROM p),
+        s2 AS (SELECT doc_id, n_email,
+                 len(regexp_extract_all(r1, '{_ipv4_pat}')) AS n_ipv4,
+                 regexp_replace(r1, '{_ipv4_pat}', '<IP>', 'g') AS r2
+               FROM s1),
+        s3 AS (SELECT doc_id, n_email, n_ipv4,
+                 len(regexp_extract_all(r2, '{_phone_pat}')) AS n_phone,
+                 regexp_replace(r2, '{_phone_pat}', '<PHONE>', 'g') AS r3
+               FROM s2)
+        SELECT doc_id,
+               CAST(n_email AS BIGINT) AS n_email,
+               CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+               CAST(n_phone AS BIGINT) AS n_phone,
+               CAST(n_email + n_ipv4 + n_phone AS BIGINT) AS n_pii,
+               length(r3) AS red_len, md5(r3) AS red_md5
+        FROM s3
+    """
+
+    _bl_hosts = ", ".join(f"('{p}', '{c}')" for p, k, c in _BLOCKLIST_ROWS
+                          if k == "host")
+    _bl_doms = ", ".join(f"('{p}', '{c}')" for p, k, c in _BLOCKLIST_ROWS
+                         if k == "domain")
+    o["url_blocklist"] = f"""
+        WITH u AS (
+          SELECT doc_id,
+            'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+              || 'h' || CAST(doc_id % 37 AS VARCHAR)
+              || '.site' || CAST(doc_id % 11 AS VARCHAR)
+              || '.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+            CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+              || 'h' || CAST(doc_id % 37 AS VARCHAR)
+              || '.site' || CAST(doc_id % 11 AS VARCHAR) || '.com' AS host,
+            'site' || CAST(doc_id % 11 AS VARCHAR) || '.com' AS base_dom
+          FROM documents),
+        h AS (SELECT * FROM (VALUES {_bl_hosts}) t(p, c)),
+        d AS (SELECT * FROM (VALUES {_bl_doms}) t(p, c))
+        SELECT u.doc_id, u.url, u.host, u.base_dom,
+               coalesce(h.c, d.c) AS category,
+               CAST(coalesce(h.c, d.c) IS NOT NULL AS INT) AS blocked
+        FROM u LEFT JOIN h ON u.host = h.p LEFT JOIN d ON u.base_dom = d.p
+    """
+
+    _mix_wsum = sum(_MIX_WEIGHTS.values())
+    _mix_case = " ".join(
+        f"WHEN '{d}' THEN {_MIX_WEIGHTS[d] * _MIX_BUDGET // _mix_wsum}"
+        for d in sorted(_MIX_WEIGHTS))
+    o["mixture_sample"] = f"""
+        WITH c AS (
+          SELECT doc_id, lang, n_chars,
+                 CAST(sum(n_chars) OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || '#7'), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS cum_size
+          FROM documents)
+        SELECT doc_id, lang, n_chars, cum_size FROM c
+        WHERE cum_size <= (CASE lang {_mix_case} ELSE 0 END)
     """
 
     return o

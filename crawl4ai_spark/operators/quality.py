@@ -617,3 +617,59 @@ def ccnet_perplexity(corpus: DataFrame, target: DataFrame,
          .when(F.col("nll_per") <= F.col("__cut2"), F.lit("middle"))
          .otherwise(F.lit("tail")).alias("bucket"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction (corpus-release hygiene)
+# --------------------------------------------------------------------------
+
+# (kind, pattern, replacement) — applied IN ORDER, each stage counting on
+# the previous stage's redacted text so an email's host can never be
+# re-counted as an IPv4 (user@1.2.3.4 is one email, zero IPs).  Patterns
+# deliberately use only constructs whose semantics are identical in Java
+# regex (Spark) and RE2 (DuckDB oracle): character classes, bounded
+# repetition, alternation — no lookaround (RE2 has none), no word
+# boundaries, no backreferences.  The IPv4 form is the naive C4-style
+# scrubber (no 0-255 octet check — '999.999.999.999' redacts, matching
+# what corpus scrubbers actually ship); the phone form is E.164-ish plus
+# the US dashed/dotted shape.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+[0-9]{7,15}|[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}", "<PHONE>"),
+]
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text",
+               out_col: str = "text_redacted") -> DataFrame:
+    """Detect-and-mask PII spans (emails, IPv4s, phone numbers) — the
+    standard pre-release scrub (C4 / BigCode-style: regex detection,
+    typed placeholder substitution).
+
+    The reference crawls pages but ships no scrubbing surface
+    (crawl4ai/utils.py has no PII pass); a corpus release at 100 TB
+    needs one, so this extends the hygiene tier alongside
+    ``gopher_quality``/``line_dedup``.
+
+    Adds ``n_email``/``n_ipv4``/``n_phone`` (non-overlapping match counts,
+    each counted AFTER the previous kind was masked), ``n_pii`` (their
+    sum) and ``out_col`` (the masked text).
+
+    Scale shape: three chained ``regexp_count``/``regexp_replace`` column
+    expressions — whole-stage codegen, ZERO shuffle, filter-pushdown
+    friendly; 10^10 rows is a scan.  NULL text coalesces to '' (the
+    F.size/-1 class of hole flagged in round-4 ADVICE never applies:
+    counts on '' are 0 and the redacted text is '').
+    """
+    red = F.coalesce(F.col(text_col), F.lit(""))
+    counts = []
+    for kind, pat, token in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(red, F.lit(pat)).cast("long").alias(f"n_{kind}"))
+        red = F.regexp_replace(red, pat, token)
+    out = docs.select("*", *counts, red.alias(out_col))
+    total = None
+    for kind, _, _ in PII_PATTERNS:
+        c = F.col(f"n_{kind}")
+        total = c if total is None else total + c
+    return out.withColumn("n_pii", total.cast("long"))

@@ -51,6 +51,7 @@ __all__ = [
     "shard_pack",
     "pack_sequences",
     "stratified_topn",
+    "mixture_sample",
 ]
 
 _HEX_DIGITS = 16  # compare on the first 16 hex digits (64 bits) of md5
@@ -299,3 +300,74 @@ def importance_resample(scored: DataFrame, n: int,
     w = Window.orderBy(F.col("race_micro").desc(), F.col(id_col).asc())
     return ranked.withColumn(
         "draw_rank", F.row_number().over(w).cast("long"))
+
+
+def mixture_sample(df: DataFrame, key_col: str, domain_col: str,
+                   weights: dict[str, int], total_budget: int,
+                   size_col: str, seed: int = 0,
+                   num_partitions: int | None = None) -> DataFrame:
+    """Token-budget mixture (quota) sampling — the DoReMi/The-Pile-style
+    "build a corpus with these domain proportions" stage (Xie et al. 2023
+    DoReMi §2; Gao et al. 2020 The Pile Table 1 publish exactly such
+    mixtures).  Given integer ``weights`` per domain and a ``total_budget``
+    in units of ``size_col`` (tokens/chars/bytes), keep each domain's
+    deterministic md5-shuffled PREFIX whose running size fits its quota::
+
+        budget_d = weights[d] * total_budget // sum(weights)   (exact ints)
+        keep row <=> its inclusive running size within the domain
+                     (ordered by md5(key '#' seed), key) <= budget_d
+
+    Domains absent from ``weights`` (and NULL domains) get budget 0 and
+    drop out.  The kept set is a pure function of (rows, weights, budget,
+    seed) — reproducible under re-partitioning, retries and cluster size,
+    and every compared quantity is an exact integer (no float thresholds).
+
+    Scale shape: NO per-domain single-reducer window.  The running sum is
+    ``dist.with_global_cumsum`` over the GLOBAL (domain, md5, key) order —
+    range partitioning spreads a hot domain across many partitions because
+    the md5 component varies — and the per-domain inclusive cumsum is
+    recovered by subtracting each domain's preceding-domains offset, a
+    #domains-sized broadcast dim (mixture recipes have tens of domains).
+    Cost: one range shuffle of the corpus + one vocab-sized aggregate.
+
+    Returns df columns + ``cum_size`` (inclusive per-domain running size).
+    """
+    if total_budget < 0:
+        raise ValueError("total_budget must be >= 0")
+    wsum = sum(weights.values())
+    if wsum <= 0:
+        raise ValueError("weights must sum > 0")
+    budgets = {d: weights[d] * total_budget // wsum for d in weights}
+
+    from ..dist import with_global_cumsum
+
+    dom = F.coalesce(F.col(domain_col).cast("string"), F.lit("\x00null"))
+    keyed = df.withColumn("__dom", dom).withColumn(
+        "__draw", hash_uniform_hex(F.col(key_col), seed))
+    cum = with_global_cumsum(
+        keyed, ["__dom", "__draw", key_col], size_col, "__cum_all",
+        num_partitions=num_partitions,
+    )
+    # Preceding-domains offset: cumsum of per-domain totals in __dom order
+    # minus the domain's own total.  The window sorts the #domains-sized
+    # aggregate only.
+    from pyspark.sql import Window
+
+    totals = keyed.groupBy("__dom").agg(
+        F.sum(F.col(size_col).cast("long")).alias("__tot"))
+    off_w = Window.orderBy("__dom").rowsBetween(Window.unboundedPreceding, 0)
+    offsets = totals.select(
+        "__dom", (F.sum("__tot").over(off_w) - F.col("__tot")).alias("__off"))
+
+    budget_expr = F.lit(0).cast("long")
+    for d in sorted(budgets):
+        budget_expr = F.when(
+            F.col("__dom") == F.lit(d), F.lit(budgets[d]).cast("long")
+        ).otherwise(budget_expr)
+
+    out = cum.join(F.broadcast(offsets), "__dom")
+    return (
+        out.withColumn("cum_size", (F.col("__cum_all") - F.col("__off")).cast("long"))
+        .where(F.col("cum_size") <= budget_expr)
+        .drop("__dom", "__draw", "__cum_all", "__off")
+    )
