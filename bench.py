@@ -902,6 +902,75 @@ def stream_chunks_bench(spark, n_docs: int = 100_000) -> dict:
     }
 
 
+def curation_bench(spark, n_docs: int = 100_000) -> dict:
+    """Round-5 curation tier at scale: PII redaction (three chained codegen
+    regex stages, zero shuffle), URL category-blocklist gate (two broadcast
+    joins over a 60k-entry list), and token-budget mixture sampling (one
+    range shuffle + vocab-sized offsets dim).  PII spans are planted in
+    ~1/3 of docs; blocklist coverage is min(1, 60k/(ids mod 300k))."""
+    from crawl4ai_spark.operators.blocklist import blocklist_gate
+    from crawl4ai_spark.operators.quality import pii_redact
+    from crawl4ai_spark.operators.sampling import mixture_sample
+
+    n_parts = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    word = lambda salt: F.concat(
+        F.lit("w"),
+        F.pmod(F.xxhash64(F.col("id").cast("string"), F.lit(salt)),
+               F.lit(20_000)).cast("string"))
+    body = F.concat_ws(" ", *[word(s) for s in range(60)])
+    planted = F.concat(
+        body, F.lit(" mail u"), F.col("id").cast("string"),
+        F.lit("@ex"), F.pmod(F.col("id"), 9).cast("string"),
+        F.lit(".org ip 10."), F.pmod(F.col("id"), 256).cast("string"),
+        F.lit(".0.7 tel +1415555"),
+        F.lpad(F.pmod(F.col("id"), 10_000).cast("string"), 4, "0"))
+    docs = spark.range(0, n_docs, 1, n_parts).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.pmod(F.col("id"), 3) == 0, planted).otherwise(body)
+         .alias("text"),
+        F.concat(F.lit("d"), F.pmod(F.col("id"), 20).cast("string"))
+         .alias("lang"),
+        (F.length(body)).cast("long").alias("n_chars"),
+        F.concat(F.lit("https://h"), F.pmod(F.col("id"), 997).cast("string"),
+                 F.lit(".dom"), F.pmod(F.col("id"), 300_000).cast("string"),
+                 F.lit(".com/p/"), F.col("id").cast("string")).alias("url"),
+    ).localCheckpoint(eager=True)  # time operators, not the generator
+
+    out: dict = {"docs": n_docs}
+    t0 = time.time()
+    r = pii_redact(docs).agg(
+        F.sum("n_pii").alias("s"), F.count("*").alias("n")).collect()[0]
+    out["pii_sec"] = round(time.time() - t0, 3)
+    out["pii_spans"] = int(r["s"])
+
+    bl = spark.range(0, 60_000).select(
+        F.concat(F.lit("dom"), F.col("id").cast("string"), F.lit(".com"))
+         .alias("pattern"),
+        F.lit("domain").alias("kind"),
+        F.concat(F.lit("cat"), F.pmod(F.col("id"), 12).cast("string"))
+         .alias("category"))
+    t0 = time.time()
+    r = blocklist_gate(docs.select("doc_id", "url"), bl).agg(
+        F.sum(F.col("blocked").cast("long")).alias("b")).collect()[0]
+    out["blocklist_sec"] = round(time.time() - t0, 3)
+    out["blocked"] = int(r["b"])
+
+    weights = {f"d{i}": (i % 5) + 1 for i in range(20)}
+    t0 = time.time()
+    kept = mixture_sample(
+        docs.select("doc_id", "lang", "n_chars"), "doc_id", "lang",
+        weights, total_budget=n_docs * 150, size_col="n_chars", seed=7,
+    ).count()
+    out["mixture_sec"] = round(time.time() - t0, 3)
+    out["mixture_kept"] = int(kept)
+
+    total = out["pii_sec"] + out["blocklist_sec"] + out["mixture_sec"]
+    out["sec"] = round(total, 3)
+    out["docs_per_sec"] = round(3 * n_docs / max(total, 1e-9), 1)
+    docs.unpersist()
+    return out
+
+
 def host_calibration(spark) -> dict:
     """Fixed micro-workloads recorded per run so round-over-round deltas
     can be normalized for host drift (this VM's per-core throughput moves
@@ -1126,6 +1195,11 @@ def main() -> None:
     # cross-document streaming chunker (sharded token queue)
     section_reset(spark, drift, "stream_chunks")
     extras["stream_chunks"] = stream_chunks_bench(
+        spark, n_docs=max(10_000, int(1_000_000 * sf)))
+
+    # curation tier (PII scrub / blocklist gate / mixture quota)
+    section_reset(spark, drift, "curation")
+    extras["curation"] = curation_bench(
         spark, n_docs=max(10_000, int(1_000_000 * sf)))
 
     total = round(sum(queries.values()), 3)

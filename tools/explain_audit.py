@@ -412,6 +412,49 @@ def main() -> None:
         sd_plan, ["FlatMapGroupsInPandas", "hashpartitioning(centroid"],
     ))
 
+    # 30. PII redaction: chained regex column stages — codegen, zero Exchange
+    from crawl4ai_spark.operators.quality import pii_redact
+
+    pii_plan = plan_of(pii_redact(docs))
+    sections.append((
+        "PII redaction (3 chained regexp_count/replace stages — codegen, "
+        "zero Exchange)", pii_plan, ["ReadSchema"],
+    ))
+    if "Exchange" in pii_plan:
+        sections[-1] = (sections[-1][0] + " — FAIL: plan shuffles",
+                        pii_plan, sections[-1][2])
+
+    # 31. blocklist gate: both lookups must be broadcast-hash, never SMJ
+    from crawl4ai_spark.operators.blocklist import blocklist_gate
+
+    bl = spark.createDataFrame(
+        [("site0.com", "domain", "ads"), ("h1.site2.com", "host", "x")],
+        "pattern string, kind string, category string")
+    bl_urls = docs.select(
+        F.col("doc_id"),
+        F.concat(F.lit("https://h"), F.col("doc_id") % 7, F.lit(".site"),
+                 F.col("doc_id") % 3, F.lit(".com/p")).alias("url"))
+    bl_plan = plan_of(blocklist_gate(bl_urls, bl))
+    sections.append((
+        "Blocklist gate (host + registrable-domain lookups, both broadcast)",
+        bl_plan, ["BroadcastHashJoin"],
+    ))
+    if "SortMergeJoin" in bl_plan:
+        sections[-1] = (sections[-1][0] + " — FAIL: shuffled join",
+                        bl_plan, sections[-1][2])
+
+    # 32. mixture quota: bucketed-cumsum Arrow pass + broadcast offsets dim
+    from crawl4ai_spark.operators.sampling import mixture_sample
+
+    mx = mixture_sample(
+        docs.select("doc_id", "lang", F.col("n_chars")),
+        "doc_id", "lang", {"en": 5, "fr": 2}, 10_000, "n_chars", seed=7)
+    sections.append((
+        "Mixture quota sampling (global bucketed cumsum → broadcast "
+        "per-domain offsets; no per-domain single-reducer window)",
+        plan_of(mx), ["MapInPandas", "BroadcastHashJoin"],
+    ))
+
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)\n"]
     out.append(
         "Generated by tools/explain_audit.py. Verdict lines check the "
