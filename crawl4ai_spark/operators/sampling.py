@@ -350,10 +350,12 @@ def mixture_sample(df: DataFrame, key_col: str, domain_col: str,
     )
     # Preceding-domains offset: cumsum of per-domain totals in __dom order
     # minus the domain's own total.  The window sorts the #domains-sized
-    # aggregate only.
+    # aggregate only.  Totals aggregate the CHECKPOINTED cumsum frame, not
+    # ``keyed`` — aggregating the pre-checkpoint frame would re-evaluate
+    # the whole upstream a second time (a full extra corpus scan at scale).
     from pyspark.sql import Window
 
-    totals = keyed.groupBy("__dom").agg(
+    totals = cum.groupBy("__dom").agg(
         F.sum(F.col(size_col).cast("long")).alias("__tot"))
     off_w = Window.orderBy("__dom").rowsBetween(Window.unboundedPreceding, 0)
     offsets = totals.select(
