@@ -47,6 +47,12 @@ def blocklist_gate(urls: DataFrame, blocklist: DataFrame,
     kind ('host' | 'domain'), category.  Unmatched URLs get NULL
     category and blocked=false.
     """
+    clash = {"host", "base_dom", "category", "blocked"} & set(urls.columns)
+    if clash:
+        raise ValueError(
+            f"urls already carries output column(s) {sorted(clash)}; "
+            "rename them before gating (silent duplicates would make the "
+            "frame ambiguous downstream)")
     pat = F.lower(F.trim(F.col("pattern")))
     host_entries = (
         blocklist.where(F.col("kind") == "host")

@@ -661,6 +661,13 @@ def pii_redact(docs: DataFrame, text_col: str = "text",
     F.size/-1 class of hole flagged in round-4 ADVICE never applies:
     counts on '' are 0 and the redacted text is '').
     """
+    outs = {f"n_{k}" for k, _, _ in PII_PATTERNS} | {"n_pii", out_col}
+    clash = outs & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"docs already carries output column(s) {sorted(clash)}; "
+            "rename them first (select('*', ...) would emit silent "
+            "duplicate names)")
     red = F.coalesce(F.col(text_col), F.lit(""))
     counts = []
     for kind, pat, token in PII_PATTERNS:

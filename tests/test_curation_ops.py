@@ -159,3 +159,13 @@ def test_mixture_partitioning_invariant(spark):
 def test_mixture_zero_budget_empty(spark):
     docs = _docs(spark, 40)
     assert mixture_sample(docs, "doc_id", "lang", WEIGHTS, 0, "sz").count() == 0
+
+
+def test_output_column_clash_raises(spark):
+    docs = spark.createDataFrame([(0, "x", 1)], "doc_id long, text string, n_pii long")
+    with pytest.raises(ValueError, match="n_pii"):
+        pii_redact(docs)
+    urls = spark.createDataFrame([(0, "https://a.b/c", "x")],
+                                 "id long, url string, host string")
+    with pytest.raises(ValueError, match="host"):
+        blocklist_gate(urls, _bl(spark))
