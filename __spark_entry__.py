@@ -1900,6 +1900,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["mixture_sample"] = q_mixture_sample
 
+    def q_c4_filters(spark, sf):
+        # operators/quality.py c4_filters (Raffel et al. 2020 §2.2): line
+        # screens (terminal punct, >=5 words, no 'javascript') + page gates
+        # (lorem ipsum / brace / bad token / <3 sentences).  Pages are the
+        # raw corpus text plus PLANTED lines as a pure function of doc_id so
+        # both keep and every drop_reason fire at every sf; compared payload
+        # is integers/strings + md5+length of the cleaned text.
+        from crawl4ai_spark.operators.quality import c4_filters
+
+        d = F.col("doc_id")
+        parts = [
+            F.concat(F.lit("A first planted sentence number "),
+                     d.cast("string"), F.lit(" is long enough.")),
+            F.when(d % 2 == 0,
+                   F.lit("A second planted sentence also measures well."))
+             .otherwise(F.lit("short one.")),
+            F.when(d % 7 == 0,
+                   F.lit("please enable javascript to view this page."))
+             .otherwise(F.lit("Third sentences land here with enough words.")),
+            F.when(d % 11 == 0, F.lit("lorem ipsum dolor sit amet here."))
+             .otherwise(F.lit("")),
+            F.when(d % 13 == 0, F.lit("style { color: red }"))
+             .otherwise(F.lit("")),
+            F.when(d % 17 == 0,
+                   F.lit("some badword1 appears here unfortunately today."))
+             .otherwise(F.lit("")),
+            F.coalesce(F.col("text"), F.lit("")),
+        ]
+        docs = _t(spark, sf, "documents").select(
+            "doc_id", F.concat_ws("\n", *parts).alias("text"))
+        out = c4_filters(docs)
+        return out.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_lines", "n_kept", "n_sentences", "drop_reason",
+            F.col("keep").cast("int").alias("keep"),
+            F.md5("text_clean").alias("clean_md5"),
+            F.length("text_clean").cast("long").alias("clean_len"),
+        )
+    q["c4_filters"] = q_c4_filters
+
     # ----------------------------------------------------------------------
     # Registration-order rotation: the driver's correctness gate checks the
     # FIRST 50 registered probes only (CORRECTNESS_r03 covered exactly the
@@ -3419,6 +3459,73 @@ def oracle_sql() -> dict[str, str]:
                coalesce(h.c, d.c) AS category,
                CAST(coalesce(h.c, d.c) IS NOT NULL AS INT) AS blocked
         FROM u LEFT JOIN h ON u.host = h.p LEFT JOIN d ON u.base_dom = d.p
+    """
+
+    _c4_words = "list_filter(string_split_regex(l, '\\s+'), w -> w <> '')"
+    o["c4_filters"] = f"""
+        WITH p AS (
+          SELECT doc_id,
+            'A first planted sentence number ' || CAST(doc_id AS VARCHAR)
+              || ' is long enough.' || chr(10)
+              || CASE WHEN doc_id % 2 = 0
+                   THEN 'A second planted sentence also measures well.'
+                   ELSE 'short one.' END || chr(10)
+              || CASE WHEN doc_id % 7 = 0
+                   THEN 'please enable javascript to view this page.'
+                   ELSE 'Third sentences land here with enough words.' END
+              || chr(10)
+              || CASE WHEN doc_id % 11 = 0
+                   THEN 'lorem ipsum dolor sit amet here.' ELSE '' END
+              || chr(10)
+              || CASE WHEN doc_id % 13 = 0
+                   THEN 'style {{ color: red }}' ELSE '' END
+              || chr(10)
+              || CASE WHEN doc_id % 17 = 0
+                   THEN 'some badword1 appears here unfortunately today.'
+                   ELSE '' END
+              || chr(10) || coalesce(text, '') AS t
+          FROM documents),
+        base AS (
+          SELECT doc_id, t,
+            list_filter(list_transform(string_split(t, chr(10)),
+                                       l -> trim(l)), l -> l <> '') AS lines
+          FROM p),
+        k AS (
+          SELECT doc_id, t, lines,
+            list_filter(lines, l ->
+              right(l, 1) IN ('.', '!', '?', '"')
+              AND len({_c4_words}) >= 5
+              AND len(list_filter(list_transform({_c4_words},
+                        w -> lower(w)),
+                      w -> contains(w, 'javascript'))) = 0) AS kept
+          FROM base),
+        c AS (
+          SELECT doc_id, t, lines, kept,
+            coalesce(array_to_string(kept, chr(10)), '') AS clean
+          FROM k),
+        s AS (
+          SELECT doc_id, t, lines, kept, clean,
+            length(clean) - length(translate(clean, '.!?', '')) AS n_sent,
+            CASE WHEN contains(lower(t), 'lorem ipsum') THEN 'lorem_ipsum'
+                 WHEN contains(lower(t), '{{') THEN 'brace'
+                 WHEN len(list_filter(
+                        list_filter(string_split_regex(lower(t), '\\s+'),
+                                    x -> x <> ''),
+                        w -> w IN ('badword1', 'badword2', 'badword3'))) > 0
+                   THEN 'bad_word'
+                 WHEN length(clean) - length(translate(clean, '.!?', '')) < 3
+                   THEN 'too_few_sentences'
+                 ELSE '' END AS drop_reason
+          FROM c)
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               CAST(n_sent AS BIGINT) AS n_sentences,
+               drop_reason,
+               CAST(drop_reason = '' AS INT) AS keep,
+               md5(clean) AS clean_md5,
+               length(clean) AS clean_len
+        FROM s
     """
 
     _mix_wsum = sum(_MIX_WEIGHTS.values())

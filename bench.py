@@ -575,10 +575,11 @@ def warc_ingest_bench(spark, n_docs: int = 50_000) -> dict:
 
 def hygiene_bench(spark, n_docs: int = 100_000) -> dict:
     """Corpus-hygiene tier at scale: Gopher quality rules + repetition
-    signals (zero-shuffle codegen), CCNet line dedup (two shuffles), and
-    benchmark decontamination (broadcast gram dim) over a synthetic
-    ~60-token corpus with newline structure and 7% planted boilerplate
-    lines.  Timed sections are separate so a regression localizes."""
+    signals + C4 cleaning rules (zero-shuffle codegen), CCNet line dedup
+    (two shuffles), and benchmark decontamination (broadcast gram dim)
+    over a synthetic ~60-token corpus with newline structure and 7%
+    planted boilerplate lines.  Timed sections are separate so a
+    regression localizes."""
     from crawl4ai_spark.operators.quality import (
         decontaminate, gopher_quality, line_dedup, repetition_signals,
     )
@@ -638,11 +639,18 @@ def hygiene_bench(spark, n_docs: int = 100_000) -> dict:
     out["dsir_sec"] = round(time.time() - t0, 3)
     out["dsir_positive"] = int(r["pos"])
 
+    from crawl4ai_spark.operators.quality import c4_filters
+    t0 = time.time()
+    r = c4_filters(docs).agg(
+        F.sum(F.col("keep").cast("long")).alias("kept")).collect()[0]
+    out["c4_sec"] = round(time.time() - t0, 3)
+    out["c4_kept"] = int(r["kept"])
+
     total = (out["gopher_sec"] + out["repetition_sec"]
              + out["line_dedup_sec"] + out["decontaminate_sec"]
-             + out["dsir_sec"])
+             + out["dsir_sec"] + out["c4_sec"])
     out["sec"] = round(total, 3)
-    out["docs_per_sec"] = round(5 * n_docs / max(total, 1e-9), 1)
+    out["docs_per_sec"] = round(6 * n_docs / max(total, 1e-9), 1)
     docs.unpersist()
     return out
 

@@ -680,3 +680,79 @@ def pii_redact(docs: DataFrame, text_col: str = "text",
         c = F.col(f"n_{kind}")
         total = c if total is None else total + c
     return out.withColumn("n_pii", total.cast("long"))
+
+
+# --------------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020 §2.2)
+# --------------------------------------------------------------------------
+
+# Page-level kill list: C4 drops any page containing a bad word (the
+# public "List of Dirty, Naughty ..." list); a deterministic token-level
+# stand-in keeps the check portable (C4 matches substrings; we match
+# lowercased whitespace tokens — documented divergence, same plan shape).
+C4_BAD_TOKENS = ["badword1", "badword2", "badword3"]
+C4_MIN_SENTENCES = 3
+C4_MIN_LINE_WORDS = 5
+_C4_TERMINALS = [".", "!", "?", '"']
+
+
+def c4_filters(docs: DataFrame, text_col: str = "text",
+               out_col: str = "text_clean") -> DataFrame:
+    """The C4 cleaning pass (Raffel et al. 2020 §2.2 — the rules behind
+    the C4/mC4 corpora), complementing ``gopher_quality`` (Gopher's
+    thresholds) and ``line_dedup`` (C4's three-sentence dedup is the
+    span-level cousin of ``dedup.remove_dup_spans``):
+
+    line level — keep a line iff it ends in terminal punctuation
+    (``. ! ? "``), has >= ``C4_MIN_LINE_WORDS`` words, and does not
+    contain the token ``javascript`` (lowercased);
+    page level — ``keep`` is false when the cleaned page has fewer than
+    ``C4_MIN_SENTENCES`` sentences (counted as ``.!?`` characters in the
+    kept text — our deterministic stand-in for C4's sentence splitter),
+    or the RAW page contains ``lorem ipsum``, a ``{``, or a bad-list
+    token.  ``drop_reason`` reports the first failing rule in that
+    order, '' when kept.
+
+    Scale shape: pure per-row Catalyst array/string expressions — zero
+    shuffle, whole-stage codegen, filter-pushdown friendly; at 10^10
+    rows this is a scan, exactly like ``gopher_quality``.
+    """
+    raw_lower = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    lines = F.transform(_lines(F.col(text_col)), lambda l: F.trim(l))
+
+    def line_ok(l: Column) -> Column:
+        last = F.substring(l, -1, 1)
+        words = F.filter(F.split(l, r"\s+"), lambda w: w != "")
+        return (
+            last.isin(_C4_TERMINALS)
+            & (F.size(words) >= C4_MIN_LINE_WORDS)
+            & ~F.exists(F.transform(words, F.lower),
+                        lambda w: w.contains("javascript"))
+        )
+
+    kept = F.filter(lines, line_ok)
+    clean = F.array_join(kept, "\n")
+    n_sentences = (
+        F.length(clean)
+        - F.length(F.translate(clean, ".!?", ""))
+    ).cast("long")
+    toks = F.filter(F.split(raw_lower, r"\s+"), lambda w: w != "")
+    has_bad = F.exists(toks, lambda w: w.isin(C4_BAD_TOKENS))
+    has_lorem = raw_lower.contains("lorem ipsum")
+    has_brace = raw_lower.contains("{")
+
+    out = docs.withColumn(out_col, clean).withColumn(
+        "n_lines", F.size(lines).cast("long")
+    ).withColumn("n_kept", F.size(kept).cast("long")).withColumn(
+        "n_sentences", n_sentences
+    )
+    reason = (
+        F.when(has_lorem, F.lit("lorem_ipsum"))
+        .when(has_brace, F.lit("brace"))
+        .when(has_bad, F.lit("bad_word"))
+        .when(F.col("n_sentences") < C4_MIN_SENTENCES,
+              F.lit("too_few_sentences"))
+        .otherwise(F.lit(""))
+    )
+    return out.withColumn("drop_reason", reason).withColumn(
+        "keep", reason == "")

@@ -169,3 +169,50 @@ def test_output_column_clash_raises(spark):
                                  "id long, url string, host string")
     with pytest.raises(ValueError, match="host"):
         blocklist_gate(urls, _bl(spark))
+
+
+# --------------------------------------------------------------- c4_filters
+
+def test_c4_rules_truth_table(spark):
+    from crawl4ai_spark.operators.quality import c4_filters
+    rows = [
+        # kept: 3 terminal-punct lines of >=5 words -> >=3 sentences
+        (0, "this line has five good words.\n"
+            "another proper sentence sits right here!\n"
+            "and a third one finishes the page?"),
+        (1, "short line.\nno terminal punctuation here at all\n"
+            "enable javascript to view this page."),   # all 3 lines drop
+        (2, "lorem ipsum dolor sit amet is here.\n"
+            "a perfectly fine second sentence follows.\n"
+            "and a third sentence closes it."),         # page gate: lorem
+        (3, "var x = { a: 1 };\nthis otherwise fine sentence stays here."),
+        (4, "contains badword1 somewhere in the text.\n"
+            "plus two more fully valid sentences here.\n"
+            "and yet another one right here."),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_filters(df).collect()}
+    assert out[0]["keep"] and out[0]["n_kept"] == 3 and out[0]["n_sentences"] == 3
+    assert out[0]["drop_reason"] == ""
+    # line screens: <5 words, no terminal punct, javascript token
+    assert out[1]["n_kept"] == 0 and not out[1]["keep"]
+    assert out[1]["drop_reason"] == "too_few_sentences"
+    assert out[2]["drop_reason"] == "lorem_ipsum" and not out[2]["keep"]
+    assert out[2]["n_kept"] == 3  # line screens still ran
+    assert out[3]["drop_reason"] == "brace"
+    assert out[4]["drop_reason"] == "bad_word"
+    assert out[5]["n_kept"] == 0 and out[5]["text_clean"] == ""
+
+
+def test_c4_quote_terminal_and_word_floor(spark):
+    from crawl4ai_spark.operators.quality import c4_filters
+    df = spark.createDataFrame(
+        [(0, 'he said "this is a fine quote."\n'
+             'she replied "indeed it truly is."\n'
+             'four word line here.\n'
+             "a closing sentence with enough words.")],
+        "doc_id long, text string")
+    r = c4_filters(df).collect()[0]
+    # the 4-word line drops; quote-terminated lines count
+    assert r["n_kept"] == 3 and r["keep"]

@@ -424,6 +424,18 @@ def main() -> None:
         sections[-1] = (sections[-1][0] + " — FAIL: plan shuffles",
                         pii_plan, sections[-1][2])
 
+    # 30b. C4 cleaning rules: per-row array lambdas — codegen, zero Exchange
+    from crawl4ai_spark.operators.quality import c4_filters
+
+    c4_plan = plan_of(c4_filters(docs))
+    sections.append((
+        "C4 cleaning rules (line screens + page gates — per-row array "
+        "exprs, zero Exchange)", c4_plan, ["ReadSchema"],
+    ))
+    if "Exchange" in c4_plan:
+        sections[-1] = (sections[-1][0] + " — FAIL: plan shuffles",
+                        c4_plan, sections[-1][2])
+
     # 31. blocklist gate: both lookups must be broadcast-hash, never SMJ
     from crawl4ai_spark.operators.blocklist import blocklist_gate
 
