@@ -1196,6 +1196,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["warc_ingest"] = q_warc_ingest
 
+    def q_wet_ingest(spark, sf):
+        # WET tier (Common Crawl extracted-text segments): build
+        # deterministic conversion-record files from the documents table
+        # (sources/warcsynth.py wet_corpus), parse them back with the SAME
+        # from-scratch reader the WARC path uses; oracle reconstructs every
+        # field from the BUILDER RECIPE (wet_fields_of) in pure SQL —
+        # parser never consulted
+        docs = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text")
+        out = warc.warc_records_stage(warcsynth.wet_corpus(docs))
+        return out.filter(F.col("error").isNull()).select(
+            "file_id", "record_idx", "warc_type", "target_uri",
+            "warc_date", "content_type", "body",
+        )
+    q["wet_ingest"] = q_wet_ingest
+
     def q_warc_scrape(spark, sf):
         # integration: the WARC source feeds the SAME G1 scrape operator
         # the live-fetch path uses — archive body in, (title, links) out.
@@ -2866,6 +2882,24 @@ def oracle_sql() -> dict[str, str]:
         "http_status, content_type, body "
         f"FROM read_parquet('{_exp('warc_ingest', True)}')"
     )
+    # WET tier: pure-SQL twin of the builder recipe (wet_fields_of) — the
+    # reader never enters the oracle side
+    o["wet_ingest"] = """
+        SELECT CAST(doc_id // 10 AS BIGINT) AS file_id,
+               CAST(row_number() OVER (PARTITION BY doc_id // 10
+                                       ORDER BY doc_id) - 1 AS INT)
+                 AS record_idx,
+               'conversion' AS warc_type,
+               'https://w' || CAST(doc_id % 7 AS VARCHAR) || '.test/doc/'
+                 || CAST(doc_id AS VARCHAR) AS target_uri,
+               '2024-01-01T00:00:'
+                 || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z'
+                 AS warc_date,
+               'text/plain' AS content_type,
+               'Extracted text of document ' || CAST(doc_id AS VARCHAR)
+                 || '.' || chr(10) || text AS body
+        FROM documents
+    """
     o["pdf_extract"] = (
         "SELECT doc_id, page_number, raw_text, links, title, author, "
         "created, n_pages, encrypted, file_size "

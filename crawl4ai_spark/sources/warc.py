@@ -4,8 +4,12 @@ From-scratch WARC/1.0 reader (no warcio in the sandbox; the format is an
 RFC-style framed record stream: a ``WARC/1.0`` header block, CRLF-CRLF,
 ``Content-Length`` payload bytes, CRLF-CRLF).  ``response`` records with
 ``application/http`` payloads are split into status line / headers /
-body; other record types (warcinfo, request, metadata) pass through with
-empty HTTP fields so a pipeline can filter on ``warc_type``.
+body; ``conversion`` (WET — Common Crawl's extracted plain text) and
+``metadata`` (WAT — JSON link/header metadata) records carry their
+payload straight into ``body`` with the WARC header's Content-Type; the
+remaining types (warcinfo, request) pass through with empty payload
+fields so a pipeline can filter on ``warc_type``.  One reader therefore
+consumes all three Common Crawl formats (WARC / WET / WAT).
 
 Scale shape: ONE ``mapInPandas`` stage over (file_id, data) rows — per
 FILE parallelism, the way Common Crawl is actually consumed (a segment
@@ -131,7 +135,13 @@ def parse_warc(file_id: int, data: bytes) -> list[dict]:
             target_uri=hdrs.get("warc-target-uri"),
             warc_date=hdrs.get("warc-date"),
         )
-        if wtype == "response" and hdrs.get("content-type", "").startswith(
+        if wtype in ("conversion", "metadata"):
+            # WET (conversion, text/plain extracted text) and WAT
+            # (metadata, application/json) records carry their payload
+            # directly — no HTTP framing to split
+            row["content_type"] = hdrs.get("content-type")
+            row["body"] = payload.decode("utf-8", "replace")
+        elif wtype == "response" and hdrs.get("content-type", "").startswith(
             "application/http"
         ):
             http_end = payload.find(_SEP)

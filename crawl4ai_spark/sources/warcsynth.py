@@ -25,6 +25,9 @@ __all__ = [
     "record_fields_of",
     "build_warc",
     "warc_corpus",
+    "wet_fields_of",
+    "build_wet",
+    "wet_corpus",
 ]
 
 DOCS_PER_FILE = 10
@@ -97,6 +100,63 @@ def warc_corpus(docs: DataFrame, docs_per_file: int = DOCS_PER_FILE) -> DataFram
         return pd.DataFrame(
             [{"file_id": int(pdf["file_id"].iloc[0]),
               "data": build_warc(recs)}]
+        )
+
+    return keyed.groupBy("file_id").applyInPandas(
+        build, "file_id long, data binary"
+    )
+
+
+def wet_fields_of(doc_id: int, text: str) -> dict:
+    """Pure-input recipe for one WET ``conversion`` record (Common
+    Crawl's extracted-plain-text sibling of the WARC ``response``):
+    every field a deterministic function of (doc_id, text), shared by
+    the builder, the engine probe and the oracle twin."""
+    return {
+        "target_uri": f"https://w{doc_id % 7}.test/doc/{doc_id}",
+        "warc_date": _BASE_DATE.format(doc_id % 60),
+        "content_type": "text/plain",
+        "body": f"Extracted text of document {doc_id}.\n{text}",
+    }
+
+
+def build_wet(records: list[dict]) -> bytes:
+    """Serialize conversion records into one WET (WARC/1.0) file."""
+    out = bytearray()
+    for i, r in enumerate(records):
+        payload = r["body"].encode("utf-8")
+        header = (
+            "WARC/1.0\r\n"
+            "WARC-Type: conversion\r\n"
+            f"WARC-Record-ID: <urn:uuid:wet-{i}>\r\n"
+            f"WARC-Date: {r['warc_date']}\r\n"
+            f"WARC-Target-URI: {r['target_uri']}\r\n"
+            f"Content-Type: {r['content_type']}\r\n"
+            f"Content-Length: {len(payload)}\r\n"
+            "\r\n"
+        ).encode("utf-8")
+        out += header + payload + b"\r\n\r\n"
+    return bytes(out)
+
+
+def wet_corpus(docs: DataFrame, docs_per_file: int = DOCS_PER_FILE) -> DataFrame:
+    """(doc_id, text) → (file_id, data binary) WET files; same sharding
+    and record order as ``warc_corpus``."""
+    import pandas as pd
+
+    keyed = docs.select(
+        (F.col("doc_id").cast("long") / docs_per_file).cast("long")
+        .alias("file_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        recs = [wet_fields_of(int(r.doc_id), r.text) for r in pdf.itertuples()]
+        return pd.DataFrame(
+            [{"file_id": int(pdf["file_id"].iloc[0]),
+              "data": build_wet(recs)}]
         )
 
     return keyed.groupBy("file_id").applyInPandas(

@@ -154,3 +154,54 @@ def test_negative_content_length_terminates():
            b"Content-Length: -33\r\n\r\n" + b"x" * 50)
     rows = parse_warc(7, bad)
     assert len(rows) == 1 and "negative Content-Length" in rows[0]["error"]
+
+
+# ------------------------------------------------------------- WET / WAT
+
+def test_wet_conversion_records_roundtrip():
+    from crawl4ai_spark.sources.warc import parse_warc
+    from crawl4ai_spark.sources.warcsynth import build_wet, wet_fields_of
+
+    recs = [wet_fields_of(i, f"text body {i} with words") for i in (0, 7, 13)]
+    rows = parse_warc(5, build_wet(recs))
+    assert [r["error"] for r in rows] == [None] * 3
+    for r, src in zip(rows, recs):
+        assert r["warc_type"] == "conversion"
+        assert r["target_uri"] == src["target_uri"]
+        assert r["content_type"] == "text/plain"
+        assert r["body"] == src["body"]
+        assert r["http_status"] is None  # no HTTP framing in WET
+
+
+def test_wat_metadata_record_body():
+    from crawl4ai_spark.sources.warc import parse_warc
+
+    payload = b'{"Envelope":{"WARC-Header-Length":"259"}}'
+    raw = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: metadata\r\n"
+        b"WARC-Target-URI: https://x.test/a\r\n"
+        b"Content-Type: application/json\r\n"
+        b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+        b"\r\n" + payload + b"\r\n\r\n"
+    )
+    rows = parse_warc(0, raw)
+    assert len(rows) == 1 and rows[0]["error"] is None
+    assert rows[0]["warc_type"] == "metadata"
+    assert rows[0]["content_type"] == "application/json"
+    assert rows[0]["body"] == payload.decode()
+
+
+def test_wet_gzip_members_roundtrip():
+    import gzip
+
+    from crawl4ai_spark.sources.warc import parse_warc
+    from crawl4ai_spark.sources.warcsynth import build_wet, wet_fields_of
+
+    recs = [wet_fields_of(i, f"t{i}") for i in range(4)]
+    plain = build_wet(recs)
+    # one gzip member per record, Common-Crawl style: rebuild per record
+    parts = [build_wet([r]) for r in recs]
+    gz = b"".join(gzip.compress(p) for p in parts)
+    assert [r["body"] for r in parse_warc(1, gz)] == \
+        [r["body"] for r in parse_warc(1, plain)]
