@@ -205,3 +205,37 @@ def test_wet_gzip_members_roundtrip():
     gz = b"".join(gzip.compress(p) for p in parts)
     assert [r["body"] for r in parse_warc(1, gz)] == \
         [r["body"] for r in parse_warc(1, plain)]
+
+
+def test_wet_framing_is_content_length_robust():
+    """Property: WET bodies round-trip through build/parse even when they
+    contain CRLF-CRLF separators, 'WARC/1.0' header lookalikes, or
+    record-trailer byte sequences — the reader must trust Content-Length
+    framing, never scan for separators inside a payload."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawl4ai_spark.sources.warc import parse_warc
+    from crawl4ai_spark.sources.warcsynth import build_wet
+
+    adversarial = st.sampled_from([
+        "\r\n\r\n", "WARC/1.0\r\nWARC-Type: response\r\n\r\n",
+        "Content-Length: 0", "\r\n", "…", "", "a",
+    ])
+    body = st.lists(
+        st.one_of(adversarial, st.text(max_size=20)), max_size=6
+    ).map("".join)
+
+    @given(st.lists(body, min_size=1, max_size=4))
+    @settings(max_examples=60, deadline=None)
+    def run(bodies):
+        recs = [{"target_uri": f"https://x.test/{i}",
+                 "warc_date": "2024-01-01T00:00:00Z",
+                 "content_type": "text/plain", "body": b}
+                for i, b in enumerate(bodies)]
+        rows = parse_warc(0, build_wet(recs))
+        assert [r["error"] for r in rows] == [None] * len(recs)
+        assert [r["body"] for r in rows] == [r2["body"] for r2 in recs]
+        assert [r["record_idx"] for r in rows] == list(range(len(recs)))
+
+    run()
