@@ -142,3 +142,55 @@ def phash64(px: np.ndarray) -> int:
         val = (val << np.uint64(1)) | b
     iv = int(val)
     return iv - (1 << 64) if iv >= (1 << 63) else iv
+
+
+# ------------------------------------------------------------- DCT pHash
+# Fixed-point 32-point DCT-II basis, top 8 rows, orthonormal scale folded
+# in: M[k][n] = floor(s(k) * cos(pi*(2n+1)k/64) * 4096 + 0.5) with
+# s(0)=sqrt(1/32), s(k>0)=sqrt(2/32).  The INTEGER table is the operator's
+# spec (the ASPECT_BUCKETS pattern: one committed constant feeds both the
+# engine and the oracle twin), so the hash is exact on any engine,
+# partitioning or BLAS build — no float DCT anywhere.
+def _dct_q12_table() -> list[list[int]]:
+    import math
+
+    rows = []
+    for k in range(8):
+        s = math.sqrt((1 if k == 0 else 2) / 32.0)
+        rows.append([
+            int(math.floor(s * math.cos(math.pi * (2 * n + 1) * k / 64.0)
+                           * 4096 + 0.5))
+            for n in range(32)
+        ])
+    return rows
+
+
+DCT_Q12 = _dct_q12_table()
+
+
+def dct_phash64(px: np.ndarray) -> int:
+    """64-bit DCT perceptual hash (imagehash.phash semantics, made
+    integer-exact): luma (299r+587g+114b, x1000 fixed point) → 32×32
+    nearest-neighbor selection resize (src index = (dst·src)//32 — pure
+    integer, defined for any w,h ≥ 1) → top-left 8×8 of the 32-point
+    DCT-II via the committed Q12 table (T = M·G then C = T·Mᵀ; with luma
+    ≤ 255000 and |M| ≤ 1024 the products stay < 2.8e17, inside int64) →
+    bit[i,j] = (2·C[i,j] > v[31]+v[32]) against the sorted middle pair
+    (the even-count median, kept as an exact integer sum) → packed
+    row-major, returned signed (fits the BIGINT phash column)."""
+    h, w = px.shape[:2]
+    luma = (px[:, :, 0].astype(np.int64) * 299
+            + px[:, :, 1].astype(np.int64) * 587
+            + px[:, :, 2].astype(np.int64) * 114)
+    ys = (np.arange(32) * h) // 32
+    xs = (np.arange(32) * w) // 32
+    g = luma[np.ix_(ys, xs)]
+    m = np.array(DCT_Q12, dtype=np.int64)
+    c = m @ g @ m.T
+    flat = c.ravel()
+    mid = np.sort(flat)
+    med2 = int(mid[31]) + int(mid[32])
+    val = 0
+    for v in flat:
+        val = (val << 1) | (1 if 2 * int(v) > med2 else 0)
+    return val - (1 << 64) if val >= (1 << 63) else val

@@ -1,0 +1,136 @@
+"""WebDataset-style shard export planning for image+caption pairs.
+
+The standard delivery format for multimodal training corpora is a set of
+POSIX tar shards where each sample is a group of same-stem members
+(``{key}.img`` + ``{key}.txt`` — the WebDataset convention used by the
+LAION releases and ``webdataset.ShardWriter``).  Writing the tars is
+trivially parallel ONCE every sample knows its shard and byte offset; the
+hard part at 10^10 samples is computing that placement without a
+single-reducer scan.  That is what this module does: an exact, fully
+distributed PLAN — (shard, per-member byte offsets, shard sizes) — that a
+writer stage (or an external archiver) can execute independently per
+shard.
+
+Tar geometry is fixed by the format and therefore exactly computable from
+member sizes alone: every member costs a 512-byte header plus its payload
+zero-padded to a 512-byte boundary; an archive ends with two 512-byte
+zero blocks and is padded to a 10240-byte blocking factor (GNU tar
+defaults, ``webdataset`` writes the same).  All of it is 64-bit integer
+arithmetic — the plan is byte-identical on any engine/partitioning.
+
+Scale shape: sample order is the deterministic md5 corpus shuffle
+(``sampling.shard_pack``'s contract); the single global running sum rides
+``dist.hex_bucketed_cumsum`` (uniform md5 keys → bucket boundaries known
+a priori: one eager checkpoint, one tiny bucket agg, ONE shuffle); shard
+base offsets come back as a broadcast #shards-sized dim.  No window over
+the corpus, no driver-side loop.
+
+Reference anchor: crawl4ai stops at per-page media lists
+(models.py:302-329); packing the corpus for a training loader is the
+post-crawl stage a 100 TB image+caption pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..dist import hex_bucketed_cumsum
+from .sampling import hash_uniform_hex
+
+__all__ = ["tar_member_bytes", "webdataset_plan", "webdataset_shards"]
+
+TAR_BLOCK = 512
+TAR_EOF_BYTES = 2 * TAR_BLOCK          # two zero blocks end the archive
+TAR_BLOCKING_FACTOR = 20               # records of 20 blocks = 10240 bytes
+TAR_RECORD = TAR_BLOCK * TAR_BLOCKING_FACTOR
+
+
+def tar_member_bytes(size_col: str):
+    """Bytes a payload of ``size_col`` occupies as one tar member:
+    512-byte header + payload padded to the next 512 boundary."""
+    return F.expr(
+        f"512 + ((CAST({size_col} AS BIGINT) + 511) DIV 512) * 512"
+    )
+
+
+def webdataset_plan(
+    df: DataFrame,
+    key_col: str = "image_id",
+    members: tuple[tuple[str, str], ...] = (("img", "img_size"),
+                                            ("txt", "txt_size")),
+    shard_bytes: int = 1 << 28,
+    seed: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Plan the WebDataset tar layout for every sample.
+
+    ``members`` is the ordered (ext, size_col) list of the sample's tar
+    members (the WebDataset same-stem group, written consecutively).
+    Samples are laid out in the deterministic md5-shuffled corpus order
+    (``pack_key`` ties broken by ``key_col``), assigned to the shard
+    where their first byte falls (``cum_before DIV shard_bytes`` — greedy
+    slicing, samples never split: a shard's data run ends at most one
+    sample past the budget, the same contract as ``sampling.shard_pack``),
+    and given exact member offsets relative to their shard's start.
+
+    Adds per row: ``pack_key``, ``sample_bytes`` (total tar bytes of the
+    group), ``shard`` (long), ``sample_off`` (byte offset of the sample's
+    first header within its shard), and ``off_{ext}`` per member (offset
+    of that member's 512-byte header; its payload starts 512 later).
+
+    Exactly ONE corpus shuffle (the bucketed cumsum) plus one partial-agg
+    groupBy over its output for the per-shard base (broadcast back —
+    #shards rows).  Everything else is codegen integer arithmetic.
+    """
+    if shard_bytes <= 0:
+        raise ValueError("shard_bytes must be positive")
+    if not members:
+        raise ValueError("members must be non-empty")
+    keyed = df.withColumn("pack_key", hash_uniform_hex(F.col(key_col), seed))
+    total = None
+    for _ext, size_col in members:
+        mb = tar_member_bytes(size_col)
+        total = mb if total is None else total + mb
+    keyed = keyed.withColumn("sample_bytes", total.cast("long"))
+    packed = hex_bucketed_cumsum(
+        keyed, "pack_key", key_col, "sample_bytes",
+        out_col="__cum", n_buckets=num_partitions,
+    )
+    before = F.col("__cum") - F.col("sample_bytes")
+    packed = packed.withColumn(
+        "shard", F.floor(before / F.lit(shard_bytes)).cast("long")
+    ).withColumn("__before", before)
+    # per-shard base = cum_before of the shard's first sample (broadcast dim)
+    base = packed.groupBy("shard").agg(F.min("__before").alias("__base"))
+    planned = packed.join(F.broadcast(base), "shard")
+    planned = planned.withColumn(
+        "sample_off", (F.col("__before") - F.col("__base")).cast("long")
+    )
+    off = F.col("sample_off")
+    for ext, size_col in members:
+        planned = planned.withColumn(f"off_{ext}", off.cast("long"))
+        off = off + tar_member_bytes(size_col)
+    return planned.drop("__cum", "__before", "__base")
+
+
+def webdataset_shards(plan: DataFrame) -> DataFrame:
+    """Per-shard summary of a ``webdataset_plan`` output: sample count,
+    data bytes, and the exact on-disk archive size (data + two zero EOF
+    blocks, padded to the 10240-byte tar blocking factor) — the numbers a
+    writer pre-allocates and a manifest records.  ONE partial-agg groupBy
+    over the plan (#shards result rows)."""
+    return (
+        plan.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.sum("sample_bytes").alias("data_bytes"),
+        )
+        .withColumn(
+            "archive_bytes",
+            F.expr(
+                f"((data_bytes + {TAR_EOF_BYTES} + {TAR_RECORD - 1})"
+                f" DIV {TAR_RECORD}) * {TAR_RECORD}"
+            ),
+        )
+    )

@@ -87,6 +87,39 @@ def feature_stage(images: DataFrame, grid: int = 4) -> DataFrame:
     )
 
 
+DCT_PHASH_SCHEMA = "image_id string, dct_phash long"
+
+
+def dct_phash_stage(images: DataFrame) -> DataFrame:
+    """Compute the 64-bit DCT perceptual hash from the PIXELS of every
+    payload row: decode → integer luma → 32×32 selection resize → Q12
+    fixed-point DCT-II → median-split bits (``codecs.dct_phash64``).  The
+    compute path behind the payload table's ``phash`` column — run it at
+    ingest, then the whole Hamming dedup tier (``dedup.hamming_pairs`` /
+    ``phash_pairs`` / ``dedup_clusters``) applies unchanged to its output.
+
+    Integer-exact end to end (the committed DCT_Q12 table is the spec),
+    so the hash is byte-identical on any engine, partitioning or numpy
+    build — the same determinism contract as the fixed-point k-means and
+    PageRank tiers.  ONE Arrow ``mapInPandas`` pass, no shuffle; at 100 TB
+    the cost is the decode (already paid by ``decode_stage``'s slot) plus
+    an 8×32×32 integer matmul per image."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, hashes = [], []
+            for r in b.itertuples():
+                px = decode_rgb(r.bytes, r.fmt, int(r.w), int(r.h))
+                ids.append(r.image_id)
+                hashes.append(codecs.dct_phash64(px))
+            yield pd.DataFrame({"image_id": ids, "dct_phash": pd.array(
+                hashes, dtype="int64")})
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, DCT_PHASH_SCHEMA
+    )
+
+
 def frame_sample_stage(videos: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame sampling plumbing. STUB: no ffmpeg in this sandbox — a
     real deployment demuxes and decodes here. The schema and batch shape
@@ -98,6 +131,86 @@ def frame_sample_stage(videos: DataFrame, every_n: int = 30) -> DataFrame:
 
     return videos.mapInPandas(
         run, "video_id string, frame_idx int, bytes binary, w int, h int, fmt string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Container format sniffing (magic bytes vs declared metadata)
+# ---------------------------------------------------------------------------
+
+# Magic-byte prefixes as UPPERCASE hex (the form both engines compare in).
+# Order matters and is part of the contract: png (8-byte signature) beats
+# ppm ('P6') beats qlossy (zlib CMF/FLG at the codec's fixed level-6
+# setting, codecs.py:102) beats the magicless raw fallback.  A raw payload
+# whose first bytes happen to collide with a shorter magic sniffs as that
+# format — that IS what a sniffer reports; both engines see the same bytes
+# so the output stays deterministic.
+SNIFF_MAGICS: list[tuple[str, str]] = [
+    ("png", "89504E470D0A1A0A"),
+    ("ppm", "5036"),
+    ("qlossy", "789C"),
+]
+_SNIFF_PREFIX_BYTES = 64  # longest header we validate (PNG IHDR ends at 24)
+
+
+def sniff_format(images: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Detect the actual container format of each payload from its magic
+    bytes and validate the self-described header against the declared
+    (fmt, w, h) metadata — the ingest-hygiene screen a web-scale image
+    pipeline runs before ever decoding (mislabeled Content-Type is endemic
+    in crawl data; the reference trusts extensions/headers, e.g. its
+    format-substring scoring at content_scraping_strategy.py:331-343).
+
+    Adds:
+      - ``sniffed_fmt``: first matching magic in SNIFF_MAGICS order, else
+        'raw' (the only magicless codec).
+      - ``fmt_match``: sniffed == declared.
+      - ``header_ok``: container self-description consistent with declared
+        metadata — PNG: IHDR width/height fields (big-endian at bytes
+        17-24) equal declared w/h; PPM: the full ``P6\\n{w} {h}\\n255\\n``
+        header prefix matches; raw: byte length == w*h*3; qlossy: NULL
+        (validating it needs a decompress — that's ``decode_stage``'s job).
+
+    Only the first 64 bytes are hexed (codegen substring on the binary
+    column — the 100 TB payload bytes are never copied or shuffled); all
+    comparisons are string/integer equality, exact on any engine.  Pure
+    Catalyst, zero shuffle, whole-stage codegen.
+    """
+    hx = F.hex(F.expr(f"substring({bytes_col}, 1, {_SNIFF_PREFIX_BYTES})"))
+    df = images.withColumn("_hx", hx)
+    sniffed = None
+    for name, magic in SNIFF_MAGICS:
+        cond = F.col("_hx").startswith(magic)
+        sniffed = F.when(cond, name) if sniffed is None else sniffed.when(cond, name)
+    df = df.withColumn("sniffed_fmt", sniffed.otherwise("raw"))
+
+    w_hex = F.lpad(F.hex(F.col("w")), 8, "0")
+    h_hex = F.lpad(F.hex(F.col("h")), 8, "0")
+    png_ok = (F.substring("_hx", 33, 8) == w_hex) & (
+        F.substring("_hx", 41, 8) == h_hex
+    )
+    ppm_hdr = F.hex(
+        F.encode(
+            F.concat(
+                F.lit("P6\n"), F.col("w").cast("string"), F.lit(" "),
+                F.col("h").cast("string"), F.lit("\n255\n"),
+            ),
+            "UTF-8",
+        )
+    )
+    raw_ok = F.length(F.col(bytes_col)) == (
+        F.col("w").cast("long") * F.col("h") * 3
+    )
+    header_ok = (
+        F.when(F.col("sniffed_fmt") == "png", png_ok)
+        .when(F.col("sniffed_fmt") == "ppm", F.col("_hx").startswith(ppm_hdr))
+        .when(F.col("sniffed_fmt") == "raw", raw_ok)
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+    return (
+        df.withColumn("fmt_match", F.col("sniffed_fmt") == F.col("fmt"))
+        .withColumn("header_ok", header_ok)
+        .drop("_hx")
     )
 
 

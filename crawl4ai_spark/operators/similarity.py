@@ -431,3 +431,63 @@ def semdedup(embeddings: DataFrame, threshold: float = 0.95,
                              "keep": keep, "dup_of": dup_of})
 
     return assign.groupBy("centroid").applyInPandas(fold, schema=fields)
+
+
+# ---------------------------------------------------------------------------
+# CLIP-score style image-text alignment gate (LAION/DataComp curation)
+# ---------------------------------------------------------------------------
+
+def clip_alignment_gate(pairs: DataFrame, img_col: str = "img_vec",
+                        txt_col: str = "txt_vec",
+                        tau2_num: int = 784, tau2_den: int = 10_000) -> DataFrame:
+    """LAION-style alignment filtering for image+caption pairs: keep a pair
+    iff cosine(img_embedding, txt_embedding) >= tau (LAION-5B kept
+    CLIP-score >= 0.28; DataComp sweeps the same knob).  The embedding
+    model itself is the pluggable upstream (``feature_stage`` is the
+    sandbox stand-in); this is the decision operator.
+
+    Exactness contract: embeddings arrive QUANTIZED as integer arrays
+    (array<int>/array<long> — e.g. round(f * 2^14), the standard int16
+    export of CLIP embeddings).  The threshold is the rational
+    tau^2 = tau2_num / tau2_den, and the decision is pure integer
+    cross-multiplication — ``dot > 0 AND dot^2 * den >= num * |a|^2 *
+    |b|^2`` — evaluated in DECIMAL(38,0), so the kept set is bit-identical
+    on any engine/partitioning (no sqrt, no float accumulation order).
+    With int16-range components at dim <= 4096, dot and the squared norms
+    fit int64 and their products fit 38 digits.
+
+    Adds ``dot``, ``na2``, ``nb2`` (exact longs), ``cos2_bp`` (signed
+    basis points of cos^2: sign(dot) * (10^4 * dot^2) DIV (na2*nb2) — an
+    exact integer diagnostic, monotone in |cosine|), and ``keep``.
+    Zero-norm vectors never pass and carry NULL cos2_bp.  Pure Catalyst
+    column expressions — codegen, zero shuffle, runs right after the
+    curation gate and before the dedup tiers.
+    """
+    def _long_sum(prod_col):
+        return F.aggregate(prod_col, F.lit(0).cast("long"), lambda a, x: a + x)
+
+    img, txt = F.col(img_col), F.col(txt_col)
+    dot = _long_sum(F.zip_with(img, txt, lambda x, y: x.cast("long") * y))
+    na2 = _long_sum(F.transform(img, lambda x: x.cast("long") * x))
+    nb2 = _long_sum(F.transform(txt, lambda x: x.cast("long") * x))
+    out = (
+        pairs.withColumn("dot", dot)
+        .withColumn("na2", na2)
+        .withColumn("nb2", nb2)
+    )
+    d = F.col("dot").cast("decimal(38,0)")
+    nn = F.col("na2").cast("decimal(38,0)") * F.col("nb2").cast("decimal(38,0)")
+    nonzero = (F.col("na2") > 0) & (F.col("nb2") > 0)
+    keep = nonzero & (F.col("dot") > 0) & (
+        d * d * F.lit(int(tau2_den)).cast("decimal(38,0)")
+        >= F.lit(int(tau2_num)).cast("decimal(38,0)") * nn
+    )
+    # integral DIV of positive decimals floors on both engines (DuckDB //)
+    bp_mag = F.expr(
+        "CAST(dot AS DECIMAL(38,0)) * dot * 10000"
+        " DIV (CAST(na2 AS DECIMAL(38,0)) * nb2)"
+    )
+    cos2_bp = F.when(
+        nonzero, F.signum(F.col("dot")).cast("long") * bp_mag
+    ).cast("long")
+    return out.withColumn("cos2_bp", cos2_bp).withColumn("keep", keep)

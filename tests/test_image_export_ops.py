@@ -1,0 +1,265 @@
+"""Round-5 image-payload tier: format sniffing, CLIP-style alignment
+gating, WebDataset export planning, DCT pHash from pixels."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark import codecs
+from crawl4ai_spark.operators.export import (
+    tar_member_bytes,
+    webdataset_plan,
+    webdataset_shards,
+)
+from crawl4ai_spark.operators.multimodal import dct_phash_stage, sniff_format
+from crawl4ai_spark.operators.similarity import clip_alignment_gate
+from crawl4ai_spark.sources import synth
+
+
+# ------------------------------------------------------------- sniff_format
+
+def _px(w, h, seed=3):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _images_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+
+
+def test_sniff_detects_each_codec(spark):
+    px = _px(12, 9)
+    rows = [
+        ("a", codecs.encode(px, "png"), 12, 9, "png"),
+        ("b", codecs.encode(px, "ppm"), 12, 9, "ppm"),
+        ("c", codecs.encode(px, "qlossy"), 12, 9, "qlossy"),
+        ("d", codecs.encode(px, "raw"), 12, 9, "raw"),
+    ]
+    out = {r["image_id"]: r for r in sniff_format(_images_df(spark, rows)).collect()}
+    for iid, fmt in (("a", "png"), ("b", "ppm"), ("c", "qlossy"), ("d", "raw")):
+        assert out[iid]["sniffed_fmt"] == fmt
+        assert out[iid]["fmt_match"] is True
+    assert out["a"]["header_ok"] is True
+    assert out["b"]["header_ok"] is True
+    assert out["c"]["header_ok"] is None  # needs a decompress — decode_stage's job
+    assert out["d"]["header_ok"] is True
+
+
+def test_sniff_flags_mislabel_and_bad_header(spark):
+    px = _px(12, 9)
+    rows = [
+        # declared raw, actually png
+        ("m1", codecs.encode(px, "png"), 12, 9, "raw"),
+        # declared dims disagree with the PNG IHDR
+        ("m2", codecs.encode(px, "png"), 20, 9, "png"),
+        # ppm header dims disagree with declared
+        ("m3", codecs.encode(px, "ppm"), 12, 10, "ppm"),
+        # raw with a truncated payload
+        ("m4", codecs.encode(px, "raw")[:-5], 12, 9, "raw"),
+    ]
+    out = {r["image_id"]: r for r in sniff_format(_images_df(spark, rows)).collect()}
+    assert out["m1"]["sniffed_fmt"] == "png" and out["m1"]["fmt_match"] is False
+    assert out["m1"]["header_ok"] is True  # IHDR matches declared w/h
+    assert out["m2"]["header_ok"] is False
+    assert out["m3"]["header_ok"] is False
+    assert out["m4"]["sniffed_fmt"] == "raw" and out["m4"]["header_ok"] is False
+
+
+def test_sniff_matches_fixture_corpus(spark):
+    # every fixture row sniffs back to its declared fmt with a valid
+    # header (qlossy: NULL by contract)
+    p = synth.GraphParams(n_pages=60)
+    _, _, images = synth.synth_tables(spark, p)
+    out = sniff_format(images).collect()
+    assert len(out) == 60
+    for r in out:
+        assert r["fmt_match"] is True, r
+        assert r["header_ok"] is (None if r["fmt"] == "qlossy" else True), r
+
+
+# ------------------------------------------------------ clip_alignment_gate
+
+def _pairs_df(spark):
+    rows = [
+        # identical vectors: cos = 1
+        (0, [1, 2, 3], [1, 2, 3]),
+        # orthogonal: cos = 0
+        (1, [1, 0, 0], [0, 5, 0]),
+        # opposite: cos = -1
+        (2, [1, 2, 0], [-1, -2, 0]),
+        # cos = 0.6 exactly: (3,4)·(1,0) = 3, |a|=5, |b|=1
+        (3, [3, 4, 0], [1, 0, 0]),
+        # zero vector
+        (4, [0, 0, 0], [1, 2, 3]),
+    ]
+    return spark.createDataFrame(
+        rows, "pair_id long, img_vec array<int>, txt_vec array<int>"
+    )
+
+
+def test_clip_gate_exact_decisions(spark):
+    # tau^2 = 0.36 exactly — the cos=0.6 row sits ON the boundary (kept:
+    # the decision is >=, exact integers, no float wobble)
+    out = {r["pair_id"]: r for r in clip_alignment_gate(
+        _pairs_df(spark), tau2_num=36, tau2_den=100).collect()}
+    assert out[0]["keep"] is True and out[0]["cos2_bp"] == 10_000
+    assert out[1]["keep"] is False and out[1]["cos2_bp"] == 0
+    assert out[2]["keep"] is False and out[2]["cos2_bp"] == -10_000
+    assert out[3]["keep"] is True and out[3]["cos2_bp"] == 3_600
+    assert out[4]["keep"] is False and out[4]["cos2_bp"] is None
+    assert (out[3]["dot"], out[3]["na2"], out[3]["nb2"]) == (3, 25, 1)
+
+
+def test_clip_gate_boundary_is_exact(spark):
+    # one unit above the rational boundary flips the decision
+    df = spark.createDataFrame(
+        [(0, [3, 4, 0], [1, 0, 0])],
+        "pair_id long, img_vec array<int>, txt_vec array<int>",
+    )
+    kept = clip_alignment_gate(df, tau2_num=36, tau2_den=100).collect()[0]["keep"]
+    dropped = clip_alignment_gate(df, tau2_num=3601, tau2_den=10_000).collect()[0]["keep"]
+    assert kept is True and dropped is False
+
+
+# ------------------------------------------------------------ webdataset
+
+def test_tar_member_geometry(spark):
+    df = spark.range(1).select(
+        F.lit(0).alias("z"), F.lit(0).cast("long").alias("s0"),
+        F.lit(1).cast("long").alias("s1"), F.lit(512).cast("long").alias("s512"),
+        F.lit(513).cast("long").alias("s513"),
+    )
+    r = df.select(
+        tar_member_bytes("s0").alias("b0"), tar_member_bytes("s1").alias("b1"),
+        tar_member_bytes("s512").alias("b512"),
+        tar_member_bytes("s513").alias("b513"),
+    ).collect()[0]
+    assert (r["b0"], r["b1"], r["b512"], r["b513"]) == (512, 1024, 1024, 1536)
+
+
+def _wds_input(spark, n=40):
+    rows = [(f"k{i:04d}", 100 + 37 * i, 10 + i) for i in range(n)]
+    return spark.createDataFrame(rows, "image_id string, img_size long, txt_size long")
+
+
+def _seq_twin(rows, shard_bytes, seed):
+    """Sequential hashlib twin of the plan (independent of the operator)."""
+    import hashlib
+
+    def member(sz):
+        return 512 + ((sz + 511) // 512) * 512
+
+    order = sorted(
+        rows, key=lambda r: (hashlib.md5(f"{r[0]}#{seed}".encode()).hexdigest(), r[0])
+    )
+    cum = 0
+    out = {}
+    shard_base = {}
+    for key, img, txt in order:
+        sb = member(img) + member(txt)
+        shard = cum // shard_bytes
+        if shard not in shard_base:
+            shard_base[shard] = cum
+        off = cum - shard_base[shard]
+        out[key] = (shard, off, off, off + member(img), sb)
+        cum += sb
+    return out
+
+
+def test_webdataset_plan_matches_sequential_twin(spark):
+    rows = [(f"k{i:04d}", 100 + 37 * i, 10 + i) for i in range(40)]
+    twin = _seq_twin(rows, shard_bytes=16_384, seed=5)
+    plan = webdataset_plan(
+        _wds_input(spark), shard_bytes=16_384, seed=5
+    ).collect()
+    assert len(plan) == 40
+    for r in plan:
+        shard, s_off, o_img, o_txt, sb = twin[r["image_id"]]
+        assert (r["shard"], r["sample_off"], r["off_img"], r["off_txt"],
+                r["sample_bytes"]) == (shard, s_off, o_img, o_txt, sb), r
+
+
+def test_webdataset_plan_partitioning_invariant(spark):
+    a = webdataset_plan(_wds_input(spark), shard_bytes=16_384, seed=5)
+    b = webdataset_plan(
+        _wds_input(spark).repartition(7), shard_bytes=16_384, seed=5
+    )
+    ka = sorted(map(tuple, a.select(
+        "image_id", "shard", "sample_off", "off_img", "off_txt").collect()))
+    kb = sorted(map(tuple, b.select(
+        "image_id", "shard", "sample_off", "off_img", "off_txt").collect()))
+    assert ka == kb
+
+
+def test_webdataset_shards_summary(spark):
+    plan = webdataset_plan(_wds_input(spark), shard_bytes=16_384, seed=5)
+    shards = {r["shard"]: r for r in webdataset_shards(plan).collect()}
+    # every sample accounted for, archive padded to the 10240 blocking factor
+    assert sum(r["n_samples"] for r in shards.values()) == 40
+    for r in shards.values():
+        assert r["archive_bytes"] % 10_240 == 0
+        assert r["archive_bytes"] >= r["data_bytes"] + 1024
+        assert r["archive_bytes"] - (r["data_bytes"] + 1024) < 10_240
+    # shard data runs end at most one sample past the budget
+    plan_rows = plan.collect()
+    max_sample = max(r["sample_bytes"] for r in plan_rows)
+    for r in plan_rows:
+        assert r["sample_off"] < 16_384 or r["sample_off"] == 0
+        assert r["sample_off"] + r["sample_bytes"] <= 16_384 + max_sample
+
+
+# -------------------------------------------------------------- dct_phash
+
+def test_dct_phash_stage_matches_direct(spark):
+    p = synth.GraphParams(n_pages=30)
+    _, _, images = synth.synth_tables(spark, p)
+    got = {r["image_id"]: r["dct_phash"]
+           for r in dct_phash_stage(images).collect()}
+    assert len(got) == 30
+    for i in range(30):
+        image_id, w, h, fmt = synth.image_meta_of(i, p)
+        px = synth.image_pixels(image_id, w, h, p.seed)
+        # the stage hashes what it DECODES — round-trip through the
+        # declared codec (identity except qlossy, which is lossy)
+        rt = codecs.decode(codecs.encode(px, fmt), fmt, w, h)
+        assert got[image_id] == codecs.dct_phash64(rt), image_id
+        if fmt == "qlossy":
+            # lossy round-trip stays perceptually close to the truth hash
+            d = bin((got[image_id] ^ codecs.dct_phash64(px))
+                    & ((1 << 64) - 1)).count("1")
+            assert d <= 12, (image_id, d)
+
+
+def test_dct_phash_perceptual_property(spark):
+    # near-dup fixture pairs (i % 7 == 6 perturbs base i-6) land at small
+    # Hamming distance; unrelated pairs center near 32
+    p = synth.GraphParams(n_pages=70, img_min=16, img_max=64)
+    hashes = {}
+    for i in range(70):
+        image_id, w, h, fmt = synth.image_meta_of(i, p)
+        px = synth.image_pixels(image_id, w, h, p.seed)
+        hashes[i] = codecs.dct_phash64(px)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    dup = [ham(hashes[i], hashes[i - 6]) for i in range(6, 70, 7)]
+    rand = [ham(hashes[i], hashes[i + 1]) for i in range(0, 60) if i % 7 != 6
+            and (i + 1) % 7 != 6]
+    assert max(dup) <= 16, dup
+    assert 20 <= sum(rand) / len(rand) <= 44, sum(rand) / len(rand)
+
+
+def test_dct_phash_scale_invariance_of_duplicate_pixels(spark):
+    # the hash is a pure function of pixels: identical pixels at different
+    # encodings give the same hash
+    px = _px(33, 47, seed=9)
+    df = _images_df(spark, [
+        ("x1", codecs.encode(px, "png"), 33, 47, "png"),
+        ("x2", codecs.encode(px, "ppm"), 33, 47, "ppm"),
+        ("x3", codecs.encode(px, "raw"), 33, 47, "raw"),
+    ])
+    got = {r["image_id"]: r["dct_phash"] for r in dct_phash_stage(df).collect()}
+    assert got["x1"] == got["x2"] == got["x3"]
