@@ -1163,6 +1163,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
     q["image_joint_neardup"] = q_image_joint_neardup
 
+    def q_sniff_format(spark, sf):
+        # ingest hygiene: container sniffing from magic bytes + header
+        # consistency vs declared (fmt, w, h).  The oracle re-derives the
+        # sniff and every header check from the raw BLOB column natively
+        # in DuckDB (hex prefix + octet_length) — the engine's expressions
+        # are never consulted
+        from crawl4ai_spark.operators.multimodal import sniff_format
+
+        oracle_expected.ensure_images_input(n_pages=280)
+        p = _graph(n_pages=280)
+        _, _, images = synth.synth_tables(spark, p)
+        return sniff_format(images).select(
+            "image_id", "fmt", "sniffed_fmt", "fmt_match", "header_ok")
+    q["sniff_format"] = q_sniff_format
+
+    def q_webdataset_plan(spark, sf):
+        # WebDataset tar-shard export plan over the image+caption payload:
+        # exact member/shard byte geometry in the md5-shuffled corpus
+        # order.  Every quantity re-derived in DuckDB from the raw input
+        # parquet (octet_length(bytes), length(caption), windowed cumsum)
+        from crawl4ai_spark.operators.export import webdataset_plan
+
+        oracle_expected.ensure_images_input(n_pages=280)
+        p = _graph(n_pages=280)
+        _, _, images = synth.synth_tables(spark, p)
+        sized = images.select(
+            "image_id",
+            F.length("bytes").cast("long").alias("img_size"),
+            F.length("caption").cast("long").alias("txt_size"),
+        )
+        return webdataset_plan(sized, shard_bytes=262_144, seed=5).select(
+            "image_id", "shard", "sample_bytes", "sample_off",
+            "off_img", "off_txt")
+    q["webdataset_plan"] = q_webdataset_plan
+
+    def q_clip_filter(spark, sf):
+        # LAION-style image-text alignment gate over QUANTIZED integer
+        # embedding pairs derived from doc_id (dim 8; aligned rows iff
+        # doc_id%3 != 0 are a scaled+jittered copy, misaligned rows an
+        # independent draw) — the keep decision and the cos² basis points
+        # are exact integer cross-multiplications, re-derived in DuckDB
+        # as explicit 8-term HUGEINT sums
+        docs = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"))
+        img = F.array(*[
+            ((F.col("doc_id") * (c + 3) + 7 * c * c + F.col("doc_id") % 13)
+             % 41 - 20).cast("int")
+            for c in range(8)
+        ])
+        aligned = F.col("doc_id") % 3 != 0
+        txt = F.array(*[
+            F.when(
+                aligned,
+                (F.col("doc_id") * (c + 3) + 7 * c * c + F.col("doc_id") % 13)
+                % 41 * 2 - 40 + ((F.col("doc_id") + c) % 3 - 1),
+            ).otherwise((F.col("doc_id") * 5 + 11 * c) % 41 - 20).cast("int")
+            for c in range(8)
+        ])
+        pairs = docs.withColumn("img_vec", img).withColumn("txt_vec", txt)
+        from crawl4ai_spark.operators.similarity import clip_alignment_gate
+
+        return clip_alignment_gate(pairs, tau2_num=49, tau2_den=100).select(
+            "doc_id", "dot", "na2", "nb2", "cos2_bp", "keep")
+    q["clip_filter"] = q_clip_filter
+
+    def q_dct_phash(spark, sf):
+        # DCT perceptual hash computed from the decoded PIXELS (the
+        # compute path behind the payload table's phash column) —
+        # integer-exact via the committed Q12 DCT table; expected table
+        # from an independent plain-Python sequential twin
+        from crawl4ai_spark.operators.multimodal import dct_phash_stage
+
+        oracle_expected.ensure_dct_phash_expected(n_pages=280)
+        p = _graph(n_pages=280)
+        _, _, images = synth.synth_tables(spark, p)
+        return dct_phash_stage(images).select("image_id", "dct_phash")
+    q["dct_phash"] = q_dct_phash
+
     def q_pdf_extract(spark, sf):
         # PDF tier (reference processors/pdf/): build a deterministic PDF
         # per document (sources/pdfsynth.py recipes), parse it back with
@@ -2830,6 +2908,102 @@ def oracle_sql() -> dict[str, str]:
                CAST((fit_h - th) // 2 AS INTEGER) AS crop_y
         FROM g
     """
+
+    o["sniff_format"] = f"""
+        WITH t AS (
+          SELECT image_id, fmt, w, h, left(hex(bytes), 128) AS hx,
+                 octet_length(bytes) AS olen
+          FROM read_parquet('{_exp('images_input')}')
+        ), s AS (
+          SELECT *,
+            CASE WHEN starts_with(hx, '89504E470D0A1A0A') THEN 'png'
+                 WHEN starts_with(hx, '5036') THEN 'ppm'
+                 WHEN starts_with(hx, '789C') THEN 'qlossy'
+                 ELSE 'raw' END AS sniffed_fmt
+          FROM t
+        )
+        SELECT image_id, fmt, sniffed_fmt, sniffed_fmt = fmt AS fmt_match,
+          CASE sniffed_fmt
+            WHEN 'png' THEN
+              substring(hx, 33, 8) = upper(lpad(to_hex(w), 8, '0'))
+              AND substring(hx, 41, 8) = upper(lpad(to_hex(h), 8, '0'))
+            WHEN 'ppm' THEN starts_with(hx, hex(encode(
+              'P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10))))
+            WHEN 'raw' THEN olen = CAST(w AS BIGINT) * h * 3
+            ELSE NULL END AS header_ok
+        FROM s
+    """
+    o["webdataset_plan"] = f"""
+        WITH t AS (
+          SELECT image_id,
+                 CAST(octet_length(bytes) AS BIGINT) AS img_size,
+                 CAST(length(caption) AS BIGINT) AS txt_size,
+                 md5(image_id || '#5') AS pack_key
+          FROM read_parquet('{_exp('images_input')}')
+        ), g AS (
+          SELECT *, 512 + ((img_size + 511) // 512) * 512 AS mb_img,
+                    512 + ((txt_size + 511) // 512) * 512 AS mb_txt
+          FROM t
+        ), c AS (
+          SELECT *, mb_img + mb_txt AS sample_bytes,
+            CAST(sum(mb_img + mb_txt) OVER (
+              ORDER BY pack_key, image_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum
+          FROM g
+        ), s AS (
+          SELECT *, cum - sample_bytes AS cb,
+                 (cum - sample_bytes) // 262144 AS shard
+          FROM c
+        ), b AS (
+          SELECT *, min(cb) OVER (PARTITION BY shard) AS base FROM s
+        )
+        SELECT image_id, CAST(shard AS BIGINT) AS shard,
+               CAST(sample_bytes AS BIGINT) AS sample_bytes,
+               CAST(cb - base AS BIGINT) AS sample_off,
+               CAST(cb - base AS BIGINT) AS off_img,
+               CAST(cb - base + mb_img AS BIGINT) AS off_txt
+        FROM b
+    """
+    _clip_img = [
+        f"(doc_id * {c + 3} + {7 * c * c} + doc_id % 13) % 41 - 20"
+        for c in range(8)
+    ]
+    _clip_txt = [
+        "CASE WHEN doc_id % 3 <> 0 THEN "
+        f"((doc_id * {c + 3} + {7 * c * c} + doc_id % 13) % 41) * 2 - 40"
+        f" + ((doc_id + {c}) % 3 - 1)"
+        f" ELSE (doc_id * 5 + {11 * c}) % 41 - 20 END"
+        for c in range(8)
+    ]
+    o["clip_filter"] = f"""
+        WITH v AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 {', '.join(f'CAST({e} AS BIGINT) AS i{c}' for c, e in enumerate(_clip_img))},
+                 {', '.join(f'CAST({e} AS BIGINT) AS t{c}' for c, e in enumerate(_clip_txt))}
+          FROM documents
+        ), d AS (
+          SELECT doc_id,
+            {' + '.join(f'i{c} * t{c}' for c in range(8))} AS dot,
+            {' + '.join(f'i{c} * i{c}' for c in range(8))} AS na2,
+            {' + '.join(f't{c} * t{c}' for c in range(8))} AS nb2
+          FROM v
+        )
+        SELECT doc_id, CAST(dot AS BIGINT) AS dot,
+               CAST(na2 AS BIGINT) AS na2, CAST(nb2 AS BIGINT) AS nb2,
+          CASE WHEN na2 > 0 AND nb2 > 0 THEN CAST(
+            (CASE WHEN dot >= 0 THEN 1 ELSE -1 END)
+            * ((CAST(dot AS HUGEINT) * dot * 10000)
+               // (CAST(na2 AS HUGEINT) * nb2)) AS BIGINT)
+          ELSE NULL END AS cos2_bp,
+          (na2 > 0 AND nb2 > 0 AND dot > 0
+           AND CAST(dot AS HUGEINT) * dot * 100
+               >= 49 * (CAST(na2 AS HUGEINT) * nb2)) AS keep
+        FROM d
+    """
+    o["dct_phash"] = (
+        f"SELECT image_id, dct_phash FROM read_parquet('{_exp('dct_phash')}')"
+    )
 
     o["pack_sequences"] = (
         "SELECT doc_id, shard, seq_id, seq_off, n_tokens "

@@ -962,11 +962,13 @@ def ensure_phash_expected(n_pages: int = 280, max_hamming: int = 4) -> None:
 
 
 def ensure_images_input(n_pages: int = 280) -> None:
-    """INPUT table for the caption-dedup / joint-neardup oracles:
-    (image_id, caption, phash) from the deterministic fixture generator.
-    Unlike the expected-OUTPUT tables above, this carries no dedup logic —
-    the oracle SQL re-derives the grouping / brute-force pairing from
-    scratch in DuckDB, so the probes stay independent of the engine's
+    """INPUT table for the caption-dedup / joint-neardup / sniff /
+    webdataset oracles: (image_id, bytes, w, h, fmt, caption, phash) from
+    the deterministic fixture generator.  Unlike the expected-OUTPUT
+    tables above, this carries no operator logic — the oracle SQL
+    re-derives groupings / brute-force pairings / magic-byte sniffs / tar
+    geometry from scratch in DuckDB (hex/octet_length work natively on
+    the BLOB column), so the probes stay independent of the engine's
     operators."""
     key = ("images_input", n_pages)
     if key in _done:
@@ -980,6 +982,7 @@ def ensure_images_input(n_pages: int = 280) -> None:
         px = synth.image_pixels(image_id, w, h, p.seed)
         rows.append({
             "image_id": image_id,
+            "bytes": synth.codecs.encode(px, fmt),
             "w": w,
             "h": h,
             "fmt": fmt,
@@ -987,8 +990,58 @@ def ensure_images_input(n_pages: int = 280) -> None:
             "phash": int(synth.codecs.phash64(px)),
         })
     _write("images_input", pd.DataFrame(
-        rows, columns=["image_id", "w", "h", "fmt", "caption", "phash"]).astype(
+        rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption",
+                       "phash"]).astype(
         {"phash": "int64", "w": "int32", "h": "int32"}))
+    _done.add(key)
+
+
+def ensure_dct_phash_expected(n_pages: int = 280) -> None:
+    """dct_phash: expected (image_id, dct_phash) recomputed sequentially
+    with an INDEPENDENT implementation — plain-Python loops over the
+    round-tripped fixture pixels (encode→decode through the declared
+    codec, exactly what the engine stage decodes).  The committed
+    ``codecs.DCT_Q12`` integer table is the operator's SPEC (the
+    ASPECT_BUCKETS pattern) and is shared; everything downstream of it —
+    luma, the selection resize, the two matrix products, the middle-pair
+    median, the bit packing — is re-derived here without numpy matmuls or
+    the engine's ``dct_phash64``."""
+    key = ("dct_phash", n_pages)
+    if key in _done:
+        return
+    from .. import codecs
+    from ..sources import synth
+
+    m = codecs.DCT_Q12  # the committed spec constant
+
+    def twin(px) -> int:
+        h, w = px.shape[:2]
+        luma = [[int(px[y, x, 0]) * 299 + int(px[y, x, 1]) * 587
+                 + int(px[y, x, 2]) * 114 for x in range(w)]
+                for y in range(h)]
+        g = [[luma[(i * h) // 32][(j * w) // 32] for j in range(32)]
+             for i in range(32)]
+        t = [[sum(m[k][n] * g[n][j] for n in range(32)) for j in range(32)]
+             for k in range(8)]
+        c = [[sum(t[k][n] * m[l][n] for n in range(32)) for l in range(8)]
+             for k in range(8)]
+        flat = [c[i][j] for i in range(8) for j in range(8)]
+        mid = sorted(flat)
+        med2 = mid[31] + mid[32]
+        val = 0
+        for v in flat:
+            val = (val << 1) | (1 if 2 * v > med2 else 0)
+        return val - (1 << 64) if val >= (1 << 63) else val
+
+    p = _graph(n_pages=n_pages)
+    rows = []
+    for i in range(n_pages):
+        image_id, w, h, fmt = synth.image_meta_of(i, p)
+        px = synth.image_pixels(image_id, w, h, p.seed)
+        rt = codecs.decode(codecs.encode(px, fmt), fmt, w, h)
+        rows.append({"image_id": image_id, "dct_phash": twin(rt)})
+    _write("dct_phash", pd.DataFrame(
+        rows, columns=["image_id", "dct_phash"]).astype({"dct_phash": "int64"}))
     _done.add(key)
 
 
