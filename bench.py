@@ -979,6 +979,76 @@ def curation_bench(spark, n_docs: int = 100_000) -> dict:
     return out
 
 
+def image_export_bench(spark, n_images: int = 20_000,
+                       n_pairs: int = 200_000) -> dict:
+    """Round-5 image-payload tier at scale: container sniffing (pure
+    codegen over a 64-byte hexed prefix — payload bytes never copied),
+    DCT pHash from pixels (Arrow decode + Q12 integer DCT per image),
+    WebDataset tar-shard planning (ONE bucketed-cumsum shuffle + broadcast
+    shard bases), and the CLIP-score alignment gate (codegen integer
+    cross-multiplication over dim-16 quantized embedding pairs)."""
+    from crawl4ai_spark.operators.export import (
+        webdataset_plan, webdataset_shards)
+    from crawl4ai_spark.operators.multimodal import (
+        dct_phash_stage, sniff_format)
+    from crawl4ai_spark.operators.similarity import clip_alignment_gate
+
+    _, gdir = _ensure_graph(spark, n_images, with_images=True)
+    images = spark.read.parquet(f"{gdir}/images.parquet")
+    out: dict = {"images": n_images}
+
+    t0 = time.time()
+    r = sniff_format(images).agg(
+        F.count("*").alias("n"),
+        F.sum((~F.col("fmt_match")).cast("long")).alias("mislabeled"),
+        F.sum(F.when(F.col("header_ok") == False, 1)  # noqa: E712
+              .otherwise(0)).alias("bad_hdr"),
+    ).collect()[0]
+    out["sniff_sec"] = round(time.time() - t0, 3)
+    out["mislabeled"] = int(r["mislabeled"])
+    out["bad_headers"] = int(r["bad_hdr"])
+
+    t0 = time.time()
+    n = dct_phash_stage(images).count()
+    secs = time.time() - t0
+    out["dct_phash_sec"] = round(secs, 3)
+    out["dct_img_per_sec"] = round(n / max(secs, 1e-9), 1)
+
+    sized = images.select(
+        "image_id",
+        F.length("bytes").cast("long").alias("img_size"),
+        F.length("caption").cast("long").alias("txt_size"))
+    t0 = time.time()
+    plan = webdataset_plan(sized, shard_bytes=1 << 24, seed=5)
+    n_shards = webdataset_shards(plan).count()
+    out["wds_sec"] = round(time.time() - t0, 3)
+    out["wds_shards"] = int(n_shards)
+
+    n_parts = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    img = F.array(*[
+        ((F.col("id") * (c + 3) + 7 * c * c) % 41 - 20).cast("int")
+        for c in range(16)])
+    txt = F.array(*[
+        F.when(F.col("id") % 3 != 0,
+               ((F.col("id") * (c + 3) + 7 * c * c) % 41) * 2 - 40
+               + ((F.col("id") + c) % 3 - 1))
+        .otherwise((F.col("id") * 5 + 11 * c) % 41 - 20).cast("int")
+        for c in range(16)])
+    pairs = spark.range(0, n_pairs, 1, n_parts).select(
+        F.col("id"), img.alias("img_vec"), txt.alias("txt_vec"))
+    t0 = time.time()
+    kept = clip_alignment_gate(pairs).agg(
+        F.sum(F.col("keep").cast("long")).alias("k")).collect()[0]["k"]
+    secs = time.time() - t0
+    out["clip_sec"] = round(secs, 3)
+    out["clip_kept"] = int(kept)
+    out["clip_pairs_per_sec"] = round(n_pairs / max(secs, 1e-9), 1)
+
+    out["sec"] = round(out["sniff_sec"] + out["dct_phash_sec"]
+                       + out["wds_sec"] + out["clip_sec"], 3)
+    return out
+
+
 def host_calibration(spark) -> dict:
     """Fixed micro-workloads recorded per run so round-over-round deltas
     can be normalized for host drift (this VM's per-core throughput moves
@@ -1209,6 +1279,12 @@ def main() -> None:
     section_reset(spark, drift, "curation")
     extras["curation"] = curation_bench(
         spark, n_docs=max(10_000, int(1_000_000 * sf)))
+
+    # image-payload tier (sniff / DCT pHash / WebDataset plan / CLIP gate)
+    section_reset(spark, drift, "image_export")
+    extras["image_export"] = image_export_bench(
+        spark, n_images=n_image_rows,
+        n_pairs=max(20_000, int(2_000_000 * sf)))
 
     total = round(sum(queries.values()), 3)
     detail = {
