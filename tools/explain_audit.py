@@ -467,6 +467,71 @@ def main() -> None:
         plan_of(mx), ["MapInPandas", "BroadcastHashJoin"],
     ))
 
+    # 33. format sniffing: hexed 64-byte prefix, pure codegen, zero Exchange
+    from crawl4ai_spark.operators.multimodal import sniff_format
+
+    from crawl4ai_spark.sources import synth as _synth
+    _, _, aud_images = _synth.synth_tables(
+        spark, _synth.GraphParams(n_pages=40))
+    sn_plan = plan_of(sniff_format(aud_images).select(
+        "image_id", "sniffed_fmt", "fmt_match", "header_ok"))
+    sections.append((
+        "Container sniffing (magic bytes + header checks, pure codegen)",
+        sn_plan, ["codegen id"],
+    ))
+    if "Exchange" in sn_plan:
+        sections[-1] = (sections[-1][0] + " — FAIL: unexpected shuffle",
+                        sn_plan, sections[-1][2])
+
+    # 34. WebDataset plan: ONE bucketed-cumsum fold + broadcast shard bases
+    from crawl4ai_spark.operators.export import webdataset_plan
+
+    wds_plan = plan_of(webdataset_plan(
+        aud_images.select(
+            "image_id",
+            F.length("bytes").cast("long").alias("img_size"),
+            F.length("caption").cast("long").alias("txt_size")),
+        shard_bytes=1 << 16))
+    sections.append((
+        "WebDataset shard plan (bucketed cumsum → broadcast shard bases)",
+        wds_plan, ["BroadcastHashJoin"],
+    ))
+    if "SortMergeJoin" in wds_plan:
+        sections[-1] = (sections[-1][0] + " — FAIL: shuffled base join",
+                        wds_plan, sections[-1][2])
+
+    # 35. CLIP alignment gate: integer cross-multiplication, zero Exchange
+    from crawl4ai_spark.operators.similarity import clip_alignment_gate
+
+    cg_pairs = spark.range(100).select(
+        F.col("id"),
+        F.array(*[(F.col("id") % 9 - 4).cast("int") for _ in range(8)])
+        .alias("img_vec"),
+        F.array(*[(F.col("id") % 7 - 3).cast("int") for _ in range(8)])
+        .alias("txt_vec"))
+    cg_plan = plan_of(clip_alignment_gate(cg_pairs))
+    sections.append((
+        "CLIP alignment gate (exact integer cross-multiplication; the "
+        "higher-order dot/norm folds run as interpreted JVM projections — "
+        "no Python, no shuffle)",
+        cg_plan, ["aggregate(zip_with"],
+    ))
+    if "Exchange" in cg_plan:
+        sections[-1] = (sections[-1][0] + " — FAIL: unexpected shuffle",
+                        cg_plan, sections[-1][2])
+
+    # 36. DCT pHash: ONE Arrow pass over the payload, zero Exchange
+    from crawl4ai_spark.operators.multimodal import dct_phash_stage
+
+    dp_plan = plan_of(dct_phash_stage(aud_images))
+    sections.append((
+        "DCT pHash from pixels (one Arrow decode+hash pass)",
+        dp_plan, ["MapInPandas"],
+    ))
+    if "Exchange" in dp_plan:
+        sections[-1] = (sections[-1][0] + " — FAIL: unexpected shuffle",
+                        dp_plan, sections[-1][2])
+
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)\n"]
     out.append(
         "Generated by tools/explain_audit.py. Verdict lines check the "
