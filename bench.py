@@ -646,11 +646,18 @@ def hygiene_bench(spark, n_docs: int = 100_000) -> dict:
     out["c4_sec"] = round(time.time() - t0, 3)
     out["c4_kept"] = int(r["kept"])
 
+    from crawl4ai_spark.operators.quality import fineweb_filters
+    t0 = time.time()
+    r = fineweb_filters(docs).agg(
+        F.sum(F.col("keep").cast("long")).alias("kept")).collect()[0]
+    out["fineweb_sec"] = round(time.time() - t0, 3)
+    out["fineweb_kept"] = int(r["kept"])
+
     total = (out["gopher_sec"] + out["repetition_sec"]
              + out["line_dedup_sec"] + out["decontaminate_sec"]
-             + out["dsir_sec"] + out["c4_sec"])
+             + out["dsir_sec"] + out["c4_sec"] + out["fineweb_sec"])
     out["sec"] = round(total, 3)
-    out["docs_per_sec"] = round(6 * n_docs / max(total, 1e-9), 1)
+    out["docs_per_sec"] = round(7 * n_docs / max(total, 1e-9), 1)
     docs.unpersist()
     return out
 

@@ -225,6 +225,70 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
     return out
 
 
+FINEWEB_TERMINALS = (".", "!", "?", '"')
+
+
+def fineweb_filters(docs: DataFrame, text_col: str = "text",
+                    punct_num: int = 12, punct_den: int = 100,
+                    short_num: int = 67, short_den: int = 100,
+                    short_chars: int = 30,
+                    dupchar_num: int = 10, dupchar_den: int = 100
+                    ) -> DataFrame:
+    """The FineWeb custom quality filters (Penedo et al. 2024, "The
+    FineWeb Datasets" §3.6 — the three heuristics the ablations added on
+    top of the Gopher/C4 rulesets, completing this repo's quality-filter
+    family alongside ``gopher_quality`` and ``c4_filters``):
+
+    drop a page when, over its non-blank trimmed lines,
+      1. the fraction ending in terminal punctuation (C4's ``. ! ? "``)
+         is <= ``punct_num/punct_den``           (``line_punct``, 0.12);
+      2. the fraction shorter than ``short_chars`` characters is
+         >= ``short_num/short_den``              (``short_lines``, 0.67);
+      3. the fraction of line characters carried by duplicated lines
+         (the Gopher measure: 1 - chars(each distinct line once)/chars)
+         is >= ``dupchar_num/dupchar_den``       (``dup_line_chars``, 0.1).
+
+    ``drop_reason`` is the first failing rule in that order, '' when
+    kept; a page with no non-blank lines fails rule 1 by convention
+    (0 <= threshold).  Every decision is an INTEGER cross-multiplication
+    over exact line counts — no float ratios anywhere near a boundary,
+    so the kept set is bit-identical on any engine (the same rational-
+    threshold contract as ``aspect_buckets``/``clip_alignment_gate``).
+    Pure per-row Catalyst array expressions: zero shuffle, codegen,
+    filter-pushdown friendly.
+    """
+    lines = F.transform(_lines(F.col(text_col)), lambda l: F.trim(l))
+    n_lines = F.size(lines).cast("long")
+    punct_lines = F.size(F.filter(
+        lines, lambda l: F.substring(l, -1, 1).isin(list(FINEWEB_TERMINALS))
+    )).cast("long")
+    short_lines = F.size(F.filter(
+        lines, lambda l: F.length(l) < short_chars)).cast("long")
+    chars = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l))
+    line_chars = chars(lines)
+    dup_chars = line_chars - chars(F.array_distinct(lines))
+    out = (
+        docs.withColumn("n_lines", n_lines)
+        .withColumn("punct_lines", punct_lines)
+        .withColumn("short_lines", short_lines)
+        .withColumn("line_chars", line_chars)
+        .withColumn("dup_line_chars", dup_chars)
+    )
+    reason = (
+        F.when(F.col("punct_lines") * punct_den
+               <= F.lit(punct_num) * F.col("n_lines"), F.lit("line_punct"))
+        .when(F.col("short_lines") * short_den
+              >= F.lit(short_num) * F.col("n_lines"), F.lit("short_lines"))
+        .when(F.col("dup_line_chars") * dupchar_den
+              >= F.lit(dupchar_num) * F.col("line_chars"),
+              F.lit("dup_line_chars"))
+        .otherwise(F.lit(""))
+    )
+    return out.withColumn("drop_reason", reason).withColumn(
+        "keep", reason == "")
+
+
 def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: int = 8,
                   id_col: str = "doc_id", text_col: str = "text",
                   bench_text_col: str | None = None,

@@ -378,3 +378,54 @@ def test_ccnet_partitioning_invariance(spark):
     b = sorted(map(tuple, ccnet_perplexity(
         cdf.repartition(13), tdf.repartition(3)).collect()))
     assert a == b
+
+
+# ------------------------------------------------------------ fineweb_filters
+
+def test_fineweb_filters_truth_table(spark):
+    from crawl4ai_spark.operators.quality import fineweb_filters
+
+    good = [f"Planted fineweb line number {k} stays long enough here." for k in range(8)]
+    rows = [
+        (0, "\n".join(good)),                                   # keep
+        (1, "\n".join(l[:-1] + " no end" for l in good)),       # no terminal punct
+        (2, "\n".join(f"Ln {k}." for k in range(8))),           # all short
+        (3, "\n".join([good[0]] * 4 + good[4:])),               # dup chars
+        (4, ""),                                                # empty -> line_punct
+        (5, None),                                              # NULL text
+        # exactly at the punct boundary: 1 of 8 lines punctuated
+        # (12.5% > 12% -> passes rule 1), all long, no dups -> keep
+        (6, "\n".join([good[0]] + [l[:-1] + " x" for l in good[1:]])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in fineweb_filters(df).collect()}
+    assert out[0]["keep"] is True and out[0]["drop_reason"] == ""
+    assert out[1]["drop_reason"] == "line_punct"
+    assert out[2]["drop_reason"] == "short_lines"
+    assert out[2]["punct_lines"] == 8  # short lines still end in '.'
+    assert out[3]["drop_reason"] == "dup_line_chars"
+    assert out[3]["dup_line_chars"] == 3 * len(good[0])
+    assert out[4]["drop_reason"] == "line_punct" and out[4]["n_lines"] == 0
+    assert out[5]["drop_reason"] == "line_punct"
+    assert out[6]["keep"] is True
+
+
+def test_fineweb_boundaries_are_exact(spark):
+    from crawl4ai_spark.operators.quality import fineweb_filters
+
+    long_p = "This is a planted line that is long enough to clear thirty."
+    # 25 lines, 3 punctuated = 12% exactly -> <= 0.12 -> drop;
+    # 4 of 25 = 16% -> keep (other rules pass)
+    mk = lambda npunct: "\n".join(
+        (long_p if k < npunct else long_p[:-1] + f" v{k}")
+        for k in range(25))
+    # avoid dup lines: suffix each punctuated copy differently
+    mk = lambda npunct: "\n".join(
+        (f"Planted punctuated line number {k} is long enough here v." if k < npunct
+         else f"Planted bare line number {k} is long enough here vv")
+        for k in range(25))
+    df = spark.createDataFrame(
+        [(0, mk(3)), (1, mk(4))], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in fineweb_filters(df).collect()}
+    assert out[0]["drop_reason"] == "line_punct"
+    assert out[1]["keep"] is True

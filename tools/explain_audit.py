@@ -436,6 +436,19 @@ def main() -> None:
         sections[-1] = (sections[-1][0] + " — FAIL: plan shuffles",
                         c4_plan, sections[-1][2])
 
+    # 30c. FineWeb filters: integer cross-mult gates — codegen, zero Exchange
+    from crawl4ai_spark.operators.quality import fineweb_filters
+
+    fw_plan = plan_of(fineweb_filters(docs))
+    sections.append((
+        "FineWeb quality filters (line-punct / short-lines / dup-line-chars "
+        "— integer rational thresholds, zero Exchange)",
+        fw_plan, ["ReadSchema"],
+    ))
+    if "Exchange" in fw_plan:
+        sections[-1] = (sections[-1][0] + " — FAIL: plan shuffles",
+                        fw_plan, sections[-1][2])
+
     # 31. blocklist gate: both lookups must be broadcast-hash, never SMJ
     from crawl4ai_spark.operators.blocklist import blocklist_gate
 
