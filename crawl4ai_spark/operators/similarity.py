@@ -490,4 +490,7 @@ def clip_alignment_gate(pairs: DataFrame, img_col: str = "img_vec",
     cos2_bp = F.when(
         nonzero, F.signum(F.col("dot")).cast("long") * bp_mag
     ).cast("long")
-    return out.withColumn("cos2_bp", cos2_bp).withColumn("keep", keep)
+    # NULL embedding arrays propagate NULL through the folds: never keep
+    # them (and leave cos2_bp NULL) rather than emitting three-valued logic
+    return out.withColumn("cos2_bp", cos2_bp).withColumn(
+        "keep", F.coalesce(keep, F.lit(False)))

@@ -112,6 +112,16 @@ def test_clip_gate_exact_decisions(spark):
     assert (out[3]["dot"], out[3]["na2"], out[3]["nb2"]) == (3, 25, 1)
 
 
+def test_clip_gate_null_vector_never_kept(spark):
+    df = spark.createDataFrame(
+        [(0, None, [1, 2, 3]), (1, [1, 2, 3], None), (2, None, None)],
+        "pair_id long, img_vec array<int>, txt_vec array<int>",
+    )
+    out = clip_alignment_gate(df).collect()
+    assert all(r["keep"] is False for r in out)
+    assert all(r["cos2_bp"] is None for r in out)
+
+
 def test_clip_gate_boundary_is_exact(spark):
     # one unit above the rational boundary flips the decision
     df = spark.createDataFrame(
