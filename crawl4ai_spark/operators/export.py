@@ -32,13 +32,15 @@ post-crawl stage a 100 TB image+caption pipeline needs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..dist import hex_bucketed_cumsum
 from .sampling import hash_uniform_hex
 
-__all__ = ["tar_member_bytes", "webdataset_plan", "webdataset_shards"]
+__all__ = ["tar_member_bytes", "tar_member", "webdataset_plan",
+           "webdataset_shards", "write_webdataset"]
 
 TAR_BLOCK = 512
 TAR_EOF_BYTES = 2 * TAR_BLOCK          # two zero blocks end the archive
@@ -134,3 +136,90 @@ def webdataset_shards(plan: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Plan execution: write the actual tar shards
+# ---------------------------------------------------------------------------
+
+def _tar_header(name: str, size: int) -> bytes:
+    """Deterministic USTAR member header: mode 0644, uid/gid 0, mtime 0 —
+    every field fixed so shard bytes are identical on any writer task."""
+    if len(name.encode()) > 100:
+        raise ValueError(f"tar member name too long: {name!r}")
+    buf = bytearray(512)
+    buf[0:len(name.encode())] = name.encode()
+    buf[100:108] = b"0000644\x00"
+    buf[108:116] = b"0000000\x00"          # uid
+    buf[116:124] = b"0000000\x00"          # gid
+    buf[124:136] = ("%011o" % size).encode() + b"\x00"
+    buf[136:148] = b"00000000000\x00"      # mtime 0
+    buf[148:156] = b" " * 8                # checksum placeholder
+    buf[156] = 0x30                        # typeflag '0' regular file
+    buf[257:263] = b"ustar\x00"            # POSIX magic
+    buf[263:265] = b"00"                   # version
+    chksum = sum(buf)
+    buf[148:156] = ("%06o" % chksum).encode() + b"\x00 "
+    return bytes(buf)
+
+
+def tar_member(name: str, payload: bytes) -> bytes:
+    pad = (-len(payload)) % TAR_BLOCK
+    return _tar_header(name, len(payload)) + payload + b"\x00" * pad
+
+
+def write_webdataset(plan: DataFrame, outdir: str,
+                     key_col: str = "image_id",
+                     members: tuple[tuple[str, str], ...] = (
+                         ("img", "img_bytes"), ("txt", "txt_bytes")),
+                     prefix: str = "shard") -> DataFrame:
+    """EXECUTE a ``webdataset_plan``: build each tar shard and write it to
+    ``outdir`` (a shared filesystem / object-store mount at cluster scale
+    — the standard WebDataset export pattern: each shard is produced by
+    exactly one task, shards are embarrassingly parallel).
+
+    ``plan`` must carry the planner's columns plus the payload bytes named
+    by ``members`` (ext, bytes_col) — join the planner output back to the
+    payload table on ``key_col``; member payload sizes MUST be the sizes
+    the plan was computed from.  Every member's actual byte offset is
+    asserted against the planner's ``off_{ext}`` as the archive is built,
+    so a plan/payload mismatch fails loudly instead of shipping a
+    corrupted shard.  Headers are fully deterministic (mode 0644, uid/gid
+    0, mtime 0), so shard bytes are identical under any partitioning,
+    retry, or cluster size.
+
+    Returns the shard manifest ``(shard, path, n_samples, data_bytes,
+    archive_bytes)`` — ONE shuffle on the shard key (each shard folds in
+    one Arrow task, the same shape as ``pack_sequences``)."""
+    import os
+
+    os.makedirs(outdir, exist_ok=True)
+    fields = ("shard long, path string, n_samples long, data_bytes long, "
+              "archive_bytes long")
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("sample_off").reset_index(drop=True)
+        shard = int(pdf["shard"].iloc[0])
+        buf = bytearray()
+        for r in pdf.itertuples():
+            for ext, bytes_col in members:
+                off = int(getattr(r, f"off_{ext}"))
+                if off != len(buf):
+                    raise ValueError(
+                        f"shard {shard}: member {getattr(r, key_col)}.{ext} "
+                        f"planned at {off}, building at {len(buf)}")
+                payload = getattr(r, bytes_col)
+                payload = bytes(payload) if payload is not None else b""
+                buf += tar_member(f"{getattr(r, key_col)}.{ext}", payload)
+        data_bytes = len(buf)
+        buf += b"\x00" * TAR_EOF_BYTES
+        buf += b"\x00" * ((-len(buf)) % TAR_RECORD)
+        path = os.path.join(outdir, f"{prefix}-{shard:06d}.tar")
+        with open(path, "wb") as fh:
+            fh.write(bytes(buf))
+        return pd.DataFrame([{
+            "shard": shard, "path": path, "n_samples": len(pdf),
+            "data_bytes": data_bytes, "archive_bytes": len(buf)}])
+
+    return plan.repartition("shard").groupBy("shard").applyInPandas(
+        fold, fields)

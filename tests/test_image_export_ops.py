@@ -273,3 +273,70 @@ def test_dct_phash_scale_invariance_of_duplicate_pixels(spark):
     ])
     got = {r["image_id"]: r["dct_phash"] for r in dct_phash_stage(df).collect()}
     assert got["x1"] == got["x2"] == got["x3"]
+
+
+# --------------------------------------------------------- write_webdataset
+
+def test_write_webdataset_produces_valid_tars(spark, tmp_path):
+    import tarfile
+
+    from crawl4ai_spark.operators.export import write_webdataset
+
+    p = synth.GraphParams(n_pages=40)
+    _, _, images = synth.synth_tables(spark, p)
+    images = images.cache()
+    sized = images.select(
+        "image_id",
+        F.length("bytes").cast("long").alias("img_size"),
+        F.length("caption").cast("long").alias("txt_size"))
+    plan = webdataset_plan(sized, shard_bytes=65_536, seed=3)
+    payload = plan.join(
+        images.select(
+            "image_id", F.col("bytes").alias("img_bytes"),
+            F.encode("caption", "UTF-8").alias("txt_bytes")),
+        "image_id")
+    outdir = str(tmp_path / "wds")
+    manifest = {r["shard"]: r for r in
+                write_webdataset(payload, outdir).collect()}
+    shards = {r["shard"]: r for r in
+              webdataset_shards(plan).collect()}
+    assert set(manifest) == set(shards)
+
+    truth = {r["image_id"]: r for r in images.collect()}
+    plan_rows = {r["image_id"]: r for r in plan.collect()}
+    n_seen = 0
+    for shard, m in manifest.items():
+        # manifest sizes match the PLANNED archive geometry exactly
+        assert m["archive_bytes"] == shards[shard]["archive_bytes"]
+        assert m["data_bytes"] == shards[shard]["data_bytes"]
+        import os
+        assert os.path.getsize(m["path"]) == m["archive_bytes"]
+        with tarfile.open(m["path"]) as tf:
+            for ti in tf.getmembers():
+                stem, ext = ti.name.rsplit(".", 1)
+                pr = plan_rows[stem]
+                # stdlib tarfile's view of the member offset equals the plan
+                assert ti.offset == pr[f"off_{ext}"], ti.name
+                data = tf.extractfile(ti).read()
+                if ext == "img":
+                    assert data == bytes(truth[stem]["bytes"])
+                else:
+                    # captions byte-equal through the whole pipeline
+                    assert data.decode() == truth[stem]["caption"]
+                    n_seen += 1
+    assert n_seen == 40
+    images.unpersist()
+
+
+def test_write_webdataset_rejects_plan_payload_mismatch(spark, tmp_path):
+    from crawl4ai_spark.operators.export import write_webdataset
+
+    rows = [("k1", 100, 10), ("k2", 200, 20)]
+    sized = spark.createDataFrame(
+        rows, "image_id string, img_size long, txt_size long")
+    plan = webdataset_plan(sized, shard_bytes=65_536, seed=3)
+    # payload bytes disagree with the planned sizes -> offsets drift -> loud
+    bad = plan.withColumn("img_bytes", F.lit(b"\x00" * 9999)).withColumn(
+        "txt_bytes", F.lit(b"t"))
+    with pytest.raises(Exception):
+        write_webdataset(bad, str(tmp_path / "bad")).collect()
