@@ -1031,6 +1031,27 @@ def image_export_bench(spark, n_images: int = 20_000,
     out["wds_sec"] = round(time.time() - t0, 3)
     out["wds_shards"] = int(n_shards)
 
+    import shutil
+    import tempfile
+
+    from crawl4ai_spark.operators.export import write_webdataset
+
+    wdir = tempfile.mkdtemp(prefix="wds_bench_")
+    try:
+        payload = plan.join(
+            images.select("image_id", F.col("bytes").alias("img_bytes"),
+                          F.encode("caption", "UTF-8").alias("txt_bytes")),
+            "image_id")
+        t0 = time.time()
+        m = write_webdataset(payload, wdir).agg(
+            F.sum("archive_bytes").alias("b")).collect()[0]
+        secs = time.time() - t0
+        out["wds_write_sec"] = round(secs, 3)
+        out["wds_write_mb_per_sec"] = round(
+            int(m["b"]) / 1e6 / max(secs, 1e-9), 1)
+    finally:
+        shutil.rmtree(wdir, ignore_errors=True)
+
     n_parts = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     img = F.array(*[
         ((F.col("id") * (c + 3) + 7 * c * c) % 41 - 20).cast("int")
@@ -1052,7 +1073,8 @@ def image_export_bench(spark, n_images: int = 20_000,
     out["clip_pairs_per_sec"] = round(n_pairs / max(secs, 1e-9), 1)
 
     out["sec"] = round(out["sniff_sec"] + out["dct_phash_sec"]
-                       + out["wds_sec"] + out["clip_sec"], 3)
+                       + out["wds_sec"] + out["wds_write_sec"]
+                       + out["clip_sec"], 3)
     return out
 
 
