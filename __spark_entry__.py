@@ -1788,6 +1788,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["sitemap_entries"] = q_sitemap_entries
 
+    def q_sitemap_images(spark, sf):
+        # Google image-sitemap extension (sitemap-image/1.1): <image:image>
+        # blocks under urlset leaves — the seeding surface an IMAGE crawl
+        # starts from.  Each doc's sitemap carries doc_id%3 image blocks
+        # (title only on the first); the oracle re-derives the expected
+        # image rows arithmetically from doc_id (parser never consulted).
+        from crawl4ai_spark.sources.sitemap import sitemap_entries_stage
+
+        d = F.col("doc_id")
+        ds = d.cast("string")
+
+        def img_block(j):
+            block = F.concat(
+                F.lit("<image:image><image:loc>https://img"), ds,
+                F.lit(f".test/i{j}.jpg</image:loc><image:caption>cap "),
+                ds, F.lit(f" {j}</image:caption>"),
+                F.lit(f"<image:title>t{j}</image:title>" if j == 0 else ""),
+                F.lit("</image:image>"),
+            )
+            return F.when(d % 3 > j, block).otherwise(F.lit(""))
+
+        xml = F.concat(
+            F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9" '
+                  'xmlns:image="http://www.google.com/schemas/sitemap-image/1.1">'
+                  "<url><loc>https://s"), ds, F.lit(".test/a</loc>"),
+            img_block(0), img_block(1),
+            F.lit("</url></urlset>"),
+        )
+        docs = _t(spark, sf, "documents")
+        src = docs.select(
+            F.concat(F.lit("https://s"), ds,
+                     F.lit(".test/sitemap.xml")).alias("sitemap_url"),
+            xml.alias("xml"),
+        )
+        return sitemap_entries_stage(src).filter(
+            F.col("kind") == "image"
+        ).select("sitemap_url", "loc", "caption", "title", "parent_loc")
+    q["sitemap_images"] = q_sitemap_images
+
     def q_robots_sitemaps(spark, sf):
         # Sitemap: directive discovery from per-host robots rules
         from crawl4ai_spark.sources.sitemap import robots_sitemaps_stage
@@ -3625,6 +3664,20 @@ def oracle_sql() -> dict[str, str]:
         FROM k
     """
 
+    o["sitemap_images"] = """
+        WITH js AS (SELECT * FROM (VALUES (0), (1)) t(j))
+        SELECT 'https://s' || CAST(doc_id AS VARCHAR) || '.test/sitemap.xml'
+                 AS sitemap_url,
+               'https://img' || CAST(doc_id AS VARCHAR) || '.test/i'
+                 || CAST(j AS VARCHAR) || '.jpg' AS loc,
+               'cap ' || CAST(doc_id AS VARCHAR) || ' ' || CAST(j AS VARCHAR)
+                 AS caption,
+               CASE WHEN j = 0 THEN 't0' ELSE NULL END AS title,
+               'https://s' || CAST(doc_id AS VARCHAR) || '.test/a'
+                 AS parent_loc
+        FROM documents, js
+        WHERE doc_id % 3 > j
+    """
     o["sitemap_entries"] = """
         WITH base AS (
           SELECT doc_id,

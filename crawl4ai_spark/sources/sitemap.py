@@ -32,32 +32,53 @@ from pyspark.sql import DataFrame
 
 SITEMAP_NS = "{http://www.sitemaps.org/schemas/sitemap/0.9}"
 
-ENTRY_FIELDS = ("kind", "loc", "lastmod", "changefreq", "priority", "error")
+ENTRY_FIELDS = ("kind", "loc", "lastmod", "changefreq", "priority",
+                "caption", "title", "parent_loc", "error")
 
 
 def parse_sitemap(xml_text: str) -> list[dict]:
     """One sitemap document → entry dicts.  ``kind`` is 'url' for urlset
     leaves, 'sitemap' for index children (callers enqueue those for
-    another fetch round).  Namespaced and namespace-less documents both
-    parse (real-world sitemaps frequently omit the xmlns)."""
+    another fetch round), and 'image' for Google image-sitemap extension
+    blocks (``<image:image>`` with loc/caption/title — the sitemap
+    surface an image crawl seeds from; Google's sitemap-image/1.1
+    schema).  Image rows follow their parent url row in document order
+    and carry ``parent_loc``; namespaced and namespace-less documents
+    both parse (real-world sitemaps frequently omit the xmlns)."""
     root = ET.fromstring(xml_text)
 
     def strip(tag: str) -> str:
         return tag.rsplit("}", 1)[-1]
+
+    def blank(kind: str) -> dict:
+        return {"kind": kind, "loc": None, "lastmod": None,
+                "changefreq": None, "priority": None, "caption": None,
+                "title": None, "parent_loc": None, "error": None}
 
     kind = "url" if strip(root.tag) == "urlset" else "sitemap"
     out: list[dict] = []
     for child in root:
         if strip(child.tag) not in ("url", "sitemap"):
             continue
-        row = {"kind": kind, "loc": None, "lastmod": None,
-               "changefreq": None, "priority": None, "error": None}
+        row = blank(kind)
+        images: list[dict] = []
         for f in child:
             name = strip(f.tag)
             if name in ("loc", "lastmod", "changefreq", "priority"):
                 row[name] = (f.text or "").strip() or None
+            elif name == "image" and kind == "url":
+                img = blank("image")
+                for g in f:
+                    gname = strip(g.tag)
+                    if gname in ("loc", "caption", "title"):
+                        img[gname] = (g.text or "").strip() or None
+                if img["loc"]:
+                    images.append(img)
         if row["loc"]:
             out.append(row)
+            for img in images:
+                img["parent_loc"] = row["loc"]
+                out.append(img)
     return out
 
 
@@ -80,7 +101,8 @@ def sitemap_entries_stage(docs: DataFrame, xml_col: str = "xml",
                     rows.append({
                         "sitemap_url": src, "kind": None, "loc": None,
                         "lastmod": None, "changefreq": None,
-                        "priority": None, "error": str(ex)[:200],
+                        "priority": None, "caption": None, "title": None,
+                        "parent_loc": None, "error": str(ex)[:200],
                     })
             yield pd.DataFrame(
                 rows, columns=["sitemap_url", *ENTRY_FIELDS])
@@ -88,7 +110,8 @@ def sitemap_entries_stage(docs: DataFrame, xml_col: str = "xml",
     return docs.select(url_col, xml_col).mapInPandas(
         run,
         "sitemap_url string, kind string, loc string, lastmod string, "
-        "changefreq string, priority string, error string",
+        "changefreq string, priority string, caption string, title string, "
+        "parent_loc string, error string",
     )
 
 

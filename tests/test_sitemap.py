@@ -24,7 +24,8 @@ def test_parse_sitemap_pure():
     assert len(got) == 2  # loc-less entry dropped
     assert got[0] == {"kind": "url", "loc": "https://a.test/p1",
                       "lastmod": "2024-01-02", "changefreq": "daily",
-                      "priority": "0.8", "error": None}
+                      "priority": "0.8", "caption": None, "title": None,
+                      "parent_loc": None, "error": None}
     assert got[1]["loc"] == "https://a.test/p2" and got[1]["lastmod"] is None
 
     idx = parse_sitemap(INDEX)
@@ -33,6 +34,33 @@ def test_parse_sitemap_pure():
 
     # namespace-less documents parse too
     assert parse_sitemap(BARE)[0]["loc"] == "https://b.test/x"
+
+
+def test_parse_sitemap_image_extension():
+    from crawl4ai_spark.sources.sitemap import parse_sitemap
+
+    xml = """<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"
+        xmlns:image="http://www.google.com/schemas/sitemap-image/1.1">
+      <url><loc>https://a.test/p1</loc>
+        <image:image><image:loc>https://a.test/i1.jpg</image:loc>
+          <image:caption>first cap</image:caption>
+          <image:title>t1</image:title></image:image>
+        <image:image><image:loc>https://a.test/i2.jpg</image:loc></image:image>
+        <image:image><image:caption>loc-less, dropped</image:caption></image:image>
+      </url>
+      <url><loc>https://a.test/p2</loc></url>
+    </urlset>"""
+    got = parse_sitemap(xml)
+    kinds = [e["kind"] for e in got]
+    assert kinds == ["url", "image", "image", "url"]
+    assert got[1]["loc"] == "https://a.test/i1.jpg"
+    assert got[1]["caption"] == "first cap" and got[1]["title"] == "t1"
+    assert got[1]["parent_loc"] == "https://a.test/p1"
+    assert got[2]["loc"] == "https://a.test/i2.jpg"
+    assert got[2]["caption"] is None
+    # image blocks never attach to index children
+    from crawl4ai_spark.sources.sitemap import parse_sitemap as _p
+    assert all(e["kind"] != "image" for e in _p(INDEX))
 
 
 def test_sitemap_entries_stage_error_isolation(spark):
