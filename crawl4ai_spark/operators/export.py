@@ -84,6 +84,14 @@ def webdataset_plan(
     Exactly ONE corpus shuffle (the bucketed cumsum) plus one partial-agg
     groupBy over its output for the per-shard base (broadcast back —
     #shards rows).  Everything else is codegen integer arithmetic.
+
+    Cost note: the base aggregate and the output projection both consume
+    the cumsum fold, so the per-bucket Arrow sort+cumsum executes twice
+    over the SAME checkpointed, already-shuffled input (Spark's
+    ReuseExchange dedups the exchange; only the cheap post-shuffle fold
+    repeats) — measured cheaper than a second corpus-sized checkpoint of
+    the fold output, the same tradeoff ``dist.hex_bucketed_cumsum``
+    documents for its totals pass.
     """
     if shard_bytes <= 0:
         raise ValueError("shard_bytes must be positive")
