@@ -1198,6 +1198,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "off_img", "off_txt")
     q["webdataset_plan"] = q_webdataset_plan
 
+    def q_webdataset_roundtrip(spark, sf):
+        # END-TO-END export integrity: plan -> write real tar shards to a
+        # temp dir -> re-ingest with the from-scratch USTAR reader
+        # (sources/webdataset.py) -> per-sample digest.  The oracle derives
+        # the SAME digest straight from the raw input parquet, so a green
+        # row proves the whole write->read cycle is byte-exact — the
+        # north-rule caption invariant carried through the delivered
+        # archives and back out again
+        import tempfile
+
+        from crawl4ai_spark.operators.export import (webdataset_plan,
+                                                     write_webdataset)
+        from crawl4ai_spark.sources.webdataset import read_webdataset
+
+        oracle_expected.ensure_images_input(n_pages=280)
+        p = _graph(n_pages=280)
+        _, _, images = synth.synth_tables(spark, p)
+        sized = images.select(
+            "image_id",
+            F.length("bytes").cast("long").alias("img_size"),
+            F.length("caption").cast("long").alias("txt_size"))
+        plan = webdataset_plan(sized, shard_bytes=262_144, seed=5)
+        payload = plan.join(
+            images.select(
+                "image_id", F.col("bytes").alias("img_bytes"),
+                F.encode("caption", "UTF-8").alias("txt_bytes")),
+            "image_id")
+        outdir = tempfile.mkdtemp(prefix="wds_rt_")
+        write_webdataset(payload, outdir).collect()
+        back = read_webdataset(spark, outdir)
+        return back.select(
+            F.col("key").alias("image_id"),
+            F.md5(F.hex("img")).alias("img_md5"),
+            F.length("img").cast("long").alias("img_len"),
+            F.col("txt").cast("string").alias("caption"))
+    q["webdataset_roundtrip"] = q_webdataset_roundtrip
+
     def q_clip_filter(spark, sf):
         # LAION-style image-text alignment gate over QUANTIZED integer
         # embedding pairs derived from doc_id (dim 8; aligned rows iff
@@ -3045,6 +3082,12 @@ def oracle_sql() -> dict[str, str]:
                CAST(cb - base + mb_img AS BIGINT) AS off_txt
         FROM b
     """
+    o["webdataset_roundtrip"] = f"""
+        SELECT image_id, md5(hex(bytes)) AS img_md5,
+               CAST(octet_length(bytes) AS BIGINT) AS img_len, caption
+        FROM read_parquet('{_exp('images_input')}')
+    """
+
     _clip_img = [
         f"(doc_id * {c + 3} + {7 * c * c} + doc_id % 13) % 41 - 20"
         for c in range(8)

@@ -1049,6 +1049,19 @@ def image_export_bench(spark, n_images: int = 20_000,
         out["wds_write_sec"] = round(secs, 3)
         out["wds_write_mb_per_sec"] = round(
             int(m["b"]) / 1e6 / max(secs, 1e-9), 1)
+
+        from crawl4ai_spark.sources.webdataset import read_webdataset
+
+        t0 = time.time()
+        r = read_webdataset(spark, wdir).agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("img") + F.length("txt")).alias("b"),
+        ).collect()[0]
+        secs = time.time() - t0
+        assert int(r["n"]) == n_images, (r["n"], n_images)
+        out["wds_read_sec"] = round(secs, 3)
+        out["wds_read_mb_per_sec"] = round(
+            int(r["b"]) / 1e6 / max(secs, 1e-9), 1)
     finally:
         shutil.rmtree(wdir, ignore_errors=True)
 
@@ -1074,7 +1087,7 @@ def image_export_bench(spark, n_images: int = 20_000,
 
     out["sec"] = round(out["sniff_sec"] + out["dct_phash_sec"]
                        + out["wds_sec"] + out["wds_write_sec"]
-                       + out["clip_sec"], 3)
+                       + out["wds_read_sec"] + out["clip_sec"], 3)
     return out
 
 

@@ -340,3 +340,121 @@ def test_write_webdataset_rejects_plan_payload_mismatch(spark, tmp_path):
         "txt_bytes", F.lit(b"t"))
     with pytest.raises(Exception):
         write_webdataset(bad, str(tmp_path / "bad")).collect()
+
+
+# ---------------------------------------------------------- read_webdataset
+
+def _write_fixture_shards(spark, tmp_path, n_pages=40, shard_bytes=65_536):
+    from crawl4ai_spark.operators.export import write_webdataset
+
+    p = synth.GraphParams(n_pages=n_pages)
+    _, _, images = synth.synth_tables(spark, p)
+    images = images.cache()
+    sized = images.select(
+        "image_id",
+        F.length("bytes").cast("long").alias("img_size"),
+        F.length("caption").cast("long").alias("txt_size"))
+    plan = webdataset_plan(sized, shard_bytes=shard_bytes, seed=3)
+    payload = plan.join(
+        images.select(
+            "image_id", F.col("bytes").alias("img_bytes"),
+            F.encode("caption", "UTF-8").alias("txt_bytes")),
+        "image_id")
+    outdir = str(tmp_path / "wds")
+    write_webdataset(payload, outdir).collect()
+    return images, plan, outdir
+
+
+def test_read_webdataset_roundtrip(spark, tmp_path):
+    from crawl4ai_spark.sources.webdataset import read_webdataset
+
+    images, plan, outdir = _write_fixture_shards(spark, tmp_path)
+    # stray non-tar file is pruned by the default pathGlobFilter
+    with open(outdir + "/_manifest.json", "w") as fh:
+        fh.write("{}")
+    back = read_webdataset(spark, outdir).collect()
+    assert all(r["error"] is None for r in back)
+    got = {r["key"]: r for r in back}
+    truth = {r["image_id"]: r for r in images.collect()}
+    offs = {r["image_id"]: r["sample_off"] for r in plan.collect()}
+    assert set(got) == set(truth)
+    for k, r in got.items():
+        assert bytes(r["img"]) == bytes(truth[k]["bytes"])
+        assert bytes(r["txt"]).decode() == truth[k]["caption"]
+        # reader's observed offset == planner's planned offset (lineage)
+        assert r["sample_off"] == offs[k]
+    images.unpersist()
+
+
+def test_read_webdataset_foreign_writer(spark, tmp_path):
+    """Interop: archives produced by stdlib tarfile (USTAR format, real
+    mtimes/uids, extra sidecar + directory members) parse correctly."""
+    import io
+    import tarfile
+
+    path = str(tmp_path / "foreign.tar")
+    samples = {f"s{i:03d}": (bytes([i]) * (100 + i), f"caption {i}".encode())
+               for i in range(7)}
+    with tarfile.open(path, "w", format=tarfile.USTAR_FORMAT) as tf:
+        d = tarfile.TarInfo("adir"); d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+        for k, (img, txt) in samples.items():
+            for ext, data in (("img", img), ("json", b"{}"), ("txt", txt)):
+                ti = tarfile.TarInfo(f"{k}.{ext}")
+                ti.size = len(data)
+                ti.mtime = 1_700_000_000
+                ti.uid = ti.gid = 1000
+                tf.addfile(ti, io.BytesIO(data))
+
+    from crawl4ai_spark.sources.webdataset import read_webdataset
+
+    rows = read_webdataset(spark, path).collect()
+    assert all(r["error"] is None for r in rows)
+    got = {r["key"]: r for r in rows}
+    assert set(got) == set(samples)          # directory member ignored
+    for k, (img, txt) in samples.items():
+        assert bytes(got[k]["img"]) == img
+        assert bytes(got[k]["txt"]) == txt   # .json sidecar ignored
+
+
+def test_read_webdataset_corrupt_shard_isolated(spark, tmp_path):
+    import glob
+    import os
+
+    from crawl4ai_spark.sources.webdataset import read_webdataset
+
+    images, _, outdir = _write_fixture_shards(spark, tmp_path)
+    n_total = images.count()
+    images.unpersist()
+    tars = sorted(glob.glob(outdir + "/*.tar"))
+    assert len(tars) >= 2
+    # flip a byte inside the first member's size field of one shard
+    with open(tars[0], "r+b") as fh:
+        fh.seek(125)
+        fh.write(b"zz")
+    rows = read_webdataset(spark, outdir + "/*.tar").collect()
+    bad = [r for r in rows if r["error"] is not None]
+    ok = [r for r in rows if r["error"] is None]
+    assert len(bad) == 1 and os.path.basename(tars[0]) in bad[0]["shard_path"]
+    # every sample from the healthy shards still lands
+    healthy_names = {os.path.basename(t) for t in tars[1:]}
+    assert {os.path.basename(r["shard_path"]) for r in ok} == healthy_names
+    assert 0 < len(ok) < n_total
+
+
+def test_parse_tar_members_rejects_truncation_and_bad_checksum():
+    from crawl4ai_spark.operators.export import tar_member
+    from crawl4ai_spark.sources.webdataset import parse_tar_members
+
+    member = tar_member("k.img", b"x" * 700)
+    # truncated payload
+    with pytest.raises(ValueError, match="truncated"):
+        list(parse_tar_members(member[:600]))
+    # corrupted checksum field
+    bad = bytearray(member + b"\x00" * 1024)
+    bad[148] = ord("7") if bad[148] != ord("7") else ord("5")
+    with pytest.raises(ValueError, match="checksum"):
+        list(parse_tar_members(bytes(bad)))
+    # verify_checksums=False tolerates it (salvage mode)
+    got = list(parse_tar_members(bytes(bad), verify_checksums=False))
+    assert got[0][0] == "k.img" and got[0][2] == b"x" * 700
