@@ -156,6 +156,10 @@ _BLOCKLIST_ROWS = [
 ]
 _MIX_WEIGHTS = {"en": 5, "fr": 2, "es": 2, "de": 1}
 _MIX_BUDGET = 40_000  # chars of corpus budget split 5:2:2:1
+
+# fixed integer "aesthetic direction" shared by the aesthetic_gate probe
+# and its DuckDB oracle (a stand-in for a quantized linear-probe export)
+_AESTHETIC_W = (5, -3, 2, 7, -1, 4, -6, 2)
 # proxy pool for the fleet_identity probe (round-robin over push seq)
 _PROXY_POOL = [
     "http://proxy-a:8080", "http://proxy-b:8080",
@@ -1264,6 +1268,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return clip_alignment_gate(pairs, tau2_num=49, tau2_den=100).select(
             "doc_id", "dot", "na2", "nb2", "cos2_bp", "keep")
     q["clip_filter"] = q_clip_filter
+
+    def q_aesthetic_gate(spark, sf):
+        # LAION-Aesthetics-style predictor gate (the second standard
+        # DataComp screen beside clip_filter): cosine of the quantized
+        # image embedding against a FIXED integer aesthetic direction,
+        # keep iff cos >= tau — exact integer cross-multiplication, the
+        # weight vector a plan-time literal (no broadcast, zero shuffle).
+        # DuckDB re-derives the decision as explicit 8-term HUGEINT sums
+        from crawl4ai_spark.operators.similarity import aesthetic_gate
+
+        docs = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"))
+        img = F.array(*[
+            ((F.col("doc_id") * (c + 3) + 7 * c * c + F.col("doc_id") % 13)
+             % 41 - 20).cast("int")
+            for c in range(8)
+        ])
+        emb = docs.withColumn("img_vec", img)
+        return aesthetic_gate(
+            emb, weights=_AESTHETIC_W, tau2_num=1, tau2_den=10,
+        ).select("doc_id", "aest_dot", "ne2", "aest_bp", "aest_keep")
+    q["aesthetic_gate"] = q_aesthetic_gate
 
     def q_dct_phash(spark, sf):
         # DCT perceptual hash computed from the decoded PIXELS (the
@@ -3124,6 +3150,31 @@ def oracle_sql() -> dict[str, str]:
                >= 49 * (CAST(na2 AS HUGEINT) * nb2)) AS keep
         FROM d
     """
+    _aw2 = sum(w * w for w in _AESTHETIC_W)
+    o["aesthetic_gate"] = f"""
+        WITH v AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 {', '.join(f'CAST({e} AS BIGINT) AS i{c}' for c, e in enumerate(_clip_img))}
+          FROM documents
+        ), d AS (
+          SELECT doc_id,
+            {' + '.join(f'({w}) * i{c}' for c, w in enumerate(_AESTHETIC_W))} AS dot,
+            {' + '.join(f'i{c} * i{c}' for c in range(8))} AS ne2
+          FROM v
+        )
+        SELECT doc_id, CAST(dot AS BIGINT) AS aest_dot,
+               CAST(ne2 AS BIGINT) AS ne2,
+          CASE WHEN ne2 > 0 THEN CAST(
+            (CASE WHEN dot >= 0 THEN 1 ELSE -1 END)
+            * ((CAST(dot AS HUGEINT) * dot * 10000)
+               // (CAST({_aw2} AS HUGEINT) * ne2)) AS BIGINT)
+          ELSE NULL END AS aest_bp,
+          (ne2 > 0 AND dot > 0
+           AND CAST(dot AS HUGEINT) * dot * 10
+               >= 1 * (CAST({_aw2} AS HUGEINT) * ne2)) AS aest_keep
+        FROM d
+    """
+
     o["dct_phash"] = (
         f"SELECT image_id, dct_phash FROM read_parquet('{_exp('dct_phash')}')"
     )

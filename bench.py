@@ -1085,9 +1085,22 @@ def image_export_bench(spark, n_images: int = 20_000,
     out["clip_kept"] = int(kept)
     out["clip_pairs_per_sec"] = round(n_pairs / max(secs, 1e-9), 1)
 
+    from crawl4ai_spark.operators.similarity import aesthetic_gate
+
+    t0 = time.time()
+    kept = aesthetic_gate(
+        pairs, weights=(5, -3, 2, 7, -1, 4, -6, 2, 3, -2, 1, 6, -4, 2, -1, 3),
+        tau2_num=1, tau2_den=10,
+    ).agg(F.sum(F.col("aest_keep").cast("long")).alias("k")).collect()[0]["k"]
+    secs = time.time() - t0
+    out["aest_sec"] = round(secs, 3)
+    out["aest_kept"] = int(kept)
+    out["aest_imgs_per_sec"] = round(n_pairs / max(secs, 1e-9), 1)
+
     out["sec"] = round(out["sniff_sec"] + out["dct_phash_sec"]
                        + out["wds_sec"] + out["wds_write_sec"]
-                       + out["wds_read_sec"] + out["clip_sec"], 3)
+                       + out["wds_read_sec"] + out["clip_sec"]
+                       + out["aest_sec"], 3)
     return out
 
 

@@ -494,3 +494,64 @@ def clip_alignment_gate(pairs: DataFrame, img_col: str = "img_vec",
     # them (and leave cos2_bp NULL) rather than emitting three-valued logic
     return out.withColumn("cos2_bp", cos2_bp).withColumn(
         "keep", F.coalesce(keep, F.lit(False)))
+
+
+def aesthetic_gate(images: DataFrame, emb_col: str = "img_vec",
+                   weights: tuple[int, ...] = (),
+                   tau2_num: int = 25, tau2_den: int = 100) -> DataFrame:
+    """LAION-Aesthetics-style predictor gate — the second standard DataComp
+    image screen beside ``clip_alignment_gate``: score each image by its
+    quantized CLIP embedding against a fixed integer "aesthetic direction"
+    and keep the high scorers (LAION-Aesthetics kept predictor score >=
+    4.5; DataComp sweeps the same knob).  Real predictors are a small MLP
+    over the L2-normalized embedding whose decision layer is linear; a
+    rank-1 integer probe is the exactness-friendly stand-in this sandbox
+    can verify bit-identically — swap ``weights`` for the exported,
+    quantized final-layer weights in production.
+
+    Exactness contract (same as ``clip_alignment_gate``): the embedding is
+    an integer array, ``weights`` an integer tuple of the same dimension,
+    and the keep decision ``cos(w, e) >= tau`` is evaluated as pure
+    integer cross-multiplication in DECIMAL(38,0) — ``dot > 0 AND
+    dot^2 * tau2_den >= tau2_num * |w|^2 * |e|^2`` — bit-identical on any
+    engine/partitioning.
+
+    Scale shape: ``weights`` is a Catalyst array LITERAL and ``|w|^2`` a
+    Python int folded at plan time — no broadcast join, no shuffle, pure
+    codegen over the image table; runs right after the curation gate,
+    before the dedup tiers.  Adds ``aest_dot``, ``ne2``, ``aest_bp``
+    (signed basis points of cos^2 against the aesthetic direction — an
+    exact integer score, monotone in the predictor output) and
+    ``aest_keep``; zero-norm embeddings never pass.
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty integer tuple")
+    nw2 = sum(int(w) * int(w) for w in weights)
+    if nw2 == 0:
+        raise ValueError("weights must not be the zero vector")
+
+    def _long_sum(prod_col):
+        return F.aggregate(prod_col, F.lit(0).cast("long"), lambda a, x: a + x)
+
+    emb = F.col(emb_col)
+    warr = F.array(*[F.lit(int(w)).cast("long") for w in weights])
+    dot = _long_sum(F.zip_with(warr, emb, lambda w, x: w * x.cast("long")))
+    ne2 = _long_sum(F.transform(emb, lambda x: x.cast("long") * x))
+    out = images.withColumn("aest_dot", dot).withColumn("ne2", ne2)
+    d = F.col("aest_dot").cast("decimal(38,0)")
+    nn = (F.lit(nw2).cast("decimal(38,0)")
+          * F.col("ne2").cast("decimal(38,0)"))
+    nonzero = F.col("ne2") > 0
+    keep = nonzero & (F.col("aest_dot") > 0) & (
+        d * d * F.lit(int(tau2_den)).cast("decimal(38,0)")
+        >= F.lit(int(tau2_num)).cast("decimal(38,0)") * nn
+    )
+    bp_mag = F.expr(
+        f"CAST(aest_dot AS DECIMAL(38,0)) * aest_dot * 10000"
+        f" DIV (CAST({nw2} AS DECIMAL(38,0)) * ne2)"
+    )
+    aest_bp = F.when(
+        nonzero, F.signum(F.col("aest_dot")).cast("long") * bp_mag
+    ).cast("long")
+    return out.withColumn("aest_bp", aest_bp).withColumn(
+        "aest_keep", F.coalesce(keep, F.lit(False)))

@@ -458,3 +458,55 @@ def test_parse_tar_members_rejects_truncation_and_bad_checksum():
     # verify_checksums=False tolerates it (salvage mode)
     got = list(parse_tar_members(bytes(bad), verify_checksums=False))
     assert got[0][0] == "k.img" and got[0][2] == b"x" * 700
+
+
+# ------------------------------------------------------------ aesthetic_gate
+
+def _emb_df(spark, rows):
+    from pyspark.sql import Row
+    return spark.createDataFrame(
+        [Row(id=i, img_vec=v) for i, v in rows],
+        "id long, img_vec array<int>")
+
+
+def test_aesthetic_gate_exact_decisions(spark):
+    from crawl4ai_spark.operators.similarity import aesthetic_gate
+
+    w = (3, 4)
+    rows = [
+        (1, [3, 4]),     # parallel to w -> cos = 1, keep
+        (2, [-3, -4]),   # anti-parallel -> dot < 0, never keep
+        (3, [4, -3]),    # orthogonal -> dot = 0, never keep
+        (4, [0, 0]),     # zero norm -> never keep, NULL score
+        (5, None),       # NULL embedding -> never keep
+    ]
+    got = {r["id"]: r for r in aesthetic_gate(
+        _emb_df(spark, rows), weights=w, tau2_num=1, tau2_den=2).collect()}
+    assert got[1]["aest_keep"] and got[1]["aest_bp"] == 10_000
+    assert not got[2]["aest_keep"] and got[2]["aest_bp"] == -10_000
+    assert not got[3]["aest_keep"] and got[3]["aest_bp"] == 0
+    assert not got[4]["aest_keep"] and got[4]["aest_bp"] is None
+    assert not got[5]["aest_keep"] and got[5]["aest_bp"] is None
+
+
+def test_aesthetic_gate_boundary_is_exact(spark):
+    from crawl4ai_spark.operators.similarity import aesthetic_gate
+
+    # w=(1,0), e=(1,1): cos^2 = 1/2 exactly -> keep at tau^2 = 1/2 (>=)
+    on = _emb_df(spark, [(1, [1, 1])])
+    r = aesthetic_gate(on, weights=(1, 0), tau2_num=1, tau2_den=2).collect()[0]
+    assert r["aest_keep"] and r["aest_bp"] == 5_000
+    # one integer unit past the boundary flips it: e=(1000, 1001)
+    off = _emb_df(spark, [(1, [1000, 1001])])
+    r = aesthetic_gate(off, weights=(1, 0), tau2_num=1, tau2_den=2).collect()[0]
+    assert not r["aest_keep"]
+
+
+def test_aesthetic_gate_rejects_bad_weights(spark):
+    from crawl4ai_spark.operators.similarity import aesthetic_gate
+
+    df = _emb_df(spark, [(1, [1, 2])])
+    with pytest.raises(ValueError):
+        aesthetic_gate(df, weights=())
+    with pytest.raises(ValueError):
+        aesthetic_gate(df, weights=(0, 0))
