@@ -545,6 +545,43 @@ def main() -> None:
         sections[-1] = (sections[-1][0] + " — FAIL: unexpected shuffle",
                         dp_plan, sections[-1][2])
 
+    # 37. aesthetic gate: plan-time weight literal, zero Exchange, no join
+    from crawl4ai_spark.operators.similarity import aesthetic_gate
+
+    ag_plan = plan_of(aesthetic_gate(
+        cg_pairs.select("id", "img_vec"),
+        weights=(5, -3, 2, 7, -1, 4, -6, 2)))
+    sections.append((
+        "Aesthetic-score gate (weight vector folded as a plan literal — "
+        "no broadcast join, no shuffle, pure integer projections)",
+        ag_plan, ["aggregate(zip_with"],
+    ))
+    for bad in ("Exchange", "Join"):
+        if bad in ag_plan:
+            sections[-1] = (sections[-1][0] + f" — FAIL: unexpected {bad}",
+                            ag_plan, sections[-1][2])
+
+    # 38. WebDataset reader: binaryFile scan (one row per shard) → ONE
+    # Arrow parse stage, zero Exchange
+    import tempfile
+
+    from crawl4ai_spark.operators.export import tar_member
+    from crawl4ai_spark.sources.webdataset import read_webdataset
+
+    rd_dir = tempfile.mkdtemp(prefix="plans_wds_")
+    with open(os.path.join(rd_dir, "shard-000000.tar"), "wb") as fh:
+        fh.write(tar_member("k0.img", b"x" * 700)
+                 + tar_member("k0.txt", b"cap") + b"\x00" * 10240)
+    rd_plan = plan_of(read_webdataset(spark, rd_dir))
+    sections.append((
+        "WebDataset tar reader (per-shard binaryFile rows → one Arrow "
+        "USTAR parse stage)",
+        rd_plan, ["MapInPandas", "binaryFile"],
+    ))
+    if "Exchange" in rd_plan:
+        sections[-1] = (sections[-1][0] + " — FAIL: unexpected shuffle",
+                        rd_plan, sections[-1][2])
+
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)\n"]
     out.append(
         "Generated by tools/explain_audit.py. Verdict lines check the "
