@@ -1743,6 +1743,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["corpus_stats"] = q_corpus_stats
 
+    def q_image_corpus_stats(spark, sf):
+        # dataset-card rollup for the IMAGE corpus: per-fmt + grand-total
+        # image/byte/pixel counts, distinct-pHash headroom, caption-length
+        # stats; oracle re-derives with GROUP BY ROLLUP over the raw
+        # images_input parquet
+        from crawl4ai_spark.operators.multimodal import image_corpus_stats
+
+        oracle_expected.ensure_images_input(n_pages=280)
+        p = _graph(n_pages=280)
+        _, _, images = synth.synth_tables(spark, p)
+        return image_corpus_stats(images).select(
+            "fmt", F.col("n_images").cast("long").alias("n_images"),
+            "n_bytes", "n_pixels", "min_pixels", "max_pixels",
+            "n_distinct_phash", "caption_chars", "mean_caption_chars")
+    q["image_corpus_stats"] = q_image_corpus_stats
+
     def q_dsir_resample(spark, sf):
         # the resampling half of DSIR (Xie et al. 2023 §3): Gumbel-top-k
         # draw ∝ exp(llr) over the dsir_weights output; race keys rounded
@@ -2963,6 +2979,21 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT phash) AS n_phash
         FROM read_parquet('{_exp('images_input')}')
         GROUP BY 1
+    """
+    o["image_corpus_stats"] = f"""
+        SELECT coalesce(fmt, '*') AS fmt,
+               count(*) AS n_images,
+               CAST(sum(octet_length(bytes)) AS BIGINT) AS n_bytes,
+               CAST(sum(CAST(w AS BIGINT) * h) AS BIGINT) AS n_pixels,
+               CAST(min(CAST(w AS BIGINT) * h) AS BIGINT) AS min_pixels,
+               CAST(max(CAST(w AS BIGINT) * h) AS BIGINT) AS max_pixels,
+               CAST(count(DISTINCT phash) AS BIGINT) AS n_distinct_phash,
+               CAST(sum(length(coalesce(caption, ''))) AS BIGINT)
+                 AS caption_chars,
+               round(CAST(sum(length(coalesce(caption, ''))) AS DOUBLE)
+                     / count(*), 6) AS mean_caption_chars
+        FROM read_parquet('{_exp('images_input')}')
+        GROUP BY ROLLUP(fmt)
     """
     o["image_joint_neardup"] = f"""
         WITH t AS (

@@ -352,3 +352,47 @@ def crop_plan(images: DataFrame) -> DataFrame:
         .withColumn("crop_x", F.expr("(fit_w - target_w) DIV 2").cast("int"))
         .withColumn("crop_y", F.expr("(fit_h - target_h) DIV 2").cast("int"))
     )
+
+
+def image_corpus_stats(images: DataFrame, fmt_col: str = "fmt") -> DataFrame:
+    """Dataset-card summary for an image+caption corpus — the image twin
+    of ``text.corpus_stats``: per-container-format (plus the ``'*'``
+    grand-total rollup row) image / byte / pixel counts, pixel extremes,
+    distinct-pHash count (the exact-near-dup headroom signal a release
+    manifest publishes) and caption-length stats.
+
+    ONE rollup aggregation; every column except ``mean_caption_chars``
+    (a single division of two exact longs) is exact integer arithmetic,
+    so the card is byte-identical on any engine/partitioning.  The
+    distinct-pHash count is the one genuinely shuffle-bearing statistic
+    (exact COUNT(DISTINCT) repartitions by (fmt, phash) before the final
+    fold — the standard two-phase distinct; at corpus scale this is the
+    release job's single full shuffle and it is the point of the job).
+    """
+    base = images.select(
+        F.coalesce(F.col(fmt_col), F.lit("?")).alias("fmt"),
+        F.length("bytes").cast("long").alias("nb"),
+        (F.col("w").cast("long") * F.col("h")).alias("px"),
+        F.col("phash"),
+        F.length(F.coalesce(F.col("caption"), F.lit(""))).cast("long")
+         .alias("cc"),
+    )
+    return (
+        base.rollup("fmt")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("nb").cast("long").alias("n_bytes"),
+            F.sum("px").cast("long").alias("n_pixels"),
+            F.min("px").cast("long").alias("min_pixels"),
+            F.max("px").cast("long").alias("max_pixels"),
+            F.countDistinct("phash").cast("long").alias("n_distinct_phash"),
+            F.sum("cc").cast("long").alias("caption_chars"),
+        )
+        .select(
+            F.coalesce("fmt", F.lit("*")).alias("fmt"),
+            "n_images", "n_bytes", "n_pixels", "min_pixels", "max_pixels",
+            "n_distinct_phash", "caption_chars",
+            F.round(F.col("caption_chars") / F.col("n_images"), 6)
+             .alias("mean_caption_chars"),
+        )
+    )

@@ -192,3 +192,27 @@ def test_crop_plan_hand_cases(spark):
         | (F.col("crop_y") + F.col("target_h") > F.col("fit_h"))
     ).count()
     assert chk == 0
+
+
+def test_image_corpus_stats_rollup(spark):
+    from crawl4ai_spark.operators.multimodal import image_corpus_stats
+
+    rows = [
+        ("a", b"12345678", 2, 3, "png", "cap one", 7),
+        ("b", b"123", 4, 5, "png", None, 7),          # NULL caption, dup phash
+        ("c", b"12", 10, 10, "raw", "xy", 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash long")
+    got = {r["fmt"]: r for r in image_corpus_stats(df).collect()}
+    assert set(got) == {"png", "raw", "*"}
+    png = got["png"]
+    assert (png["n_images"], png["n_bytes"], png["n_pixels"]) == (2, 11, 26)
+    assert (png["min_pixels"], png["max_pixels"]) == (6, 20)
+    assert png["n_distinct_phash"] == 1         # dup phash collapses
+    assert png["caption_chars"] == 7            # NULL caption counts 0
+    assert png["mean_caption_chars"] == 3.5
+    tot = got["*"]
+    assert (tot["n_images"], tot["n_distinct_phash"]) == (3, 2)
+    assert tot["n_pixels"] == 126

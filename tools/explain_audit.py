@@ -582,6 +582,17 @@ def main() -> None:
         sections[-1] = (sections[-1][0] + " — FAIL: unexpected shuffle",
                         rd_plan, sections[-1][2])
 
+    # 39. image dataset card: ONE rollup; the exact COUNT(DISTINCT phash)
+    # is the single expected Exchange pair (two-phase distinct)
+    from crawl4ai_spark.operators.multimodal import image_corpus_stats
+
+    ic_plan = plan_of(image_corpus_stats(aud_images))
+    sections.append((
+        "Image corpus stats (rollup card; exact distinct-pHash is the one "
+        "intended shuffle)",
+        ic_plan, ["Expand", "HashAggregate"],
+    ))
+
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)\n"]
     out.append(
         "Generated by tools/explain_audit.py. Verdict lines check the "
