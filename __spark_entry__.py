@@ -71,7 +71,9 @@ from crawl4ai_spark.operators.dedup import (
     dedup_clusters,
     dup_ngram_stats,
     exact_dedup,
+    fingerprint_store,
     image_joint_neardup,
+    incremental_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     phash_pairs,
@@ -90,6 +92,7 @@ from crawl4ai_spark.operators.llm import llm_content_filter_stage, llm_extract_s
 from crawl4ai_spark.operators.pdf import pdf_extract_stage
 from crawl4ai_spark.operators.politeness import apply_host_budget, with_host_slots
 from crawl4ai_spark.operators.similarity import (
+    ann_eval,
     brute_force_topk,
     cosine_col,
     embedding_neardup_pairs,
@@ -262,6 +265,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fingerprint_md5(F.col("text")).alias("fp"),
         )
     q["exact_dedup"] = q_exact_dedup
+
+    def q_incremental_dedup(spark, sf):
+        # daily-increment pattern: classify a new batch against the
+        # released-corpus fingerprint store (store = doc_id%3==0 subset,
+        # batch = the rest; texts bucketed to 37 keys so every status —
+        # new / dup_in_batch / dup_in_store — appears)
+        docs = _t(spark, sf, "documents")
+        keyed = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.concat(F.lit("bucket "),
+                     (F.col("doc_id") % 37).cast("string")).alias("text"))
+        store = fingerprint_store(keyed.filter(F.col("doc_id") % 3 == 0))
+        batch = keyed.filter(F.col("doc_id") % 3 != 0)
+        return incremental_dedup(batch, store).select(
+            "doc_id", "status", "keep", "dup_of")
+    q["incremental_dedup"] = q_incremental_dedup
 
     def q_ngram_jaccard(spark, sf):
         docs = _t(spark, sf, "documents")
@@ -928,6 +947,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("cosine", 4).alias("cosine"), F.col("rank").cast("long"),
         )
     q["ivf_ann"] = q_ivf_ann
+
+    def q_ann_recall(spark, sf):
+        # retrieval scorecard: recall/precision@10 of the LSH tier vs the
+        # exact Catalyst rank; oracle re-derives exact ranks natively and
+        # reads the LSH side from the twin-generated expected parquet
+        qs = np.array([_ANN_QUERY, [-x for x in _ANN_QUERY]])
+        oracle_expected.ensure_lsh_ann_expected(sf, qs, k=10, n_planes=8)
+        emb = _t(spark, sf, "embeddings")
+        approx = lsh_ann_topk(emb, qs, k=10, n_planes=8)
+
+        def exact_for(qid, qvec):
+            w = Window.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+            return (
+                emb.select(F.col("vec_id").cast("long"),
+                           cosine_col(F.col("embedding"), qvec)
+                           .alias("cos_raw"))
+                .withColumn("rank", F.row_number().over(w).cast("long"))
+                .filter(F.col("rank") <= 10)
+                .select(F.lit(qid).cast("long").alias("query_id"),
+                        "vec_id", "rank")
+            )
+
+        exact = exact_for(0, _ANN_QUERY).unionByName(
+            exact_for(1, [-x for x in _ANN_QUERY]))
+        return ann_eval(approx, exact, k=10)
+    q["ann_recall"] = q_ann_recall
 
     def q_embedding_neardup(spark, sf):
         # 4th dedup tier: embeddings ∪ slightly-perturbed copies → SRP-band
@@ -2258,6 +2303,27 @@ def oracle_sql() -> dict[str, str]:
           FROM documents) WHERE rn = 1
     """
 
+    o["incremental_dedup"] = """
+        WITH k AS (SELECT doc_id,
+                          'bucket ' || CAST(doc_id % 37 AS VARCHAR) AS t
+                   FROM documents),
+        s AS (SELECT t, min(doc_id) AS keep_id
+              FROM k WHERE doc_id % 3 = 0 GROUP BY t),
+        b AS (SELECT doc_id, t,
+                     row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn,
+                     min(doc_id) OVER (PARTITION BY t) AS win
+              FROM k WHERE doc_id % 3 <> 0)
+        SELECT b.doc_id,
+               CASE WHEN s.keep_id IS NOT NULL THEN 'dup_in_store'
+                    WHEN rn > 1 THEN 'dup_in_batch'
+                    ELSE 'new' END AS status,
+               (s.keep_id IS NULL AND rn = 1) AS keep,
+               CAST(CASE WHEN s.keep_id IS NOT NULL THEN s.keep_id
+                         WHEN rn > 1 THEN win
+                         ELSE -1 END AS BIGINT) AS dup_of
+        FROM b LEFT JOIN s ON b.t = s.t
+    """
+
     o["ngram_jaccard"] = f"""
         WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
         g AS (SELECT doc_id,
@@ -2927,6 +2993,44 @@ def oracle_sql() -> dict[str, str]:
     o["lsh_ann"] = (
         f"SELECT query_id, vec_id, cosine, rank FROM read_parquet('{_exp('lsh_ann', True)}')"
     )
+    _qlit = "[" + ", ".join(repr(x) for x in _ANN_QUERY) + "]"
+    o["ann_recall"] = f"""
+        WITH scored AS (
+          SELECT vec_id,
+            list_sum(list_transform(range(1, 65),
+                     i -> CAST(embedding[i] AS DOUBLE) * ({_qlit})[i]))
+            / (sqrt(list_sum(list_transform(range(1, 65),
+                     i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+               * {_ANN_QNORM!r}) AS c
+          FROM embeddings),
+        e AS (
+          SELECT 0 AS q, vec_id AS i,
+                 row_number() OVER (ORDER BY c DESC, vec_id) AS rank
+          FROM scored
+          UNION ALL
+          SELECT 1, vec_id, row_number() OVER (ORDER BY -c DESC, vec_id)
+          FROM scored),
+        a AS (SELECT query_id AS q, vec_id AS i
+              FROM read_parquet('{_exp('lsh_ann', True)}') WHERE rank <= 10),
+        ek AS (SELECT q, count(*) AS n_exact FROM e WHERE rank <= 10 GROUP BY q),
+        ak AS (SELECT q, count(*) AS n_approx FROM a GROUP BY q),
+        h AS (SELECT a.q AS q, count(*) AS n_hits
+              FROM a JOIN e ON a.q = e.q AND a.i = e.i AND e.rank <= 10
+              GROUP BY a.q)
+        SELECT coalesce(ek.q, ak.q) AS query_id,
+               CAST(10 AS BIGINT) AS k,
+               CAST(coalesce(n_exact, 0) AS BIGINT) AS n_exact,
+               CAST(coalesce(n_approx, 0) AS BIGINT) AS n_approx,
+               CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+               CAST(CASE WHEN coalesce(n_exact, 0) > 0
+                    THEN (10000 * coalesce(n_hits, 0)) // n_exact
+                    ELSE 0 END AS BIGINT) AS recall_bp,
+               CAST(CASE WHEN coalesce(n_approx, 0) > 0
+                    THEN (10000 * coalesce(n_hits, 0)) // n_approx
+                    ELSE 0 END AS BIGINT) AS precision_bp
+        FROM ek FULL JOIN ak ON ek.q = ak.q
+        LEFT JOIN h ON coalesce(ek.q, ak.q) = h.q
+    """
     o["ivf_ann"] = (
         f"SELECT query_id, vec_id, cosine, rank FROM read_parquet('{_exp('ivf_ann', True)}')"
     )

@@ -665,3 +665,81 @@ def remove_dup_spans(df: DataFrame, text_col: str = "text",
         F.size("toks").cast("long").alias("n_tokens"),
         (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a new crawl batch against the released-corpus store
+# ---------------------------------------------------------------------------
+
+def incremental_dedup(batch: DataFrame, store: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      store_fp_col: str = "fp",
+                      store_id_col: str = "keep_id") -> DataFrame:
+    """Deduplicate a NEW batch against the fingerprint store of everything
+    already released — the production daily-increment pattern: a 100 TB
+    corpus is never re-shuffled when a day's crawl lands; only the batch
+    is fingerprinted and probed against the persisted store
+    (``exact_dedup`` is the full-corpus bootstrap; this is every run
+    after it).
+
+    ``store`` is ``(store_fp_col, store_id_col)`` — one row per released
+    fingerprint with its canonical doc id (what
+    ``updated_fingerprint_store`` persists).  Returns every batch row
+    plus ``fp`` (xxhash64 of the normalized text — same key as
+    ``exact_dedup``), ``status`` ('new' | 'dup_in_batch' |
+    'dup_in_store'; the store wins over a batch twin — the canonical is
+    already released), ``keep`` (status == 'new') and ``dup_of`` (the
+    canonical id, -1 for kept rows).
+
+    Scale shape: fingerprinting is codegen; the within-batch winner
+    window shuffles ONLY the batch on fp; the store probe is one hash
+    join on fp — keep the store bucketed by fp so the probe co-locates
+    and only the (small) batch moves.  The store never rewrites: the
+    update is an append of the kept rows' fingerprints.
+    """
+    b = batch.withColumn(
+        "fp", F.xxhash64(normalized_text(F.col(text_col))))
+    wfp = Window.partitionBy("fp")
+    b = (b.withColumn("__rn", F.row_number().over(wfp.orderBy(id_col)))
+          .withColumn("__win", F.min(id_col).over(wfp)))
+    s = store.select(F.col(store_fp_col).alias("fp"),
+                     F.col(store_id_col).alias("__store_id"))
+    j = b.join(s, "fp", "left")
+    status = (
+        F.when(F.col("__store_id").isNotNull(), F.lit("dup_in_store"))
+        .when(F.col("__rn") > 1, F.lit("dup_in_batch"))
+        .otherwise(F.lit("new"))
+    )
+    dup_of = (
+        F.when(F.col("__store_id").isNotNull(), F.col("__store_id"))
+        .when(F.col("__rn") > 1, F.col("__win"))
+        .otherwise(F.lit(-1))
+    ).cast("long")
+    return (j.withColumn("status", status)
+             .withColumn("keep", F.col("status") == "new")
+             .withColumn("dup_of", dup_of)
+             .drop("__rn", "__win", "__store_id"))
+
+
+def fingerprint_store(corpus: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Bootstrap the ``(fp, keep_id)`` store from a released corpus: the
+    lowest id per fingerprint — exactly the rows ``exact_dedup`` keeps.
+    One partial-agg groupBy on fp."""
+    return (
+        corpus.select(
+            F.xxhash64(normalized_text(F.col(text_col))).alias("fp"),
+            F.col(id_col).cast("long").alias(id_col))
+        .groupBy("fp").agg(F.min(id_col).alias("keep_id"))
+    )
+
+
+def updated_fingerprint_store(store: DataFrame,
+                              classified: DataFrame,
+                              id_col: str = "doc_id") -> DataFrame:
+    """The store after a classified batch lands: append the kept rows'
+    fingerprints (an APPEND, never a rewrite — at 10^10 fingerprints the
+    store is an Iceberg/parquet table that only ever grows)."""
+    add = (classified.filter(F.col("keep"))
+           .select("fp", F.col(id_col).cast("long").alias("keep_id")))
+    return store.select("fp", "keep_id").unionByName(add)

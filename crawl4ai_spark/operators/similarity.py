@@ -555,3 +555,55 @@ def aesthetic_gate(images: DataFrame, emb_col: str = "img_vec",
     ).cast("long")
     return out.withColumn("aest_bp", aest_bp).withColumn(
         "aest_keep", F.coalesce(keep, F.lit(False)))
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation of the approximate tiers (recall/precision@k)
+# ---------------------------------------------------------------------------
+
+def ann_eval(approx: DataFrame, exact: DataFrame, k: int,
+             query_col: str = "query_id", id_col: str = "vec_id",
+             rank_col: str = "rank") -> DataFrame:
+    """Retrieval-quality scorecard for an approximate neighbor tier
+    (``lsh_ann_topk`` / ``ivf_ann_topk``) against exact ground truth
+    (``brute_force_topk`` or the pure-Catalyst ``cosine_col`` rank) —
+    the eval job every embedding pipeline runs before trusting an index
+    (FAISS's standard recall@k protocol; crawl4ai's cosine extraction
+    tier has no eval surface, so this is engine-native).
+
+    Both inputs are ``(query_col, id_col, rank_col)`` result tables; rows
+    with rank > k are ignored, so full result tables can be passed as-is.
+    Returns ONE row per query, all-integer (engine-exact under any
+    partitioning): ``n_exact`` / ``n_approx`` (result sizes at k — an
+    LSH bucket may undershoot k), ``n_hits`` (intersection size),
+    ``recall_bp`` = 10000·n_hits DIV n_exact and ``precision_bp`` =
+    10000·n_hits DIV n_approx (0 when the denominator is 0).
+
+    Scale shape: result tables are n_queries × k rows — microscopic next
+    to the corpus — so the inner join on (query, id) and the per-query
+    aggregations shuffle only eval rows; the corpus itself is never
+    touched.  Pure Catalyst, no Python.
+    """
+    a = (approx.filter(F.col(rank_col) <= k)
+         .select(F.col(query_col).alias("q"), F.col(id_col).alias("i")))
+    e = (exact.filter(F.col(rank_col) <= k)
+         .select(F.col(query_col).alias("q"), F.col(id_col).alias("i")))
+    ecnt = e.groupBy("q").agg(F.count("*").alias("n_exact"))
+    acnt = a.groupBy("q").agg(F.count("*").alias("n_approx"))
+    hits = a.join(e, ["q", "i"]).groupBy("q").agg(
+        F.count("*").alias("n_hits"))
+    out = (
+        ecnt.join(acnt, "q", "full").join(hits, "q", "left")
+        .select(
+            F.col("q").alias(query_col),
+            F.lit(int(k)).cast("long").alias("k"),
+            F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact"),
+            F.coalesce("n_approx", F.lit(0)).cast("long").alias("n_approx"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
+    bp = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0, F.expr(f"10000 * n_hits DIV {den}")
+    ).otherwise(F.lit(0)).cast("long")
+    return (out.withColumn("recall_bp", bp("n_hits", "n_exact"))
+               .withColumn("precision_bp", bp("n_hits", "n_approx")))

@@ -754,3 +754,104 @@ def test_importance_resample_deterministic(spark):
     mean_drawn = sum(s for d, s in rows if d in drawn) / len(drawn)
     mean_all = sum(s for _, s in rows) / len(rows)
     assert mean_drawn > mean_all
+
+
+def test_ann_eval_hand_case(spark):
+    from crawl4ai_spark.operators.similarity import ann_eval
+
+    # exact: q0 -> {1,2,3}, q1 -> {4,5}; approx: q0 -> {2,3,9},
+    # q1 -> {} (missing entirely — empty LSH bucket), q2 -> {7} (approx
+    # finds a query the exact table lacks: full-join edge)
+    exact = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (0, 3, 3), (0, 7, 4), (1, 4, 1), (1, 5, 2),
+         (2, 9, 4)],  # rank-4 rows ignored at k=3
+        "query_id long, vec_id long, rank long")
+    approx = spark.createDataFrame(
+        [(0, 2, 1), (0, 3, 2), (0, 9, 3), (2, 7, 1)],
+        "query_id long, vec_id long, rank long")
+    got = {r["query_id"]: r for r in ann_eval(approx, exact, k=3).collect()}
+    assert set(got) == {0, 1, 2}
+    q0 = got[0]
+    assert (q0["n_exact"], q0["n_approx"], q0["n_hits"]) == (3, 3, 2)
+    assert (q0["recall_bp"], q0["precision_bp"]) == (6666, 6666)
+    q1 = got[1]  # empty approx side: zero hits, precision denominator 0
+    assert (q1["n_exact"], q1["n_approx"], q1["n_hits"]) == (2, 0, 0)
+    assert (q1["recall_bp"], q1["precision_bp"]) == (0, 0)
+    q2 = got[2]  # empty exact side at k
+    assert (q2["n_exact"], q2["n_approx"], q2["n_hits"]) == (0, 1, 0)
+    assert (q2["recall_bp"], q2["precision_bp"]) == (0, 0)
+    assert all(r["k"] == 3 for r in got.values())
+
+
+def test_ann_eval_lsh_vs_brute(spark):
+    import numpy as np
+    from crawl4ai_spark.operators.similarity import (
+        ann_eval, brute_force_topk, lsh_ann_topk)
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(300, 16).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = vecs[:3].astype(np.float64)  # queries ARE corpus members
+    exact = brute_force_topk(emb, qs, k=10)
+    approx = lsh_ann_topk(emb, qs, k=10, n_planes=6)
+    got = {r["query_id"]: r for r in ann_eval(approx, exact, 10).collect()}
+    assert set(got) == {0, 1, 2}
+    for qid, r in got.items():
+        # the query's own vector hashes to the query's own bucket:
+        # recall is always > 0, and rank-1 self-hit bounds it below
+        assert r["n_hits"] >= 1
+        assert 0 < r["recall_bp"] <= 10000
+        assert r["precision_bp"] == (10000 * r["n_hits"]) // r["n_approx"]
+
+
+def test_incremental_dedup_statuses(spark):
+    from crawl4ai_spark.operators.dedup import (
+        fingerprint_store, incremental_dedup, updated_fingerprint_store)
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "Alpha   beta"), (3, "gamma")],
+        "doc_id long, text string")
+    store = fingerprint_store(corpus)
+    assert {(r["keep_id"]) for r in store.collect()} == {1, 3}  # 2 folds to 1
+
+    batch = spark.createDataFrame(
+        [(10, "ALPHA BETA"),      # dup_in_store (normalizes to alpha beta)
+         (11, "delta"),           # new
+         (12, "delta "),          # dup_in_batch of 11 (store wins never fires)
+         (13, "epsilon")],        # new
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in incremental_dedup(batch, store).collect()}
+    assert got[10]["status"] == "dup_in_store" and got[10]["dup_of"] == 1
+    assert got[11]["status"] == "new" and got[11]["dup_of"] == -1
+    assert got[12]["status"] == "dup_in_batch" and got[12]["dup_of"] == 11
+    assert got[13]["status"] == "new"
+    assert {d for d, r in got.items() if r["keep"]} == {11, 13}
+
+    # the updated store: old fingerprints + the two kept batch rows
+    st2 = updated_fingerprint_store(store, incremental_dedup(batch, store))
+    assert {r["keep_id"] for r in st2.collect()} == {1, 3, 11, 13}
+    # idempotence: replaying the same batch against the updated store
+    # finds everything already released
+    replay = incremental_dedup(batch, st2)
+    assert replay.filter("keep").count() == 0
+    assert {r["status"] for r in replay.collect()} == {"dup_in_store"}
+
+
+def test_incremental_dedup_partition_invariance(spark):
+    from crawl4ai_spark.operators.dedup import (
+        fingerprint_store, incremental_dedup)
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i % 11}") for i in range(0, 120, 3)],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(i, f"doc {i % 17}") for i in range(1, 120, 2)],
+        "doc_id long, text string")
+    store = fingerprint_store(corpus)
+    a = sorted(map(tuple, incremental_dedup(
+        batch, store).select("doc_id", "status", "dup_of").collect()))
+    b = sorted(map(tuple, incremental_dedup(
+        batch.repartition(13), store.repartition(7))
+        .select("doc_id", "status", "dup_of").collect()))
+    assert a == b and len(a) == 60
