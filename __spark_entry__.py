@@ -1062,6 +1062,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["robots_politeness_crawl"] = q_robots_politeness_crawl
 
+    def q_politeness_audit(spark, sf):
+        # D1 compliance validator over the politeness-crawl log (both
+        # engines read the same expected parquet): per-(host, superstep)
+        # fetch counts vs a host-derived budget dim; hosts with odd-length
+        # names are absent from the dim and audit against the default
+        from crawl4ai_spark.operators.politeness import politeness_audit
+
+        oracle_expected.ensure_crawl_expected()
+        log = spark.read.parquet(
+            oracle_expected.expected_path("robots_politeness_crawl")
+        ).select("host", "superstep").unionByName(
+            spark.read.parquet(
+                oracle_expected.expected_path("bff_scheduled_crawl")
+            ).select("host", "superstep"))
+        budgets = (
+            log.select("host").distinct()
+            .filter(F.length("host") % 2 == 0)
+            .withColumn("budget", F.lit(1) + F.length("host") % 4)
+        )
+        return politeness_audit(log, budgets, default_budget=2).select(
+            "host", F.col("superstep").cast("long").alias("superstep"),
+            "n_fetches", "budget", "over_budget", "utilization_bp")
+    q["politeness_audit"] = q_politeness_audit
+
+    def q_drain_forecast(spark, sf):
+        # capacity planning: supersteps-to-drain per host under per-host
+        # budgets; the makespan-critical hosts flagged
+        from crawl4ai_spark.operators.politeness import drain_forecast
+
+        e = _t(spark, sf, "events")
+        k = (F.col("user_id") % 23).cast("long")
+        frontier = e.select(
+            F.concat(F.lit("h"), k.cast("string")).alias("host"),
+            k.alias("__k"))
+        budgets = (frontier.select("host", "__k").distinct()
+                   .filter(F.col("__k") % 2 == 0)
+                   .select("host",
+                           (F.lit(1) + F.col("__k") % 5).alias("budget")))
+        return drain_forecast(frontier.drop("__k"), budgets,
+                              default_budget=2).select(
+            "host", "n_urls", "budget", "supersteps_to_drain", "is_critical")
+    q["drain_forecast"] = q_drain_forecast
+
     def q_backoff_crawl(spark, sf):
         # D2: 429/503 backoff — fail-heavy graph; retry requeues carry
         # attempt>0 at deterministically-jittered ready supersteps
@@ -2303,6 +2346,24 @@ def oracle_sql() -> dict[str, str]:
           FROM documents) WHERE rn = 1
     """
 
+    o["drain_forecast"] = """
+        WITH f AS (SELECT 'h' || CAST(user_id % 23 AS VARCHAR) AS host,
+                          user_id % 23 AS k
+                   FROM events),
+        hosts AS (SELECT host, count(*) AS n_urls FROM f GROUP BY 1),
+        dim AS (SELECT DISTINCT host, 1 + (k % 5) AS budget
+                FROM f WHERE k % 2 = 0),
+        j AS (SELECT h.host, n_urls, coalesce(d.budget, 2) AS budget,
+                     (n_urls + coalesce(d.budget, 2) - 1)
+                       // coalesce(d.budget, 2) AS std
+              FROM hosts h LEFT JOIN dim d ON h.host = d.host)
+        SELECT host, CAST(n_urls AS BIGINT) AS n_urls,
+               CAST(budget AS BIGINT) AS budget,
+               CAST(std AS BIGINT) AS supersteps_to_drain,
+               std = (SELECT max(std) FROM j) AS is_critical
+        FROM j
+    """
+
     o["incremental_dedup"] = """
         WITH k AS (SELECT doc_id,
                           'bucket ' || CAST(doc_id % 37 AS VARCHAR) AS t
@@ -2993,6 +3054,24 @@ def oracle_sql() -> dict[str, str]:
     o["lsh_ann"] = (
         f"SELECT query_id, vec_id, cosine, rank FROM read_parquet('{_exp('lsh_ann', True)}')"
     )
+    o["politeness_audit"] = f"""
+        WITH log AS (SELECT host, superstep
+                     FROM read_parquet('{_exp('robots_politeness_crawl')}')
+                     UNION ALL
+                     SELECT host, superstep
+                     FROM read_parquet('{_exp('bff_scheduled_crawl')}')),
+        cells AS (SELECT host, superstep, count(*) AS n_fetches
+                  FROM log GROUP BY 1, 2),
+        dim AS (SELECT DISTINCT host, 1 + length(host) % 4 AS budget
+                FROM log WHERE length(host) % 2 = 0)
+        SELECT c.host, CAST(c.superstep AS BIGINT) AS superstep,
+               CAST(n_fetches AS BIGINT) AS n_fetches,
+               CAST(coalesce(d.budget, 2) AS BIGINT) AS budget,
+               n_fetches > coalesce(d.budget, 2) AS over_budget,
+               CAST((10000 * n_fetches) // coalesce(d.budget, 2) AS BIGINT)
+                 AS utilization_bp
+        FROM cells c LEFT JOIN dim d ON c.host = d.host
+    """
     _qlit = "[" + ", ".join(repr(x) for x in _ANN_QUERY) + "]"
     o["ann_recall"] = f"""
         WITH scored AS (

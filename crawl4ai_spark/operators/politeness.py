@@ -400,3 +400,80 @@ def salt_hot_hosts(df: DataFrame, hot_hosts: list[str], buckets: int,
             F.col(host_col).isin(hot_hosts), F.concat_ws("#", F.col(host_col), salt)
         ).otherwise(F.col(host_col)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Politeness compliance audit + drain forecasting (operational surface)
+# ---------------------------------------------------------------------------
+
+def politeness_audit(log: DataFrame, budgets: DataFrame | None = None,
+                     default_budget: int = 1,
+                     host_col: str = "host",
+                     superstep_col: str = "superstep") -> DataFrame:
+    """Compliance audit of an emitted fetch log against per-host politeness
+    budgets — the validator a crawl operator runs over yesterday's output
+    before trusting the scheduler (the set-oriented twin of eyeballing
+    RateLimiter logs; reference semantics async_dispatcher.py:30-87).
+
+    ``log`` is any frame with (host, superstep) per fetched page (the
+    engine's ``results`` table as-is); ``budgets`` an optional
+    ``(host, budget)`` dim — hosts absent from it audit against
+    ``default_budget``.  Returns ONE row per (host, superstep) cell:
+    ``n_fetches``, ``budget``, ``over_budget`` and the integer
+    ``utilization_bp`` (10000·n_fetches DIV budget — >10000 iff violated).
+    All-integer, engine-exact.
+
+    Scale shape: ONE partial-agg groupBy on (host, superstep) — the cell
+    count is bounded by hosts × supersteps, microscopic next to the log —
+    then a broadcast join against the budget dim.  Pure Catalyst.
+    """
+    cells = (log.groupBy(F.col(host_col).alias("host"),
+                         F.col(superstep_col).alias("superstep"))
+             .agg(F.count("*").cast("long").alias("n_fetches")))
+    if budgets is not None:
+        bd = F.broadcast(budgets.select(F.col("host"),
+                                        F.col("budget").cast("long")))
+        cells = cells.join(bd, "host", "left").withColumn(
+            "budget", F.coalesce("budget", F.lit(int(default_budget))))
+    else:
+        cells = cells.withColumn(
+            "budget", F.lit(int(default_budget)).cast("long"))
+    return (cells
+            .withColumn("over_budget", F.col("n_fetches") > F.col("budget"))
+            .withColumn("utilization_bp",
+                        F.expr("10000 * n_fetches DIV budget")))
+
+
+def drain_forecast(frontier: DataFrame, budgets: DataFrame | None = None,
+                   default_budget: int = 1,
+                   host_col: str = "host") -> DataFrame:
+    """Capacity forecast for a frontier under per-host budgets: how many
+    politeness supersteps each host needs to drain, and which hosts set
+    the crawl's makespan — the planning query behind "is this 10^10
+    frontier a week or a quarter at current budgets".
+
+    Returns ONE row per host: ``n_urls``, ``budget``,
+    ``supersteps_to_drain`` = ceil(n_urls / budget) as exact integer
+    arithmetic ((n + b - 1) DIV b), and ``is_critical`` (this host's
+    drain time IS the makespan).  ONE partial-agg groupBy on host + a
+    broadcast budget join; the global makespan joins back as a broadcast
+    one-row aggregate — the frontier itself is scanned once.
+    """
+    hosts = (frontier.groupBy(F.col(host_col).alias("host"))
+             .agg(F.count("*").cast("long").alias("n_urls")))
+    if budgets is not None:
+        bd = F.broadcast(budgets.select(F.col("host"),
+                                        F.col("budget").cast("long")))
+        hosts = hosts.join(bd, "host", "left").withColumn(
+            "budget", F.coalesce("budget", F.lit(int(default_budget))))
+    else:
+        hosts = hosts.withColumn(
+            "budget", F.lit(int(default_budget)).cast("long"))
+    hosts = hosts.withColumn(
+        "supersteps_to_drain",
+        F.expr("(n_urls + budget - 1) DIV budget"))
+    mk = hosts.agg(F.max("supersteps_to_drain").alias("__makespan"))
+    return (hosts.crossJoin(F.broadcast(mk))
+            .withColumn("is_critical",
+                        F.col("supersteps_to_drain") == F.col("__makespan"))
+            .drop("__makespan"))

@@ -234,3 +234,39 @@ def test_bloom_sidecar_incremental_exact(spark):
     # false-positive rate within ~5x of the design point
     fps = sum(flagged[f"https://c.test/r{i}"] for i in range(1000))
     assert fps < 50
+
+
+def test_politeness_audit_cells(spark):
+    from crawl4ai_spark.operators.politeness import politeness_audit
+
+    log = spark.createDataFrame(
+        [("a", 0)] * 3 + [("a", 1)] * 1 + [("b", 0)] * 5,
+        "host string, superstep int")
+    budgets = spark.createDataFrame([("a", 2)], "host string, budget int")
+    got = {(r["host"], r["superstep"]): r
+           for r in politeness_audit(log, budgets,
+                                     default_budget=4).collect()}
+    a0 = got[("a", 0)]
+    assert (a0["n_fetches"], a0["budget"], a0["over_budget"]) == (3, 2, True)
+    assert a0["utilization_bp"] == 15000
+    a1 = got[("a", 1)]
+    assert (a1["n_fetches"], a1["over_budget"]) == (1, False)
+    b0 = got[("b", 0)]  # host absent from the dim -> default budget
+    assert (b0["budget"], b0["over_budget"], b0["utilization_bp"]) == (
+        4, True, 12500)
+
+
+def test_drain_forecast_makespan(spark):
+    from crawl4ai_spark.operators.politeness import drain_forecast
+
+    frontier = spark.createDataFrame(
+        [("a",)] * 10 + [("b",)] * 7 + [("c",)] * 2,
+        "host string")
+    budgets = spark.createDataFrame(
+        [("a", 3), ("b", 1)], "host string, budget int")
+    got = {r["host"]: r for r in drain_forecast(
+        frontier, budgets, default_budget=2).collect()}
+    assert (got["a"]["n_urls"], got["a"]["supersteps_to_drain"]) == (10, 4)
+    assert (got["b"]["n_urls"], got["b"]["supersteps_to_drain"]) == (7, 7)
+    assert (got["c"]["budget"], got["c"]["supersteps_to_drain"]) == (2, 1)
+    assert [h for h, r in got.items() if r["is_critical"]] == ["b"]
