@@ -1847,6 +1847,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_distinct_phash", "caption_chars", "mean_caption_chars")
     q["image_corpus_stats"] = q_image_corpus_stats
 
+    def q_png_audit(spark, sf):
+        # deep container validation: full PNG chunk walk + CRC verify over
+        # a deterministically damaged corpus (byte-flips, truncation,
+        # trailing garbage, non-PNG payloads); oracle = independent stdlib
+        # walk with a table-free CRC32 twin (no zlib)
+        from crawl4ai_spark.operators.multimodal import png_chunk_audit
+
+        oracle_expected.ensure_png_audit(n_pages=280)
+        imgs = spark.read.parquet(
+            oracle_expected.expected_path("png_audit_input"))
+        return png_chunk_audit(imgs)
+    q["png_audit"] = q_png_audit
+
     def q_dsir_resample(spark, sf):
         # the resampling half of DSIR (Xie et al. 2023 §3): Gumbel-top-k
         # draw ∝ exp(llr) over the dsir_weights output; race keys rounded
@@ -3178,6 +3191,11 @@ def oracle_sql() -> dict[str, str]:
         FROM read_parquet('{_exp('images_input')}')
         GROUP BY ROLLUP(fmt)
     """
+    o["png_audit"] = (
+        "SELECT image_id, is_png, n_chunks, ihdr_w, ihdr_h, idat_bytes, "
+        "has_iend, n_crc_bad, first_bad_tag, truncated, trailing_bytes "
+        f"FROM read_parquet('{_exp('png_audit')}')"
+    )
     o["image_joint_neardup"] = f"""
         WITH t AS (
           SELECT image_id, phash, md5({cap_norm}) AS cfp

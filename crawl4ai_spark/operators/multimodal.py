@@ -396,3 +396,98 @@ def image_corpus_stats(images: DataFrame, fmt_col: str = "fmt") -> DataFrame:
              .alias("mean_caption_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deep container validation: full PNG chunk walk with CRC verification
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_walk(data: bytes) -> dict:
+    """Structural walk of one PNG payload: chunk inventory, IHDR dims,
+    IDAT volume, CRC32 verification per chunk, truncation and
+    trailing-garbage detection.  Pure stdlib (struct-free slicing +
+    ``zlib.crc32``); deterministic for any byte string."""
+    import zlib
+
+    out = {"is_png": False, "n_chunks": None, "ihdr_w": None,
+           "ihdr_h": None, "idat_bytes": None, "has_iend": None,
+           "n_crc_bad": None, "first_bad_tag": None, "truncated": None,
+           "trailing_bytes": None}
+    if data is None or len(data) < 8 or bytes(data[:8]) != _PNG_SIG:
+        return out
+    data = bytes(data)
+    out.update({"is_png": True, "n_chunks": 0, "ihdr_w": -1, "ihdr_h": -1,
+                "idat_bytes": 0, "has_iend": False, "n_crc_bad": 0,
+                "first_bad_tag": None, "truncated": False,
+                "trailing_bytes": 0})
+    pos, n = 8, len(data)
+    while pos < n:
+        if pos + 8 > n:
+            out["truncated"] = True
+            break
+        length = int.from_bytes(data[pos:pos + 4], "big")
+        if pos + 12 + length > n:
+            out["truncated"] = True
+            break
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        stored = int.from_bytes(data[pos + 8 + length:pos + 12 + length],
+                                "big")
+        out["n_chunks"] += 1
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != stored:
+            out["n_crc_bad"] += 1
+            if out["first_bad_tag"] is None:
+                out["first_bad_tag"] = tag.decode("latin-1")
+        if tag == b"IHDR" and length >= 8:
+            out["ihdr_w"] = int.from_bytes(payload[0:4], "big")
+            out["ihdr_h"] = int.from_bytes(payload[4:8], "big")
+        elif tag == b"IDAT":
+            out["idat_bytes"] += length
+        pos += 12 + length
+        if tag == b"IEND":
+            out["has_iend"] = True
+            out["trailing_bytes"] = n - pos
+            break
+    return out
+
+
+def png_chunk_audit(images: DataFrame, bytes_col: str = "bytes",
+                    id_col: str = "image_id") -> DataFrame:
+    """Deep container validation for PNG payloads — the structural layer
+    below ``sniff_format``'s 64-byte magic screen: walk EVERY chunk,
+    verify EVERY CRC32, and report truncation / missing-IEND /
+    trailing-garbage — the hygiene pass that catches the partial fetches,
+    re-encoder bugs and byte-flips endemic in crawl payloads that a magic
+    check waves through (the reference trusts Content-Type and extension
+    entirely; this surface is engine-native).
+
+    One row per image: ``is_png`` (signature match; non-PNG rows carry
+    NULL for every other column), ``n_chunks``, ``ihdr_w``/``ihdr_h``
+    (-1 until an IHDR is seen), ``idat_bytes``, ``has_iend``,
+    ``n_crc_bad`` + ``first_bad_tag``, ``truncated`` (walk ran off the
+    buffer mid-chunk) and ``trailing_bytes`` (junk after IEND).
+
+    Scale shape: ONE Arrow ``mapInPandas`` stage (chunk walking is
+    iterative — not expressible in Catalyst), zero shuffle, per-file
+    parallelism; CRC is zlib's C loop.  Per-row error isolation is
+    inherent: the walk is total for any byte string.
+    """
+    fields = (f"{id_col} string, is_png boolean, n_chunks long, "
+              "ihdr_w long, ihdr_h long, idat_bytes long, has_iend boolean, "
+              "n_crc_bad long, first_bad_tag string, truncated boolean, "
+              "trailing_bytes long")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, data in zip(b[id_col], b[bytes_col]):
+                rows.append({id_col: iid, **png_walk(data)})
+            yield pd.DataFrame(rows, columns=[
+                id_col, "is_png", "n_chunks", "ihdr_w", "ihdr_h",
+                "idat_bytes", "has_iend", "n_crc_bad", "first_bad_tag",
+                "truncated", "trailing_bytes"])
+
+    return images.select(id_col, bytes_col).mapInPandas(run, fields)

@@ -1045,6 +1045,114 @@ def ensure_dct_phash_expected(n_pages: int = 280) -> None:
     _done.add(key)
 
 
+def _crc32_twin(data: bytes) -> int:
+    """Bitwise table-free CRC-32 (ISO-HDLC, poly 0xEDB88320) — the PNG
+    spec's checksum re-derived WITHOUT zlib so the engine's zlib.crc32
+    path is checked against an independent implementation."""
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = (crc >> 1) ^ (0xEDB88320 if crc & 1 else 0)
+    return crc ^ 0xFFFFFFFF
+
+
+def ensure_png_audit(n_pages: int = 280) -> None:
+    """png_audit: INPUT corpus (every fixture image re-encoded as PNG,
+    then deterministically damaged by image index) + expected OUTPUT from
+    an independent stdlib walk (slicing + ``_crc32_twin`` — no zlib, no
+    engine import).
+
+    Plants, by ``i % 7``:
+      1 → one byte inside the IDAT payload XOR 0xFF   (CRC bad)
+      2 → final 7 bytes cut                           (truncated, no IEND)
+      3 → 11 junk bytes appended after IEND           (trailing garbage)
+      4 → the image's ORIGINAL non-PNG encoding kept  (is_png = False;
+          PNG-fmt rows in this class stay clean PNGs)
+      else → clean PNG
+    """
+    key = ("png_audit", n_pages)
+    if key in _done:
+        return
+    from .. import codecs
+    from ..sources import synth
+
+    p = _graph(n_pages=n_pages)
+    in_rows, out_rows = [], []
+    for i in range(n_pages):
+        image_id, w, h, fmt = synth.image_meta_of(i, p)
+        px = synth.image_pixels(image_id, w, h, p.seed)
+        data = codecs.encode_png(px)
+        cls = i % 7
+        if cls == 1:
+            # IHDR chunk spans [8, 33); IDAT payload starts at 33+8
+            pos = 33 + 8 + 3
+            data = data[:pos] + bytes([data[pos] ^ 0xFF]) + data[pos + 1:]
+        elif cls == 2:
+            data = data[:-7]
+        elif cls == 3:
+            data = data + b"\x00garbage!!!"
+        elif cls == 4 and fmt != "png":
+            data = codecs.encode(px, fmt)
+        in_rows.append({"image_id": image_id, "bytes": data})
+
+        # ------- independent walk (mirrors the documented contract)
+        rec = {"image_id": image_id, "is_png": None, "n_chunks": None,
+               "ihdr_w": None, "ihdr_h": None, "idat_bytes": None,
+               "has_iend": None, "n_crc_bad": None, "first_bad_tag": None,
+               "truncated": None, "trailing_bytes": None}
+        if len(data) >= 8 and data[:8] == b"\x89PNG\r\n\x1a\n":
+            rec.update({"is_png": True, "n_chunks": 0, "ihdr_w": -1,
+                        "ihdr_h": -1, "idat_bytes": 0, "has_iend": False,
+                        "n_crc_bad": 0, "truncated": False,
+                        "trailing_bytes": 0})
+            pos, n = 8, len(data)
+            while pos < n:
+                if pos + 8 > n:
+                    rec["truncated"] = True
+                    break
+                length = int.from_bytes(data[pos:pos + 4], "big")
+                if pos + 12 + length > n:
+                    rec["truncated"] = True
+                    break
+                tag = data[pos + 4:pos + 8]
+                payload = data[pos + 8:pos + 8 + length]
+                stored = int.from_bytes(
+                    data[pos + 8 + length:pos + 12 + length], "big")
+                rec["n_chunks"] += 1
+                if _crc32_twin(tag + payload) != stored:
+                    rec["n_crc_bad"] += 1
+                    if rec["first_bad_tag"] is None:
+                        rec["first_bad_tag"] = tag.decode("latin-1")
+                if tag == b"IHDR" and length >= 8:
+                    rec["ihdr_w"] = int.from_bytes(payload[0:4], "big")
+                    rec["ihdr_h"] = int.from_bytes(payload[4:8], "big")
+                elif tag == b"IDAT":
+                    rec["idat_bytes"] += length
+                pos += 12 + length
+                if tag == b"IEND":
+                    rec["has_iend"] = True
+                    rec["trailing_bytes"] = n - pos
+                    break
+        else:
+            rec["is_png"] = False
+        out_rows.append(rec)
+
+    _write("png_audit_input", pd.DataFrame(
+        in_rows, columns=["image_id", "bytes"]))
+    _write("png_audit", pd.DataFrame(out_rows, columns=[
+        "image_id", "is_png", "n_chunks", "ihdr_w", "ihdr_h", "idat_bytes",
+        "has_iend", "n_crc_bad", "first_bad_tag", "truncated",
+        "trailing_bytes"]).astype({
+            # nullable dtypes: NULL-bearing int columns must NOT decay to
+            # float64 (the gate hashes 7794.0 != 7794)
+            "is_png": "boolean", "n_chunks": "Int64", "ihdr_w": "Int64",
+            "ihdr_h": "Int64", "idat_bytes": "Int64", "has_iend": "boolean",
+            "n_crc_bad": "Int64", "truncated": "boolean",
+            "trailing_bytes": "Int64"}))
+    _done.add(key)
+
+
 # ------------------------------------------------------------------- llm
 
 def _prompt_escape_twin(s: str) -> str:

@@ -216,3 +216,69 @@ def test_image_corpus_stats_rollup(spark):
     tot = got["*"]
     assert (tot["n_images"], tot["n_distinct_phash"]) == (3, 2)
     assert tot["n_pixels"] == 126
+
+
+def test_png_walk_hand_cases():
+    import zlib
+
+    import numpy as np
+
+    from crawl4ai_spark import codecs
+    from crawl4ai_spark.operators.multimodal import png_walk
+
+    px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    clean = codecs.encode_png(px)
+    r = png_walk(clean)
+    assert r["is_png"] and r["n_chunks"] == 3 and r["has_iend"]
+    assert (r["ihdr_w"], r["ihdr_h"]) == (8, 8)
+    assert r["n_crc_bad"] == 0 and not r["truncated"]
+    assert r["trailing_bytes"] == 0 and r["idat_bytes"] > 0
+
+    # flip a byte inside the IDAT payload: exactly one CRC goes bad
+    pos = 33 + 8 + 2
+    bad = clean[:pos] + bytes([clean[pos] ^ 0xFF]) + clean[pos + 1:]
+    r = png_walk(bad)
+    assert r["n_crc_bad"] == 1 and r["first_bad_tag"] == "IDAT"
+    assert r["has_iend"]  # structure is intact, only the checksum lies
+
+    # truncated mid-IEND
+    r = png_walk(clean[:-5])
+    assert r["truncated"] and not r["has_iend"]
+
+    # trailing garbage after IEND
+    r = png_walk(clean + b"xyz")
+    assert r["trailing_bytes"] == 3 and r["has_iend"] and not r["truncated"]
+
+    # not a PNG at all
+    r = png_walk(b"P6\n8 8\n255\n" + b"\x00" * 192)
+    assert r["is_png"] is False and r["n_chunks"] is None
+
+    # engine CRC path == independent twin CRC
+    from crawl4ai_spark.oracle.expected import _crc32_twin
+    blob = b"IDAT" + bytes(range(256))
+    assert _crc32_twin(blob) == zlib.crc32(blob) & 0xFFFFFFFF
+
+
+def test_png_chunk_audit_stage(spark):
+    import numpy as np
+
+    from crawl4ai_spark import codecs
+    from crawl4ai_spark.operators.multimodal import png_chunk_audit
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    clean = codecs.encode_png(px)
+    rows = [("ok", bytearray(clean)),
+            ("cut", bytearray(clean[:-6])),
+            ("raw", bytearray(b"\x00" * 48)),
+            ("null", None)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {r["image_id"]: r for r in png_chunk_audit(df).collect()}
+    assert got["ok"]["has_iend"] and got["ok"]["n_chunks"] == 3
+    assert got["cut"]["truncated"] and not got["cut"]["has_iend"]
+    assert got["raw"]["is_png"] is False
+    assert got["null"]["is_png"] is False
+    # partitioning invariance
+    again = {r["image_id"]: r
+             for r in png_chunk_audit(df.repartition(3)).collect()}
+    assert {k: tuple(v) for k, v in got.items()} == {
+        k: tuple(v) for k, v in again.items()}
