@@ -653,11 +653,25 @@ def hygiene_bench(spark, n_docs: int = 100_000) -> dict:
     out["fineweb_sec"] = round(time.time() - t0, 3)
     out["fineweb_kept"] = int(r["kept"])
 
+    from crawl4ai_spark.operators.dedup import (
+        fingerprint_store, incremental_dedup)
+    store = fingerprint_store(
+        docs.where(F.pmod(F.col("doc_id"), 3) == 0)).localCheckpoint(
+        eager=True)
+    batch = docs.where(F.pmod(F.col("doc_id"), 3) != 0)
+    t0 = time.time()
+    r = incremental_dedup(batch, store).agg(
+        F.sum(F.col("keep").cast("long")).alias("kept")).collect()[0]
+    out["incr_dedup_sec"] = round(time.time() - t0, 3)
+    out["incr_kept"] = int(r["kept"])
+    store.unpersist()
+
     total = (out["gopher_sec"] + out["repetition_sec"]
              + out["line_dedup_sec"] + out["decontaminate_sec"]
-             + out["dsir_sec"] + out["c4_sec"] + out["fineweb_sec"])
+             + out["dsir_sec"] + out["c4_sec"] + out["fineweb_sec"]
+             + out["incr_dedup_sec"])
     out["sec"] = round(total, 3)
-    out["docs_per_sec"] = round(7 * n_docs / max(total, 1e-9), 1)
+    out["docs_per_sec"] = round(8 * n_docs / max(total, 1e-9), 1)
     docs.unpersist()
     return out
 
@@ -1021,6 +1035,19 @@ def image_export_bench(spark, n_images: int = 20_000,
     out["dct_phash_sec"] = round(secs, 3)
     out["dct_img_per_sec"] = round(n / max(secs, 1e-9), 1)
 
+    from crawl4ai_spark.operators.multimodal import png_chunk_audit
+
+    t0 = time.time()
+    r = png_chunk_audit(images).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("is_png").cast("long")).alias("pngs"),
+        F.sum(F.coalesce("n_crc_bad", F.lit(0))).alias("crc_bad"),
+    ).collect()[0]
+    secs = time.time() - t0
+    out["png_audit_sec"] = round(secs, 3)
+    out["png_audit_imgs_per_sec"] = round(int(r["n"]) / max(secs, 1e-9), 1)
+    out["png_audit_pngs"] = int(r["pngs"])
+
     sized = images.select(
         "image_id",
         F.length("bytes").cast("long").alias("img_size"),
@@ -1098,6 +1125,7 @@ def image_export_bench(spark, n_images: int = 20_000,
     out["aest_imgs_per_sec"] = round(n_pairs / max(secs, 1e-9), 1)
 
     out["sec"] = round(out["sniff_sec"] + out["dct_phash_sec"]
+                       + out["png_audit_sec"]
                        + out["wds_sec"] + out["wds_write_sec"]
                        + out["wds_read_sec"] + out["clip_sec"]
                        + out["aest_sec"], 3)

@@ -593,6 +593,73 @@ def main() -> None:
         ic_plan, ["Expand", "HashAggregate"],
     ))
 
+    # 40. PNG chunk audit: ONE Arrow stage over (id, bytes), zero shuffle
+    from crawl4ai_spark.operators.multimodal import png_chunk_audit
+
+    pa_plan = plan_of(png_chunk_audit(aud_images))
+    sections.append((
+        "PNG chunk audit (one MapInPandas walk, zero shuffle)",
+        pa_plan, ["MapInPandas"],
+    ))
+    if "Exchange" in pa_plan:
+        sections[-1] = (sections[-1][0] + " — FAIL: unexpected shuffle",
+                        pa_plan, sections[-1][2])
+
+    # 41. incremental dedup: batch-only fp window + ONE store probe join
+    # (no full-corpus reshuffle — the store side is read, never rewritten)
+    from crawl4ai_spark.operators.dedup import (
+        fingerprint_store, incremental_dedup)
+
+    aud_docs = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("d"), (F.col("id") % 37).cast("string")).alias("text"))
+    idp = plan_of(incremental_dedup(
+        aud_docs.filter("doc_id % 3 != 0"),
+        fingerprint_store(aud_docs.filter("doc_id % 3 = 0"))))
+    sections.append((
+        "Incremental dedup (batch fp window + one store hash join; "
+        "store never reshuffled)",
+        idp, ["Window", "HashAggregate"],
+    ))
+
+    # 42. politeness audit + drain forecast: cell-sized partial aggs,
+    # broadcast budget dim, broadcast one-row makespan
+    from crawl4ai_spark.operators.politeness import (
+        drain_forecast, politeness_audit)
+
+    aud_log = spark.range(0, 5000).select(
+        F.concat(F.lit("h"), (F.col("id") % 41).cast("string")).alias("host"),
+        (F.col("id") % 9).alias("superstep"))
+    aud_bud = spark.range(0, 41).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        (F.lit(1) + F.col("id") % 4).alias("budget"))
+    pa2 = plan_of(politeness_audit(aud_log, aud_bud))
+    sections.append((
+        "Politeness audit (partial-agg cells + broadcast budget dim)",
+        pa2, ["HashAggregate", "BroadcastHashJoin"],
+    ))
+    df_plan = plan_of(drain_forecast(aud_log, aud_bud))
+    sections.append((
+        "Drain forecast (host agg + broadcast budget dim + broadcast "
+        "one-row makespan)",
+        df_plan, ["HashAggregate", "BroadcastHashJoin",
+                  "BroadcastNestedLoopJoin"],
+    ))
+
+    # 43. ANN retrieval eval: joins/aggs over result tables only (the
+    # corpus never enters the plan)
+    from crawl4ai_spark.operators.similarity import ann_eval
+
+    aud_res = spark.range(0, 1000).select(
+        (F.col("id") % 10).alias("query_id"),
+        (F.col("id") * 7 % 500).alias("vec_id"),
+        (F.col("id") % 100 + 1).alias("rank"))
+    ae_plan = plan_of(ann_eval(aud_res, aud_res, k=10))
+    sections.append((
+        "ANN retrieval eval (result-table joins only)",
+        ae_plan, ["HashAggregate"],
+    ))
+
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)\n"]
     out.append(
         "Generated by tools/explain_audit.py. Verdict lines check the "
