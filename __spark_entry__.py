@@ -1105,6 +1105,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "host", "n_urls", "budget", "supersteps_to_drain", "is_critical")
     q["drain_forecast"] = q_drain_forecast
 
+    def q_trap_report(spark, sf):
+        # spider-trap diagnostics over a synthesized frontier: hosts h3
+        # (all path loops) and h5 (all calendar) are traps; the rest mix
+        # classes ~evenly and stay under threshold.  The oracle re-parses
+        # the SAME constructed URLs with DuckDB string/list functions.
+        from crawl4ai_spark.operators.traps import trap_report
+
+        i = F.col("doc_id")
+        host = F.concat(F.lit("h"), (i % 13).cast("string"), F.lit(".test"))
+        cls = (F.when(i % 13 == 3, F.lit(1))
+               .when(i % 13 == 5, F.lit(0))
+               .otherwise(i % 9))
+        path = (
+            F.when(cls == 0, F.concat(
+                F.lit("/2024/"), ((i % 12) + 1).cast("string"),
+                F.lit("/"), ((i % 28) + 1).cast("string"), F.lit("/post")))
+            .when(cls == 1, F.concat(F.lit("/a/b/a/b/a/p"), i.cast("string")))
+            .when(cls == 2, F.concat(F.lit("/p"), i.cast("string"),
+                                     F.lit("?sid="), i.cast("string")))
+            .when(cls == 3, F.concat(F.lit("/s1/s2/s3/s4/s5/s6/p"),
+                                     i.cast("string")))
+            .otherwise(F.concat(F.lit("/page/p"), i.cast("string")))
+        )
+        fr = _t(spark, sf, "documents").select(
+            host.alias("host"),
+            F.concat(F.lit("https://"), host, path).alias("url"))
+        return trap_report(fr)
+    q["trap_report"] = q_trap_report
+
+    def q_hot_keys(spark, sf):
+        # D7's measurement half: top-k key histogram + imbalance factor
+        # (which hosts to salt, proven before burning cluster-hours)
+        from crawl4ai_spark.operators.skew import hot_key_report
+
+        e = _t(spark, sf, "events")
+        keyed = e.select(F.concat(
+            F.lit("h"), (F.col("user_id") % 23).cast("string")).alias("host"))
+        return hot_key_report(keyed, "host", k=10).withColumnRenamed(
+            "key", "host")
+    q["hot_keys"] = q_hot_keys
+
+    def q_compaction_plan(spark, sf):
+        # Iceberg rewriteDataFiles-style bin-pack plan over a synthetic
+        # file manifest (partitioned dirs, mixed small/compact files)
+        from crawl4ai_spark.operators.maintenance import compaction_plan
+
+        d = _t(spark, sf, "documents").select(F.col("doc_id").cast("long"))
+        manifest = d.select(
+            F.concat(F.lit("p"), (F.col("doc_id") % 7).cast("string"))
+             .alias("part"),
+            F.concat(F.lit("f"), F.lpad(F.col("doc_id").cast("string"),
+                                        8, "0")).alias("path"),
+            ((F.col("doc_id") * 37) % 250 + 1).cast("long").alias("bytes"))
+        return compaction_plan(manifest, target_bytes=256, small_bytes=128)
+    q["compaction_plan"] = q_compaction_plan
+
     def q_backoff_crawl(spark, sf):
         # D2: 429/503 backoff — fail-heavy graph; retry requeues carry
         # attempt>0 at deterministically-jittered ready supersteps
@@ -2375,6 +2431,129 @@ def oracle_sql() -> dict[str, str]:
                CAST(std AS BIGINT) AS supersteps_to_drain,
                std = (SELECT max(std) FROM j) AS is_critical
         FROM j
+    """
+
+    o["trap_report"] = """
+        WITH u AS (
+          SELECT 'h' || CAST(doc_id % 13 AS VARCHAR) || '.test' AS host,
+                 'https://h' || CAST(doc_id % 13 AS VARCHAR) || '.test' ||
+                 CASE CASE WHEN doc_id % 13 = 3 THEN 1
+                           WHEN doc_id % 13 = 5 THEN 0
+                           ELSE doc_id % 9 END
+                   WHEN 0 THEN '/2024/' || CAST((doc_id % 12) + 1 AS VARCHAR)
+                               || '/' || CAST((doc_id % 28) + 1 AS VARCHAR)
+                               || '/post'
+                   WHEN 1 THEN '/a/b/a/b/a/p' || CAST(doc_id AS VARCHAR)
+                   WHEN 2 THEN '/p' || CAST(doc_id AS VARCHAR)
+                               || '?sid=' || CAST(doc_id AS VARCHAR)
+                   WHEN 3 THEN '/s1/s2/s3/s4/s5/s6/p'
+                               || CAST(doc_id AS VARCHAR)
+                   ELSE '/page/p' || CAST(doc_id AS VARCHAR)
+                 END AS url
+          FROM documents),
+        sig AS (
+          SELECT host, depth, qpos > 0 AS has_query,
+                 len(list_filter(list_distinct(segs),
+                     d -> len(list_filter(segs, x -> x = d)) >= 3)) > 0
+                   AS seg_repeat,
+                 len(list_filter(segs,
+                     s -> regexp_full_match(s, '[0-9]+'))) >= 2
+                   AS calendar_like,
+                 depth >= 6 AS deep
+          FROM (
+            SELECT host,
+                   len(list_filter(string_split(path, '/'), s -> s <> ''))
+                     AS depth,
+                   list_filter(string_split(path, '/'), s -> s <> '')
+                     AS segs,
+                   qpos
+            FROM (
+              SELECT host,
+                     CASE WHEN qpos > 0
+                          THEN substr(path_q, 1, qpos - 1)
+                          ELSE path_q END AS path,
+                     qpos
+              FROM (
+                SELECT host, path_q, strpos(path_q, '?') AS qpos
+                FROM (
+                  SELECT host,
+                         CASE WHEN strpos(after, '/') > 0
+                              THEN substr(after, strpos(after, '/'))
+                              ELSE '/' END AS path_q
+                  FROM (SELECT host, split_part(url, '://', 2) AS after
+                        FROM u))))))
+        SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(max(depth) AS BIGINT) AS max_depth,
+               CAST(sum(CAST(has_query AS BIGINT)) AS BIGINT) AS n_param,
+               CAST(sum(CAST(seg_repeat AS BIGINT)) AS BIGINT) AS n_repeat,
+               CAST(sum(CAST(calendar_like AS BIGINT)) AS BIGINT)
+                 AS n_calendar,
+               CAST(sum(CAST(deep AS BIGINT)) AS BIGINT) AS n_deep,
+               CAST((10000 * sum(CAST(has_query AS BIGINT))) // count(*)
+                 AS BIGINT) AS param_share_bp,
+               CAST((10000 * sum(CAST(seg_repeat AS BIGINT))) // count(*)
+                 AS BIGINT) AS repeat_share_bp,
+               CAST((10000 * sum(CAST(calendar_like AS BIGINT))) // count(*)
+                 AS BIGINT) AS calendar_share_bp,
+               CAST((10000 * sum(CAST(deep AS BIGINT))) // count(*)
+                 AS BIGINT) AS deep_share_bp,
+               CAST(greatest(
+                 (10000 * sum(CAST(has_query AS BIGINT))) // count(*),
+                 (10000 * sum(CAST(seg_repeat AS BIGINT))) // count(*),
+                 (10000 * sum(CAST(calendar_like AS BIGINT))) // count(*),
+                 (10000 * sum(CAST(deep AS BIGINT))) // count(*))
+                 AS BIGINT) AS trap_score_bp,
+               greatest(
+                 (10000 * sum(CAST(has_query AS BIGINT))) // count(*),
+                 (10000 * sum(CAST(seg_repeat AS BIGINT))) // count(*),
+                 (10000 * sum(CAST(calendar_like AS BIGINT))) // count(*),
+                 (10000 * sum(CAST(deep AS BIGINT))) // count(*)) >= 2500
+                 AS is_trap
+        FROM sig GROUP BY host
+    """
+
+    o["hot_keys"] = """
+        WITH counts AS (
+          SELECT 'h' || CAST(user_id % 23 AS VARCHAR) AS host,
+                 count(*) AS n_rows
+          FROM events GROUP BY 1),
+        tot AS (SELECT sum(n_rows) AS total_rows, count(*) AS n_keys
+                FROM counts),
+        ranked AS (
+          SELECT host, n_rows,
+                 row_number() OVER (ORDER BY n_rows DESC, host) AS rank
+          FROM counts)
+        SELECT host, CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(rank AS BIGINT) AS rank,
+               CAST((10000 * n_rows) // total_rows AS BIGINT) AS share_bp,
+               CAST(total_rows AS BIGINT) AS total_rows,
+               CAST(n_keys AS BIGINT) AS n_keys,
+               CAST((10000 * n_rows * n_keys) // total_rows AS BIGINT)
+                 AS imbalance_bp
+        FROM ranked, tot WHERE rank <= 10
+    """
+
+    o["compaction_plan"] = """
+        WITH m AS (
+          SELECT 'p' || CAST(doc_id % 7 AS VARCHAR) AS part,
+                 'f' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS path,
+                 (doc_id * 37) % 250 + 1 AS bytes
+          FROM documents),
+        c AS (
+          SELECT part, path, bytes, bytes < 128 AS small,
+                 CASE WHEN bytes < 128 THEN coalesce(sum(
+                   CASE WHEN bytes < 128 THEN bytes ELSE 0 END) OVER (
+                     PARTITION BY part ORDER BY path
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 END AS cum
+          FROM m)
+        SELECT part, path, CAST(bytes AS BIGINT) AS bytes,
+               CASE WHEN small THEN 'compact' ELSE 'keep' END AS action,
+               CAST(CASE WHEN small THEN cum // 256 ELSE -1 END AS BIGINT)
+                 AS grp,
+               CAST(CASE WHEN small THEN cum - (cum // 256) * 256
+                         ELSE -1 END AS BIGINT) AS grp_off
+        FROM c
     """
 
     o["incremental_dedup"] = """

@@ -176,3 +176,49 @@ def test_crawl_resume_after_results_compaction(spark, tables, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         store.compact(spark, "frontier")
+
+
+def test_compaction_plan_binpack(spark):
+    from crawl4ai_spark.operators.maintenance import (
+        compaction_plan, compaction_summary)
+
+    rows = [
+        ("p1", "f01", 40), ("p1", "f02", 40), ("p1", "f03", 40),
+        ("p1", "f04", 500),                       # already compact -> keep
+        ("p1", "f05", 90),
+        ("p2", "f06", 10), ("p2", "f07", 10),     # singleton-ish group
+    ]
+    df = spark.createDataFrame(rows, "part string, path string, bytes long")
+    got = {r["path"]: r for r in compaction_plan(
+        df, target_bytes=100, small_bytes=100).collect()}
+    # p1 smalls in path order: f01(cum0) f02(cum40) f03(cum80) f05(cum120)
+    assert (got["f01"]["grp"], got["f01"]["grp_off"]) == (0, 0)
+    assert (got["f02"]["grp"], got["f02"]["grp_off"]) == (0, 40)
+    assert (got["f03"]["grp"], got["f03"]["grp_off"]) == (0, 80)  # overhang
+    assert (got["f05"]["grp"], got["f05"]["grp_off"]) == (1, 20)
+    assert (got["f04"]["action"], got["f04"]["grp"]) == ("keep", -1)
+    assert (got["f06"]["grp"], got["f07"]["grp_off"]) == (0, 10)
+
+    summ = {(r["part"], r["grp"]): (r["n_files"], r["grp_bytes"])
+            for r in compaction_summary(compaction_plan(
+                df, 100, 100)).collect()}
+    assert summ[("p1", 0)] == (3, 120)
+    assert summ[("p1", 1)] == (1, 90)
+    assert summ[("p2", 0)] == (2, 20)
+
+    # partitioning invariance
+    again = {r["path"]: (r["grp"], r["grp_off"]) for r in compaction_plan(
+        df.repartition(5), 100, 100).collect()}
+    assert again == {p: (r["grp"], r["grp_off"]) for p, r in got.items()}
+
+
+def test_hot_key_report(spark):
+    from crawl4ai_spark.operators.skew import hot_key_report
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 15 + [("d",)] * 5
+    df = spark.createDataFrame(rows, "host string")
+    got = [tuple(r) for r in hot_key_report(df, "host", k=2).collect()]
+    # (key, n_rows, rank, share_bp, total_rows, n_keys, imbalance_bp)
+    assert got[0] == ("a", 50, 1, 5000, 100, 4, 20000)  # 2x the mean -> 20000
+    assert got[1] == ("b", 30, 2, 3000, 100, 4, 12000)
+    assert len(got) == 2

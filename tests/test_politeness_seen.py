@@ -270,3 +270,39 @@ def test_drain_forecast_makespan(spark):
     assert (got["b"]["n_urls"], got["b"]["supersteps_to_drain"]) == (7, 7)
     assert (got["c"]["budget"], got["c"]["supersteps_to_drain"]) == (2, 1)
     assert [h for h, r in got.items() if r["is_critical"]] == ["b"]
+
+
+def test_trap_report_signals(spark):
+    from crawl4ai_spark.operators.traps import trap_report, url_trap_signals
+
+    rows = [
+        ("good.test", "https://good.test/articles/science"),
+        ("good.test", "https://good.test/about"),
+        ("good.test", "https://good.test"),                # no path at all
+        ("loop.test", "https://loop.test/a/b/a/b/a/x"),    # seg repeat >= 3
+        ("loop.test", "https://loop.test/a/b/a/y"),        # only 2 'a' -> ok
+        ("cal.test", "https://cal.test/2024/11/03/post"),  # calendar
+        ("sess.test", "https://sess.test/p?sid=123"),      # query param
+        ("deep.test", "https://deep.test/a/b/c/d/e/f/g"),  # depth 7
+    ]
+    df = spark.createDataFrame(rows, "host string, url string")
+    sig = {r["url"]: r for r in url_trap_signals(df).collect()}
+    assert sig["https://good.test"]["depth"] == 0
+    assert sig["https://loop.test/a/b/a/b/a/x"]["seg_repeat"]
+    assert not sig["https://loop.test/a/b/a/y"]["seg_repeat"]
+    assert sig["https://cal.test/2024/11/03/post"]["calendar_like"]
+    assert sig["https://sess.test/p?sid=123"]["has_query"]
+    assert sig["https://sess.test/p?sid=123"]["path"] == "/p"
+    assert sig["https://deep.test/a/b/c/d/e/f/g"]["deep"]
+
+    rep = {r["host"]: r for r in trap_report(df).collect()}
+    assert not rep["good.test"]["is_trap"]
+    assert rep["good.test"]["trap_score_bp"] == 0
+    assert rep["loop.test"]["repeat_share_bp"] == 5000
+    assert rep["loop.test"]["is_trap"]
+    assert rep["cal.test"]["calendar_share_bp"] == 10000
+    assert rep["sess.test"]["param_share_bp"] == 10000
+    assert rep["deep.test"]["deep_share_bp"] == 10000
+    assert all(r["trap_score_bp"] == max(
+        r["param_share_bp"], r["repeat_share_bp"],
+        r["calendar_share_bp"], r["deep_share_bp"]) for r in rep.values())

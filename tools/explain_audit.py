@@ -660,6 +660,56 @@ def main() -> None:
         ae_plan, ["HashAggregate"],
     ))
 
+    # 44. trap report: zero-shuffle per-URL signals + ONE host groupBy
+    from crawl4ai_spark.operators.traps import trap_report
+
+    aud_fr = spark.range(0, 5000).select(
+        F.concat(F.lit("h"), (F.col("id") % 31).cast("string")).alias("host"),
+        F.concat(F.lit("https://h"), (F.col("id") % 31).cast("string"),
+                 F.lit(".test/a/b/p"), F.col("id").cast("string"))
+        .alias("url"))
+    import re as _re
+
+    def _n_exchanges(plan: str) -> int:
+        # detail section lists each node once as "(n) Exchange"
+        return len(_re.findall(r"^\(\d+\) Exchange", plan, _re.M))
+
+    tr_plan = plan_of(trap_report(aud_fr))
+    sections.append((
+        "Trap report (codegen URL signals + one host partial-agg)",
+        tr_plan, ["HashAggregate"],
+    ))
+    if _n_exchanges(tr_plan) > 1:  # the one agg shuffle
+        sections[-1] = (sections[-1][0] + " — FAIL: extra shuffle",
+                        tr_plan, sections[-1][2])
+
+    # 45. hot-key report: ONE corpus groupBy; the rank window sorts only
+    # the key-sized counts frame; totals are a broadcast one-row join
+    from crawl4ai_spark.operators.skew import hot_key_report
+
+    hk_plan = plan_of(hot_key_report(aud_fr, "host", k=10))
+    sections.append((
+        "Hot-key report (one corpus agg, key-sized rank window, "
+        "broadcast totals)",
+        hk_plan, ["HashAggregate", "Window", "BroadcastNestedLoopJoin"],
+    ))
+
+    # 46. compaction plan: ONE shuffle on the table-partition key
+    from crawl4ai_spark.operators.maintenance import compaction_plan
+
+    aud_man = spark.range(0, 3000).select(
+        F.concat(F.lit("p"), (F.col("id") % 7).cast("string")).alias("part"),
+        F.concat(F.lit("f"), F.col("id").cast("string")).alias("path"),
+        (F.col("id") % 300 + 1).alias("bytes"))
+    cp_plan = plan_of(compaction_plan(aud_man, 256, 128))
+    sections.append((
+        "Compaction plan (one partition-key window; no global order)",
+        cp_plan, ["Window"],
+    ))
+    if _n_exchanges(cp_plan) > 1:
+        sections[-1] = (sections[-1][0] + " — FAIL: extra shuffle",
+                        cp_plan, sections[-1][2])
+
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)\n"]
     out.append(
         "Generated by tools/explain_audit.py. Verdict lines check the "
