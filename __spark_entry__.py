@@ -385,6 +385,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["recrawl_schedule"] = q_recrawl
 
+    def q_revalidation_plan(spark, sf):
+        # conditional-fetch planning: serve_cache / revalidate (ETag wins
+        # over Last-Modified) / refetch over a synthesized cache table
+        from crawl4ai_spark.operators.recrawl import revalidation_plan
+
+        d = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("long"), F.col("n_chars").cast("long"))
+        i = F.col("doc_id")
+        cache = d.select(
+            F.concat(F.lit("u"), i.cast("string")).alias("url"),
+            F.expr("timestampadd(HOUR, CAST(doc_id % 96 AS INT), "
+                   "TIMESTAMP_NTZ '2024-01-01 00:00:00')")
+             .alias("fetched_at"),
+            (((i % 5) + 1) * 43200).alias("ttl_s"),
+            F.when(i % 3 == 0, F.concat(F.lit('W/"'), i.cast("string"),
+                                        F.lit('"'))).alias("etag"),
+            F.when(i % 4 == 0, F.concat(F.lit("Mon, 0"), i.cast("string")))
+             .otherwise(F.lit("")).alias("last_modified"),
+            F.col("n_chars").alias("page_bytes"),
+        )
+        return revalidation_plan(cache, now="2024-01-03 00:00:00").select(
+            "url", "ttl_s", "age_s", "action", "cond_header", "reval_bytes")
+    q["revalidation_plan"] = q_revalidation_plan
+
     def q_sessionize(spark, sf):
         ev = _t(spark, sf, "events")
         return session_stats(ev, gap_s=1800).select(
@@ -2510,6 +2534,42 @@ def oracle_sql() -> dict[str, str]:
                  (10000 * sum(CAST(deep AS BIGINT))) // count(*)) >= 2500
                  AS is_trap
         FROM sig GROUP BY host
+    """
+
+    o["revalidation_plan"] = """
+        WITH c AS (
+          SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                 TIMESTAMP '2024-01-01 00:00:00'
+                   + (doc_id % 96) * INTERVAL 1 HOUR AS fetched_at,
+                 ((doc_id % 5) + 1) * 43200 AS ttl_s,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN 'W/"' || CAST(doc_id AS VARCHAR) || '"' END
+                   AS etag,
+                 CASE WHEN doc_id % 4 = 0
+                      THEN 'Mon, 0' || CAST(doc_id AS VARCHAR)
+                      ELSE '' END AS last_modified,
+                 n_chars AS page_bytes
+          FROM documents),
+        s AS (
+          SELECT url, ttl_s,
+                 date_diff('second', fetched_at,
+                           TIMESTAMP '2024-01-03 00:00:00') AS age_s,
+                 (etag IS NOT NULL AND etag <> '') AS he,
+                 (last_modified IS NOT NULL AND last_modified <> '') AS hl,
+                 page_bytes
+          FROM c)
+        SELECT url, CAST(ttl_s AS BIGINT) AS ttl_s,
+               CAST(age_s AS BIGINT) AS age_s,
+               CASE WHEN age_s < ttl_s THEN 'serve_cache'
+                    WHEN he OR hl THEN 'revalidate'
+                    ELSE 'refetch' END AS action,
+               CASE WHEN age_s >= ttl_s AND he THEN 'if-none-match'
+                    WHEN age_s >= ttl_s AND hl THEN 'if-modified-since'
+                    END AS cond_header,
+               CAST(CASE WHEN age_s >= ttl_s AND (he OR hl)
+                         THEN page_bytes ELSE 0 END AS BIGINT)
+                 AS reval_bytes
+        FROM s
     """
 
     o["hot_keys"] = """

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["recrawl_schedule"]
+__all__ = ["recrawl_schedule", "revalidation_plan"]
 
 
 def recrawl_schedule(
@@ -83,3 +83,57 @@ def recrawl_schedule(
         age_us.alias("age_us"),
         (age_us.cast("double") >= ttl * F.lit(1_000_000.0)).alias("due"),
     )
+
+
+def revalidation_plan(
+    cache: DataFrame,
+    now: str,
+    url_col: str = "url",
+    ts_col: str = "fetched_at",
+    ttl_col: str = "ttl_s",
+    etag_col: str = "etag",
+    lastmod_col: str = "last_modified",
+    size_col: str = "page_bytes",
+) -> DataFrame:
+    """Conditional-fetch planning over the page cache — the validator
+    dimension ``recrawl_schedule`` leaves on the table: a page whose TTL
+    has lapsed does NOT need a full refetch if the origin gave us an
+    ETag or Last-Modified (a conditional GET answering 304 costs headers,
+    not the payload — at 10^10 cached pages the difference is the
+    egress bill).  Reference cache semantics are a fixed-TTL serve/skip
+    (cache_context.py CacheMode + utils.py's 7-day window); the
+    revalidation tier is engine-native.
+
+    Per cached row:
+      - ``age_s``  — whole seconds since the fetch (integer),
+      - ``action`` — 'serve_cache' (age < ttl) | 'revalidate' (stale but
+        a validator exists) | 'refetch' (stale, no validator),
+      - ``cond_header`` — 'if-none-match' (ETag wins, per RFC 9110
+        §13.1.2's precedence) else 'if-modified-since', NULL unless
+        revalidating,
+      - ``reval_bytes`` — payload bytes a 304 would save (0 otherwise).
+
+    Pure codegen, zero shuffle, all-integer; ``now`` is an explicit
+    timestamp literal so plans are deterministic and testable.
+    """
+    age_s = F.expr(
+        f"timestampdiff(SECOND, {ts_col}, TIMESTAMP_NTZ '{now}')"
+    ).cast("long")
+    has_etag = F.col(etag_col).isNotNull() & (F.col(etag_col) != "")
+    has_lm = F.col(lastmod_col).isNotNull() & (F.col(lastmod_col) != "")
+    stale = age_s >= F.col(ttl_col).cast("long")
+    action = (
+        F.when(~stale, F.lit("serve_cache"))
+        .when(has_etag | has_lm, F.lit("revalidate"))
+        .otherwise(F.lit("refetch"))
+    )
+    cond = F.when(
+        stale & has_etag, F.lit("if-none-match")
+    ).when(stale & has_lm, F.lit("if-modified-since"))
+    saved = F.when(action == "revalidate",
+                   F.col(size_col).cast("long")).otherwise(F.lit(0))
+    return (cache
+            .withColumn("age_s", age_s)
+            .withColumn("action", action)
+            .withColumn("cond_header", cond)
+            .withColumn("reval_bytes", saved.cast("long")))

@@ -855,3 +855,38 @@ def test_incremental_dedup_partition_invariance(spark):
         batch.repartition(13), store.repartition(7))
         .select("doc_id", "status", "dup_of").collect()))
     assert a == b and len(a) == 60
+
+
+def test_revalidation_plan_actions(spark):
+    from crawl4ai_spark.operators.recrawl import revalidation_plan
+
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # (url, fetched_at, ttl_s, etag, last_modified, page_bytes)
+        ("fresh", t0, 86400, None, None, 100),
+        ("etag", t0, 3600, 'W/"abc"', "Mon", 200),
+        ("lm", t0, 3600, "", "Mon, 01 Jan", 300),
+        ("bare", t0, 3600, None, "", 400),
+        ("edge", t0, 7200, None, None, 500),  # age==ttl
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, fetched_at timestamp_ntz, ttl_s long, "
+              "etag string, last_modified string, page_bytes long")
+    got = {r["url"]: r for r in revalidation_plan(
+        df, now="2024-01-01 02:00:00").collect()}
+    assert got["fresh"]["action"] == "serve_cache"
+    assert got["fresh"]["cond_header"] is None
+    assert got["fresh"]["reval_bytes"] == 0
+    # ETag wins over Last-Modified (RFC 9110 precedence)
+    assert (got["etag"]["action"], got["etag"]["cond_header"]) == (
+        "revalidate", "if-none-match")
+    assert got["etag"]["reval_bytes"] == 200
+    assert (got["lm"]["action"], got["lm"]["cond_header"]) == (
+        "revalidate", "if-modified-since")
+    assert got["bare"]["action"] == "refetch"
+    assert got["bare"]["reval_bytes"] == 0
+    # age == ttl is stale (>=)
+    assert got["edge"]["action"] == "refetch"
+    assert all(r["age_s"] == 7200 for r in got.values())

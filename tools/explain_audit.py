@@ -710,6 +710,26 @@ def main() -> None:
         sections[-1] = (sections[-1][0] + " — FAIL: extra shuffle",
                         cp_plan, sections[-1][2])
 
+    # 47. revalidation plan: pure codegen over the cache table, zero shuffle
+    from crawl4ai_spark.operators.recrawl import revalidation_plan
+
+    aud_cache = spark.range(0, 2000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        F.expr("timestampadd(HOUR, CAST(id % 96 AS INT), "
+               "TIMESTAMP_NTZ '2024-01-01 00:00:00')").alias("fetched_at"),
+        ((F.col("id") % 5 + 1) * 43200).alias("ttl_s"),
+        F.when(F.col("id") % 3 == 0, F.lit('W/"x"')).alias("etag"),
+        F.lit("").alias("last_modified"),
+        (F.col("id") % 9000).alias("page_bytes"))
+    rv_plan = plan_of(revalidation_plan(aud_cache, now="2024-01-03 00:00:00"))
+    sections.append((
+        "Revalidation plan (codegen cache classification, zero shuffle)",
+        rv_plan, ["Project"],
+    ))
+    if _n_exchanges(rv_plan) > 0:
+        sections[-1] = (sections[-1][0] + " — FAIL: unexpected shuffle",
+                        rv_plan, sections[-1][2])
+
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)\n"]
     out.append(
         "Generated by tools/explain_audit.py. Verdict lines check the "
