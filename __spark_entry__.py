@@ -1940,6 +1940,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return png_chunk_audit(imgs)
     q["png_audit"] = q_png_audit
 
+    def q_caption_gate(spark, sf):
+        # LAION-style caption screen over doc_id-classed captions: every
+        # drop reason (placeholder/filename/too_short/url/low_alpha) and
+        # the keep path fire at every sf
+        from crawl4ai_spark.operators.multimodal import caption_quality_gate
+
+        i = F.col("doc_id")
+        cap = (
+            F.when(i % 7 == 0, F.concat(F.lit("IMG_"), i.cast("string")))
+            .when(i % 7 == 1, F.concat(F.lit("snapshot "), i.cast("string"),
+                                       F.lit(".jpg")))
+            .when(i % 7 == 2, F.concat(F.lit("see https://h"),
+                                       (i % 13).cast("string"),
+                                       F.lit(".test/p")))
+            .when(i % 7 == 3, F.concat(F.lit("!!! ### "), i.cast("string")))
+            .when(i % 7 == 4, F.lit("photo"))
+            .when(i % 7 == 5, F.lit("x"))
+            .otherwise(F.concat(F.lit("a scenic view of item "),
+                                i.cast("string")))
+        )
+        pairs = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("long"), cap.alias("caption"))
+        return caption_quality_gate(pairs).select(
+            "doc_id", "caption_chars", "caption_words", "placeholder",
+            "filename_like", "too_short", "has_url", "low_alpha",
+            "drop_reason", "keep")
+    q["caption_gate"] = q_caption_gate
+
     def q_dsir_resample(spark, sf):
         # the resampling half of DSIR (Xie et al. 2023 §3): Gumbel-top-k
         # draw ∝ exp(llr) over the dsir_weights output; race keys rounded
@@ -2534,6 +2562,57 @@ def oracle_sql() -> dict[str, str]:
                  (10000 * sum(CAST(deep AS BIGINT))) // count(*)) >= 2500
                  AS is_trap
         FROM sig GROUP BY host
+    """
+
+    o["caption_gate"] = r"""
+        WITH c AS (
+          SELECT doc_id,
+                 CASE doc_id % 7
+                   WHEN 0 THEN 'IMG_' || CAST(doc_id AS VARCHAR)
+                   WHEN 1 THEN 'snapshot ' || CAST(doc_id AS VARCHAR)
+                               || '.jpg'
+                   WHEN 2 THEN 'see https://h'
+                               || CAST(doc_id % 13 AS VARCHAR) || '.test/p'
+                   WHEN 3 THEN '!!! ### ' || CAST(doc_id AS VARCHAR)
+                   WHEN 4 THEN 'photo'
+                   WHEN 5 THEN 'x'
+                   ELSE 'a scenic view of item ' || CAST(doc_id AS VARCHAR)
+                 END AS caption
+          FROM documents),
+        s AS (
+          SELECT doc_id, trim(caption) AS t, lower(trim(caption)) AS lo,
+                 length(trim(caption)) AS n_chars,
+                 len(list_filter(string_split_regex(trim(caption), '\s+'),
+                     w -> w <> '')) AS n_words,
+                 length(regexp_replace(trim(caption), '[^a-zA-Z]', '', 'g'))
+                   AS n_alpha
+          FROM c),
+        f AS (
+          SELECT doc_id, n_chars, n_words,
+                 lo IN ('image', 'photo', 'picture', 'untitled',
+                        'thumbnail', 'no caption') AS placeholder,
+                 (regexp_matches(t,
+                    '(?i)^(img|dsc|dscn|pict|image|photo)[-_ ]?[0-9]+$')
+                  OR regexp_matches(t,
+                    '(?i)\.(jpe?g|png|gif|webp|bmp|tiff?)$'))
+                   AS filename_like,
+                 (n_words < 2 OR n_chars < 5) AS too_short,
+                 (strpos(lo, 'http://') > 0 OR strpos(lo, 'https://') > 0
+                  OR regexp_matches(t, '(?i)(^|\s)www\.')) AS has_url,
+                 (n_chars > 0 AND 10000 * n_alpha < 5000 * n_chars)
+                   AS low_alpha
+          FROM s)
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS caption_chars,
+               CAST(n_words AS BIGINT) AS caption_words,
+               placeholder, filename_like, too_short, has_url, low_alpha,
+               CASE WHEN placeholder THEN 'placeholder'
+                    WHEN filename_like THEN 'filename_like'
+                    WHEN too_short THEN 'too_short'
+                    WHEN has_url THEN 'has_url'
+                    WHEN low_alpha THEN 'low_alpha' END AS drop_reason,
+               (NOT placeholder AND NOT filename_like AND NOT too_short
+                AND NOT has_url AND NOT low_alpha) AS keep
+        FROM f
     """
 
     o["revalidation_plan"] = """

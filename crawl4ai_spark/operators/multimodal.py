@@ -491,3 +491,72 @@ def png_chunk_audit(images: DataFrame, bytes_col: str = "bytes",
                 "truncated", "trailing_bytes"])
 
     return images.select(id_col, bytes_col).mapInPandas(run, fields)
+
+
+# ---------------------------------------------------------------------------
+# Caption quality gate (LAION/DataComp-style caption filtering)
+# ---------------------------------------------------------------------------
+
+def caption_quality_gate(pairs: DataFrame, caption_col: str = "caption",
+                         min_words: int = 2, min_chars: int = 5,
+                         min_alpha_bp: int = 5000) -> DataFrame:
+    """Caption-side curation for image+caption pairs — the screen LAION
+    and DataComp run beside the CLIP/aesthetic gates: crawl alt-text is
+    full of camera filenames (``IMG_1234``), placeholder words
+    (``photo``), pasted URLs and punctuation soup, none of which make
+    training captions.  Heuristics follow Schuhmann et al. 2021 §2.2
+    (LAION-400M's caption filters) re-expressed as exact column
+    predicates.
+
+    Drop reasons, first-failing in this order (NULL when kept):
+      - ``placeholder``   — the whole trimmed caption (lowercased) is a
+        stock word: image/photo/picture/untitled/thumbnail/no caption,
+      - ``filename_like`` — camera-file stem (``(img|dsc|dscn|pict|
+        image|photo)[-_ ]?digits``) or an image-extension suffix,
+      - ``too_short``     — < ``min_words`` words or < ``min_chars``
+        chars (NULL captions land here),
+      - ``has_url``       — http(s):// anywhere or a www. token,
+      - ``low_alpha``     — ASCII-letter chars < ``min_alpha_bp`` basis
+        points of the caption length (punctuation/digit soup; Latin-
+        alphabet heuristic, swap the class for a production corpus).
+
+    Adds ``caption_chars``/``caption_words`` (integers), one boolean per
+    signal, ``drop_reason`` and ``keep``.  Pure codegen, zero shuffle;
+    the regexes use only Java-regex/RE2-common constructs (inline (?i),
+    classes, anchors — no backrefs, no lookaround).
+    """
+    cap = F.coalesce(F.col(caption_col), F.lit(""))
+    trimmed = F.trim(cap)
+    low = F.lower(trimmed)
+    n_chars = F.length(trimmed).cast("long")
+    words = F.filter(F.split(trimmed, r"\s+"), lambda w: w != "")
+    n_words = F.size(words).cast("long")
+    n_alpha = F.length(
+        F.regexp_replace(trimmed, "[^a-zA-Z]", "")).cast("long")
+    placeholder = low.isin("image", "photo", "picture", "untitled",
+                           "thumbnail", "no caption")
+    filename_like = (
+        trimmed.rlike(r"(?i)^(img|dsc|dscn|pict|image|photo)[-_ ]?[0-9]+$")
+        | trimmed.rlike(r"(?i)\.(jpe?g|png|gif|webp|bmp|tiff?)$"))
+    too_short = (n_words < min_words) | (n_chars < min_chars)
+    has_url = (F.instr(low, "http://") > 0) | (F.instr(low, "https://") > 0) \
+        | trimmed.rlike(r"(?i)(^|\s)www\.")
+    low_alpha = (n_chars > 0) & (
+        10000 * n_alpha < F.lit(int(min_alpha_bp)) * n_chars)
+    reason = (
+        F.when(placeholder, F.lit("placeholder"))
+        .when(filename_like, F.lit("filename_like"))
+        .when(too_short, F.lit("too_short"))
+        .when(has_url, F.lit("has_url"))
+        .when(low_alpha, F.lit("low_alpha"))
+    )
+    return (pairs
+            .withColumn("caption_chars", n_chars)
+            .withColumn("caption_words", n_words)
+            .withColumn("placeholder", placeholder)
+            .withColumn("filename_like", filename_like)
+            .withColumn("too_short", too_short)
+            .withColumn("has_url", has_url)
+            .withColumn("low_alpha", low_alpha)
+            .withColumn("drop_reason", reason)
+            .withColumn("keep", reason.isNull()))

@@ -282,3 +282,35 @@ def test_png_chunk_audit_stage(spark):
              for r in png_chunk_audit(df.repartition(3)).collect()}
     assert {k: tuple(v) for k, v in got.items()} == {
         k: tuple(v) for k, v in again.items()}
+
+
+def test_caption_quality_gate(spark):
+    from crawl4ai_spark.operators.multimodal import caption_quality_gate
+
+    rows = [
+        ("good", "a scenic view of the harbor at dusk"),
+        ("ph", "  Photo "),                    # placeholder (trim+case)
+        ("fn1", "IMG_1234"),
+        ("fn2", "dsc-0042"),
+        ("fn3", "sunset over the bay.jpeg"),   # extension suffix
+        ("short", "x"),
+        ("nullcap", None),
+        ("url", "check https://ex.test/full for more"),
+        ("www", "see www.example.com gallery"),
+        ("soup", "!!! ### 123 456 789 000"),
+        ("digits ok", "room 12 with 3 windows and a view"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, caption string")
+    got = {r["image_id"]: r for r in caption_quality_gate(df).collect()}
+    assert got["good"]["keep"] and got["good"]["drop_reason"] is None
+    assert got["ph"]["drop_reason"] == "placeholder"
+    assert got["fn1"]["drop_reason"] == "filename_like"
+    assert got["fn2"]["drop_reason"] == "filename_like"
+    assert got["fn3"]["drop_reason"] == "filename_like"
+    assert got["short"]["drop_reason"] == "too_short"
+    assert got["nullcap"]["drop_reason"] == "too_short"
+    assert got["nullcap"]["caption_chars"] == 0
+    assert got["url"]["drop_reason"] == "has_url"
+    assert got["www"]["drop_reason"] == "has_url"
+    assert got["soup"]["drop_reason"] == "low_alpha"
+    assert got["digits ok"]["keep"]  # digits fine while alpha >= 50%

@@ -730,6 +730,18 @@ def main() -> None:
         sections[-1] = (sections[-1][0] + " — FAIL: unexpected shuffle",
                         rv_plan, sections[-1][2])
 
+    # 48. caption quality gate: pure codegen over the pair table
+    from crawl4ai_spark.operators.multimodal import caption_quality_gate
+
+    cg_plan = plan_of(caption_quality_gate(aud_images))
+    sections.append((
+        "Caption quality gate (codegen predicates, zero shuffle)",
+        cg_plan, ["Project"],
+    ))
+    if _n_exchanges(cg_plan) > 0:
+        sections[-1] = (sections[-1][0] + " — FAIL: unexpected shuffle",
+                        cg_plan, sections[-1][2])
+
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)\n"]
     out.append(
         "Generated by tools/explain_audit.py. Verdict lines check the "
