@@ -1968,6 +1968,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "drop_reason", "keep")
     q["caption_gate"] = q_caption_gate
 
+    def q_image_release(spark, sf):
+        # flagship image-release composition: container sniff gate →
+        # caption quality gate → caption exact dedup → pHash exact dedup
+        # → per-format rollup; the DuckDB oracle chains the same stages
+        # as CTEs (sniff from the BLOB hex, caption ladder, two windows)
+        from crawl4ai_spark.operators.dedup import normalized_text
+        from crawl4ai_spark.operators.multimodal import (
+            caption_quality_gate, sniff_format)
+
+        oracle_expected.ensure_images_input(n_pages=280)
+        imgs = spark.read.parquet(
+            oracle_expected.expected_path("images_input"))
+        s = sniff_format(imgs).filter(
+            F.col("fmt_match")
+            & (F.col("header_ok").isNull() | F.col("header_ok")))
+        c = caption_quality_gate(s).filter("keep")
+        w_cap = Window.partitionBy(
+            F.md5(normalized_text(F.col("caption")))).orderBy("image_id")
+        c = (c.withColumn("__rn", F.row_number().over(w_cap))
+             .filter(F.col("__rn") == 1).drop("__rn"))
+        w_ph = Window.partitionBy("phash").orderBy("image_id")
+        c = (c.withColumn("__rn", F.row_number().over(w_ph))
+             .filter(F.col("__rn") == 1).drop("__rn"))
+        return (c.rollup("fmt").agg(
+            F.count("*").cast("long").alias("n_images"),
+            F.sum(F.length("bytes")).cast("long").alias("n_bytes"),
+            F.sum(F.length("caption")).cast("long").alias("caption_chars"))
+            .select(F.coalesce("fmt", F.lit("*")).alias("fmt"),
+                    "n_images", "n_bytes", "caption_chars"))
+    q["image_release"] = q_image_release
+
     def q_dsir_resample(spark, sf):
         # the resampling half of DSIR (Xie et al. 2023 §3): Gumbel-top-k
         # draw ∝ exp(llr) over the dsir_weights output; race keys rounded
@@ -3494,6 +3525,70 @@ def oracle_sql() -> dict[str, str]:
         FROM read_parquet('{_exp('images_input')}')
         GROUP BY 1
     """
+    o["image_release"] = f"""
+        WITH t AS (
+          SELECT image_id, fmt, w, h, caption, phash,
+                 left(hex(bytes), 128) AS hx, octet_length(bytes) AS olen
+          FROM read_parquet('{_exp('images_input')}')),
+        sn AS (
+          SELECT *,
+            CASE WHEN starts_with(hx, '89504E470D0A1A0A') THEN 'png'
+                 WHEN starts_with(hx, '5036') THEN 'ppm'
+                 WHEN starts_with(hx, '789C') THEN 'qlossy'
+                 ELSE 'raw' END AS sniffed_fmt
+          FROM t),
+        g1 AS (
+          SELECT * FROM (
+            SELECT *, sniffed_fmt = fmt AS fmt_match,
+              CASE sniffed_fmt
+                WHEN 'png' THEN
+                  substring(hx, 33, 8) = upper(lpad(to_hex(w), 8, '0'))
+                  AND substring(hx, 41, 8) = upper(lpad(to_hex(h), 8, '0'))
+                WHEN 'ppm' THEN starts_with(hx, hex(encode(
+                  'P6' || chr(10) || w || ' ' || h || chr(10) || '255'
+                  || chr(10))))
+                WHEN 'raw' THEN olen = CAST(w AS BIGINT) * h * 3
+                ELSE NULL END AS header_ok
+            FROM sn)
+          WHERE fmt_match AND (header_ok IS NULL OR header_ok)),
+        cg AS (
+          SELECT *, trim(caption) AS tc, lower(trim(caption)) AS lo,
+                 length(trim(caption)) AS n_chars,
+                 len(list_filter(string_split_regex(trim(caption), '\\s+'),
+                     x -> x <> '')) AS n_words,
+                 length(regexp_replace(trim(caption), '[^a-zA-Z]', '', 'g'))
+                   AS n_alpha
+          FROM g1),
+        g2 AS (
+          SELECT * FROM cg
+          WHERE NOT (lo IN ('image', 'photo', 'picture', 'untitled',
+                            'thumbnail', 'no caption'))
+            AND NOT (regexp_matches(tc,
+                  '(?i)^(img|dsc|dscn|pict|image|photo)[-_ ]?[0-9]+$')
+                 OR regexp_matches(tc,
+                  '(?i)\\.(jpe?g|png|gif|webp|bmp|tiff?)$'))
+            AND NOT (n_words < 2 OR n_chars < 5)
+            AND NOT (strpos(lo, 'http://') > 0
+                 OR strpos(lo, 'https://') > 0
+                 OR regexp_matches(tc, '(?i)(^|\\s)www\\.'))
+            AND NOT (n_chars > 0 AND 10000 * n_alpha < 5000 * n_chars)),
+        d1 AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY md5({cap_norm}) ORDER BY image_id) AS rn
+            FROM g2) WHERE rn = 1),
+        d2 AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY phash ORDER BY image_id) AS rn2
+            FROM d1) WHERE rn2 = 1)
+        SELECT coalesce(fmt, '*') AS fmt,
+               CAST(count(*) AS BIGINT) AS n_images,
+               CAST(sum(olen) AS BIGINT) AS n_bytes,
+               CAST(sum(length(caption)) AS BIGINT) AS caption_chars
+        FROM d2 GROUP BY ROLLUP(fmt)
+    """
+
     o["image_corpus_stats"] = f"""
         SELECT coalesce(fmt, '*') AS fmt,
                count(*) AS n_images,
