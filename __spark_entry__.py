@@ -2433,6 +2433,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["fineweb_filters"] = q_fineweb_filters
 
+    def q_resolve_redirects(spark, sf):
+        # bulk 3xx-chain resolution (reference follows redirects per-fetch,
+        # async_crawler_strategy.py; at 10^10 the accumulated redirect map
+        # is resolved in bulk instead): pointer-doubling walk, log2(H)
+        # self-joins vs the oracle's sequential recursive CTE.  Synthetic
+        # functional graph over doc_id: groups of 8 form chains of 1..7
+        # hops (terminal inside the group); every 11th group is an 8-cycle
+        # (unresolved); max_hops=4 splits resolved/too-long exactly.
+        from crawl4ai_spark.operators.redirects import resolve_redirects
+
+        d = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("i"))
+        g = F.expr("i DIV 8")
+        pos = F.col("i") % 8
+        is_cycle = (g % 11) == 0
+        edges = d.where(is_cycle | (pos < (g % 7) + 1)).select(
+            F.concat(F.lit("r"), F.col("i").cast("string")).alias("src_url"),
+            F.when(is_cycle,
+                   F.concat(F.lit("r"),
+                            (g * 8 + ((pos + 1) % 8)).cast("string")))
+             .otherwise(F.concat(F.lit("r"),
+                                 (F.col("i") + 1).cast("string")))
+             .alias("dst_url"),
+        )
+        return resolve_redirects(edges, max_hops=4).select(
+            "url", "final_url", F.col("hops").cast("long").alias("hops"),
+            "status")
+    q["resolve_redirects"] = q_resolve_redirects
+
     # ----------------------------------------------------------------------
     # Registration-order rotation: the driver's correctness gate checks the
     # FIRST 50 registered probes only (CORRECTNESS_r03 covered exactly the
@@ -4636,6 +4665,34 @@ def oracle_sql() -> dict[str, str]:
           FROM documents)
         SELECT doc_id, lang, n_chars, cum_size FROM c
         WHERE cum_size <= (CASE lang {_mix_case} ELSE 0 END)
+    """
+
+    o["resolve_redirects"] = """
+        WITH RECURSIVE e AS (
+          SELECT 'r' || CAST(doc_id AS VARCHAR) AS src,
+                 CASE WHEN (doc_id // 8) % 11 = 0
+                      THEN 'r' || CAST((doc_id // 8) * 8
+                                       + ((doc_id % 8) + 1) % 8 AS VARCHAR)
+                      ELSE 'r' || CAST(doc_id + 1 AS VARCHAR) END AS dst
+          FROM documents
+          WHERE (doc_id // 8) % 11 = 0
+             OR (doc_id % 8) < ((doc_id // 8) % 7) + 1),
+        srcs AS (SELECT DISTINCT src FROM e),
+        walk AS (
+          SELECT src AS start, dst AS cur, 1 AS hops FROM e
+          UNION ALL
+          SELECT w.start, e2.dst, w.hops + 1
+          FROM walk w JOIN e e2 ON w.cur = e2.src
+          WHERE w.hops < 4),
+        term AS (
+          SELECT w.start, w.cur, w.hops
+          FROM walk w LEFT JOIN srcs s ON w.cur = s.src
+          WHERE s.src IS NULL)
+        SELECT sr.src AS url, t.cur AS final_url,
+               CAST(t.hops AS BIGINT) AS hops,
+               CASE WHEN t.cur IS NULL THEN 'unresolved'
+                    ELSE 'resolved' END AS status
+        FROM srcs sr LEFT JOIN term t ON sr.src = t.start
     """
 
     return o
