@@ -2462,6 +2462,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "status")
     q["resolve_redirects"] = q_resolve_redirects
 
+    def q_surt_keys(spark, sf):
+        # SURT canonicalization battery: 8 URL shape classes per doc_id
+        # exercising every rule (case, www/www2, default vs explicit
+        # ports, userinfo, fragment, empty path, session/tracking-param
+        # drop, param sort); the oracle CONSTRUCTS the expected key
+        # arithmetically per class — the Spark parser is validated
+        # rule-by-rule against pure string algebra, never consulted.
+        from crawl4ai_spark.functions.surt import surt_key
+
+        d = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("d"))
+        h = (F.col("d") % 7).cast("string")
+        p = F.col("d").cast("string")
+        c = F.col("d") % 8
+        url = (
+            F.when(c == 0, F.concat(F.lit("https://w"), h,
+                                    F.lit(".test/doc/"), p))
+            .when(c == 1, F.concat(F.lit("HTTP://WWW.site"), h,
+                                   F.lit(".example.com/A/B?b="), p,
+                                   F.lit("&a=1")))
+            .when(c == 2, F.concat(F.lit("https://user:pw@h"), h,
+                                   F.lit(".test:8080/x")))
+            .when(c == 3, F.concat(F.lit("https://h"), h,
+                                   F.lit(".test:443/p?utm_source=x&id="),
+                                   p))
+            .when(c == 4, F.concat(F.lit("http://h"), h, F.lit(".test:80/")))
+            .when(c == 5, F.concat(F.lit("https://www2.h"), h,
+                                   F.lit(".test")))
+            .when(c == 6, F.concat(F.lit("https://h"), h,
+                                   F.lit(".test/p#frag?x="), p))
+            .otherwise(F.concat(F.lit("https://h"), h,
+                                F.lit(".test/p?jsessionid=abc&z=9&&a="), p))
+        )
+        return d.select(F.col("d").alias("doc_id"), url.alias("url"),
+                        surt_key(url).alias("surt"))
+    q["surt_keys"] = q_surt_keys
+
+    def q_cdx_index(spark, sf):
+        # CDX archive index over the WARC tier: build the deterministic
+        # segments (warcsynth), parse with the from-scratch reader (now
+        # emitting per-record byte geometry), derive the sorted capture
+        # index.  The oracle reconstructs EVERY column — SURT, 14-digit
+        # ts, mime, md5 digest, and the exact rec_length/offset byte
+        # geometry (header text + CRLF framing + windowed cumsum) — from
+        # the builder recipe in pure SQL; reader and indexer never enter
+        # the oracle side.
+        from crawl4ai_spark.operators.cdx import cdx_index
+
+        docs = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text")
+        recs = warc.warc_records_stage(warcsynth.warc_corpus(docs))
+        return cdx_index(recs).select(
+            "surt", "ts", "url", "mime",
+            F.col("status").cast("long").alias("status"),
+            "digest", "length", "offset", "filename")
+    q["cdx_index"] = q_cdx_index
+
+    def q_archive_revisits(spark, sf):
+        # revisit/dedup summary over a capture table (the digest column's
+        # payoff: WARC revisit stubs + saved bytes).  Synthetic captures:
+        # doc_id d gets 1 + d%3 captures; even-d recaptures repeat the
+        # first digest (revisits), odd-d recaptures are new versions;
+        # length grows 7 bytes per capture so dup_bytes exercises the
+        # first-capture-length subtraction.
+        from crawl4ai_spark.operators.cdx import revisit_stats
+
+        d = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("d"))
+        caps = d.select(
+            "d", F.explode(F.sequence(F.lit(0), (F.col("d") % 3))).alias("j"))
+        ver = F.when((F.col("j") > 0) & (F.col("d") % 2 == 0), F.lit(0)) \
+               .otherwise(F.col("j"))
+        cdx = caps.select(
+            F.concat(F.lit("test,h"), (F.col("d") % 23).cast("string"),
+                     F.lit(")/p/"), F.col("d").cast("string")).alias("surt"),
+            (F.lit(20240101000000) + F.col("j")).cast("string").alias("ts"),
+            F.md5(F.concat(F.lit("c"), F.col("d").cast("string"),
+                           F.lit("-"), ver.cast("string"))).alias("digest"),
+            (F.lit(100) + F.col("d") % 50 + F.col("j") * 7).cast("long")
+            .alias("length"),
+            F.concat(F.lit("f"), (F.col("d") % 5).cast("string"))
+            .alias("filename"),
+            (F.col("d") * 1000 + F.col("j")).cast("long").alias("offset"),
+        )
+        return revisit_stats(cdx)
+    q["archive_revisits"] = q_archive_revisits
+
     # ----------------------------------------------------------------------
     # Registration-order rotation: the driver's correctness gate checks the
     # FIRST 50 registered probes only (CORRECTNESS_r03 covered exactly the
@@ -4693,6 +4780,126 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN t.cur IS NULL THEN 'unresolved'
                     ELSE 'resolved' END AS status
         FROM srcs sr LEFT JOIN term t ON sr.src = t.start
+    """
+
+    o["surt_keys"] = """
+        SELECT doc_id,
+          CASE doc_id % 8
+            WHEN 0 THEN 'https://w' || h || '.test/doc/' || p
+            WHEN 1 THEN 'HTTP://WWW.site' || h || '.example.com/A/B?b='
+                        || p || '&a=1'
+            WHEN 2 THEN 'https://user:pw@h' || h || '.test:8080/x'
+            WHEN 3 THEN 'https://h' || h || '.test:443/p?utm_source=x&id='
+                        || p
+            WHEN 4 THEN 'http://h' || h || '.test:80/'
+            WHEN 5 THEN 'https://www2.h' || h || '.test'
+            WHEN 6 THEN 'https://h' || h || '.test/p#frag?x=' || p
+            ELSE 'https://h' || h || '.test/p?jsessionid=abc&z=9&&a=' || p
+          END AS url,
+          CASE doc_id % 8
+            WHEN 0 THEN 'test,w' || h || ')/doc/' || p
+            WHEN 1 THEN 'com,example,site' || h || ')/a/b?a=1&b=' || p
+            WHEN 2 THEN 'test,h' || h || ':8080)/x'
+            WHEN 3 THEN 'test,h' || h || ')/p?id=' || p
+            WHEN 4 THEN 'test,h' || h || ')/'
+            WHEN 5 THEN 'test,h' || h || ')/'
+            WHEN 6 THEN 'test,h' || h || ')/p'
+            ELSE 'test,h' || h || ')/p?a=' || p || '&z=9'
+          END AS surt
+        FROM (SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS h,
+                     CAST(doc_id AS VARCHAR) AS p
+              FROM documents)
+    """
+
+    # CDX: every column — including the byte geometry — reconstructed from
+    # the warcsynth builder recipe (record_fields_of/build_warc) in pure
+    # SQL: header text lengths + 8 CRLFs (16 bytes) per header, 4-byte
+    # inter-record separator, windowed cumsum for offsets.
+    o["cdx_index"] = """
+        WITH f AS (
+          SELECT doc_id, text,
+                 doc_id // 10 AS file_id,
+                 CAST(doc_id % 10 AS BIGINT) AS rec_i,
+                 'https://w' || CAST(doc_id % 7 AS VARCHAR) || '.test/doc/'
+                   || CAST(doc_id AS VARCHAR) AS uri,
+                 '2024-01-01T00:00:'
+                   || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z'
+                   AS wdate,
+                 CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END AS status,
+                 array_to_string(
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '')[1:5], ' ') AS title
+          FROM documents),
+        b AS (
+          SELECT *, '<html><head><title>' || title
+                    || '</title></head><body><p>' || text
+                    || '</p></body></html>' AS body
+          FROM f),
+        h AS (
+          SELECT *,
+            'HTTP/1.1 ' || CAST(status AS VARCHAR) || ' '
+              || CASE WHEN status = 200 THEN 'OK' ELSE 'Not Found' END
+              || chr(13) || chr(10)
+              || 'Content-Type: text/html; charset=utf-8'
+              || chr(13) || chr(10) || chr(13) || chr(10) || body AS http
+          FROM b),
+        g AS (
+          SELECT *, strlen(http) AS http_len,
+            strlen('WARC/1.0' || 'WARC-Type: response'
+                || 'WARC-Record-ID: <urn:uuid:rec-'
+                || CAST(rec_i AS VARCHAR) || '>'
+                || 'WARC-Date: ' || wdate
+                || 'WARC-Target-URI: ' || uri
+                || 'Content-Type: application/http; msgtype=response'
+                || 'Content-Length: ' || CAST(strlen(http) AS VARCHAR))
+              + 16 AS head_len
+          FROM h),
+        geo AS (
+          SELECT *, head_len + http_len AS rec_len,
+            COALESCE(SUM(head_len + http_len + 4) OVER (
+              PARTITION BY file_id ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS rec_off
+          FROM g)
+        SELECT 'test,w' || CAST(doc_id % 7 AS VARCHAR) || ')/doc/'
+                 || CAST(doc_id AS VARCHAR) AS surt,
+               '202401010000' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+                 AS ts,
+               uri AS url, 'text/html' AS mime,
+               CAST(status AS BIGINT) AS status,
+               md5(body) AS digest,
+               CAST(rec_len AS BIGINT) AS length,
+               CAST(rec_off AS BIGINT) AS offset,
+               'crawl-' || lpad(CAST(file_id AS VARCHAR), 5, '0')
+                 || '.warc' AS filename
+        FROM geo
+    """
+
+    o["archive_revisits"] = """
+        WITH caps AS (
+          SELECT doc_id AS d,
+                 unnest(generate_series(0, CAST(doc_id % 3 AS BIGINT))) AS j
+          FROM documents),
+        c2 AS (
+          SELECT 'test,h' || CAST(d % 23 AS VARCHAR) || ')/p/'
+                   || CAST(d AS VARCHAR) AS surt,
+                 CAST(20240101000000 + j AS VARCHAR) AS ts,
+                 md5('c' || CAST(d AS VARCHAR) || '-'
+                     || CAST(CASE WHEN j > 0 AND d % 2 = 0 THEN 0 ELSE j END
+                             AS VARCHAR)) AS digest,
+                 CAST(100 + d % 50 + j * 7 AS BIGINT) AS length
+          FROM caps),
+        v AS (
+          SELECT surt, digest, COUNT(*) AS caps, SUM(length) AS bytes,
+                 MIN(length) AS first_len,
+                 MIN(ts) AS min_ts, MAX(ts) AS max_ts
+          FROM c2 GROUP BY surt, digest)
+        SELECT surt, CAST(SUM(caps) AS BIGINT) AS captures,
+               CAST(COUNT(*) AS BIGINT) AS versions,
+               CAST(SUM(caps - 1) AS BIGINT) AS revisits,
+               CAST(SUM(bytes - first_len) AS BIGINT) AS dup_bytes,
+               MIN(min_ts) AS first_ts, MAX(max_ts) AS last_ts
+        FROM v GROUP BY surt
     """
 
     return o

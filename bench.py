@@ -566,11 +566,26 @@ def warc_ingest_bench(spark, n_docs: int = 50_000) -> dict:
     ).collect()[0]
     secs = time.time() - t0
     assert row["errs"] == 0, f"{row['errs']} WARC frames failed to parse"
-    return {
+    out = {
         "sec": round(secs, 3),
         "records": int(row["n"]),
         "records_per_sec": round(row["n"] / secs, 1),
     }
+    # CDX lane: parse → capture-index derivation → the range-partitioned
+    # global (surt, ts) sort — the index build a crawl ships beside its
+    # segments.  Timed end-to-end including the sort shuffle.
+    from crawl4ai_spark.operators.cdx import cdx_index
+
+    t0 = time.time()
+    cdx = cdx_index(warc_records_stage(files))
+    # noop sink executes the FULL plan (a count would let Catalyst elide
+    # the global sort)
+    cdx.write.format("noop").mode("overwrite").save()
+    cdx_secs = time.time() - t0
+    out["cdx_sec"] = round(cdx_secs, 3)
+    out["cdx_captures_per_sec"] = round(out["records"] / max(cdx_secs, 1e-9), 1)
+    out["sec"] = round(out["sec"] + cdx_secs, 3)
+    return out
 
 
 def hygiene_bench(spark, n_docs: int = 100_000) -> dict:

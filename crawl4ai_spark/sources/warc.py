@@ -36,7 +36,7 @@ __all__ = ["gunzip_members", "parse_warc", "warc_records_stage"]
 OUT_SCHEMA = (
     "file_id long, record_idx int, warc_type string, target_uri string, "
     "warc_date string, http_status int, content_type string, body string, "
-    "error string"
+    "rec_offset long, rec_length long, error string"
 )
 
 _SEP = b"\r\n\r\n"
@@ -46,7 +46,8 @@ def _row(file_id: int, idx: int, **kw) -> dict:
     base = {
         "file_id": file_id, "record_idx": idx, "warc_type": None,
         "target_uri": None, "warc_date": None, "http_status": None,
-        "content_type": None, "body": None, "error": None,
+        "content_type": None, "body": None, "rec_offset": None,
+        "rec_length": None, "error": None,
     }
     base.update(kw)
     return base
@@ -128,12 +129,17 @@ def parse_warc(file_id: int, data: bytes) -> list[dict]:
                              error=f"truncated payload: {len(payload)}"
                                    f"/{clen} bytes"))
             break
+        rec_start = pos
         pos = head_end + 4 + clen
         wtype = hdrs.get("warc-type")
         row = _row(
             file_id, idx, warc_type=wtype,
             target_uri=hdrs.get("warc-target-uri"),
             warc_date=hdrs.get("warc-date"),
+            # byte geometry within the (decompressed) stream — what a CDX
+            # index records so a replay can seek straight to the record;
+            # length spans header + payload, excluding the trailing CRLFs
+            rec_offset=rec_start, rec_length=pos - rec_start,
         )
         if wtype in ("conversion", "metadata"):
             # WET (conversion, text/plain extracted text) and WAT
@@ -173,7 +179,8 @@ def warc_records_stage(files: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["file_id", "record_idx", "warc_type", "target_uri",
-                "warc_date", "http_status", "content_type", "body", "error"]
+                "warc_date", "http_status", "content_type", "body",
+                "rec_offset", "rec_length", "error"]
         for b in batches:
             rows: list[dict] = []
             for r in b.itertuples():

@@ -107,7 +107,7 @@ def test_parse_warc_never_crashes_fuzz():
                 assert set(r) == {
                     "file_id", "record_idx", "warc_type", "target_uri",
                     "warc_date", "http_status", "content_type", "body",
-                    "error",
+                    "rec_offset", "rec_length", "error",
                 }
 
     run()

@@ -742,6 +742,83 @@ def main() -> None:
         sections[-1] = (sections[-1][0] + " — FAIL: unexpected shuffle",
                         cg_plan, sections[-1][2])
 
+    # 49. redirect resolution: pointer-doubling — log2(max_hops) hash
+    # joins, never a per-hop loop over the full edge set
+    from crawl4ai_spark.operators.redirects import resolve_redirects
+
+    aud_edges = spark.range(0, 5000).select(
+        F.concat(F.lit("r"), F.col("id").cast("string")).alias("src_url"),
+        F.concat(F.lit("r"), (F.col("id") + 1).cast("string"))
+        .alias("dst_url"))
+    rr_plan = plan_of(resolve_redirects(aud_edges, max_hops=32))
+    sections.append((
+        "Redirect resolution (pointer doubling: bounded joins for a "
+        "32-hop walk; no cartesian)",
+        rr_plan, ["Join"],
+    ))
+    if "CartesianProduct" in rr_plan or "BroadcastNestedLoop" in rr_plan:
+        sections[-1] = (sections[-1][0] + " — FAIL: non-equi join",
+                        rr_plan, sections[-1][2])
+
+    # 50. SURT key derivation: pure codegen string algebra, zero shuffle
+    from crawl4ai_spark.functions.surt import surt_key
+
+    aud_urls = spark.range(0, 2000).select(
+        F.concat(F.lit("https://www.h"), (F.col("id") % 9).cast("string"),
+                 F.lit(".example.com/p/"), F.col("id").cast("string"),
+                 F.lit("?b=2&a=1")).alias("url"))
+    sk_plan = plan_of(aud_urls.select(surt_key(F.col("url")).alias("surt")))
+    sections.append((
+        "SURT key (codegen string/array algebra, zero shuffle)",
+        sk_plan, ["Project"],
+    ))
+    if _n_exchanges(sk_plan) > 0:
+        sections[-1] = (sections[-1][0] + " — FAIL: unexpected shuffle",
+                        sk_plan, sections[-1][2])
+
+    # 51. CDX index: ONE range-partition exchange (the sorted shards ARE
+    # the binary-searchable index parts) over an in-memory records frame
+    from crawl4ai_spark.operators.cdx import cdx_index, revisit_stats
+
+    aud_recs = spark.range(0, 4000).select(
+        (F.col("id") % 40).alias("file_id"),
+        (F.col("id") / 40).cast("int").alias("record_idx"),
+        F.lit("response").alias("warc_type"),
+        F.concat(F.lit("https://h"), (F.col("id") % 9).cast("string"),
+                 F.lit(".test/p/"), F.col("id").cast("string"))
+        .alias("target_uri"),
+        F.lit("2024-01-01T00:00:00Z").alias("warc_date"),
+        F.lit(200).alias("http_status"),
+        F.lit("text/html").alias("content_type"),
+        F.concat(F.lit("body "), F.col("id").cast("string")).alias("body"),
+        (F.col("id") * 100).alias("rec_offset"),
+        F.lit(90).alias("rec_length"),
+        F.lit(None).cast("string").alias("error"))
+    cdxp = plan_of(cdx_index(aud_recs))
+    sections.append((
+        "CDX index (one rangepartitioning exchange = sorted index shards)",
+        cdxp, ["rangepartitioning", "Sort"],
+    ))
+    if _n_exchanges(cdxp) != 1:
+        sections[-1] = (sections[-1][0] +
+                        f" — FAIL: {_n_exchanges(cdxp)} exchanges",
+                        cdxp, sections[-1][2])
+
+    # 51b. revisit stats: two partial-agg exchanges (surt,digest → surt),
+    # map-side combine shrinks to version-sized frames before either
+    # min_by is a typed aggregate → Spark picks SortAggregate; the partial
+    # aggregate below each exchange (map-side combine) is what matters
+    rvs = plan_of(revisit_stats(cdx_index(aud_recs, sort=False)))
+    sections.append((
+        "Archive revisit stats (two-level partial agg; no window over "
+        "the corpus)",
+        rvs, ["SortAggregate"],
+    ))
+    if _n_exchanges(rvs) > 2:
+        sections[-1] = (sections[-1][0] +
+                        f" — FAIL: {_n_exchanges(rvs)} exchanges",
+                        rvs, sections[-1][2])
+
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)\n"]
     out.append(
         "Generated by tools/explain_audit.py. Verdict lines check the "
