@@ -2549,6 +2549,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return revisit_stats(cdx)
     q["archive_revisits"] = q_archive_revisits
 
+    def q_shard_assign(spark, sf):
+        # rendezvous (HRW) host→crawler-shard assignment at 16 and 17
+        # shards: the md5 argmax is derived in-row (array_max over
+        # (score, shard) structs — no explode, zero shuffle); the oracle
+        # re-derives both winners with DuckDB list argmax over the same
+        # md5 scores.  moved=true rows must all land on the ADDED shard —
+        # the minimal-movement property the operator exists for.
+        from crawl4ai_spark.operators.sharding import shard_of
+
+        d = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"))
+        host = F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string"),
+                        F.lit(".example"))
+        s16 = shard_of(host, 16)
+        s17 = shard_of(host, 17)
+        return d.select(
+            "doc_id", host.alias("host"),
+            s16.cast("long").alias("shard16"),
+            s17.cast("long").alias("shard17"),
+            (s16 != s17).alias("moved"))
+    q["shard_assign"] = q_shard_assign
+
+    def q_shard_rescale(spark, sf):
+        # the migration summary for a 16→17 rescale over the distinct
+        # host set: per-shard loads before/after + moved in/out counts;
+        # oracle aggregates its own list-argmax assignments.
+        from crawl4ai_spark.operators.sharding import reassignment_stats
+
+        hosts = _t(spark, sf, "documents").select(
+            F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string"),
+                     F.lit(".example")).alias("host")).distinct()
+        out = reassignment_stats(hosts, 16, 17)
+        return out.select(F.col("shard").cast("long").alias("shard"),
+                          "old_hosts", "new_hosts", "moved_out", "moved_in")
+    q["shard_rescale"] = q_shard_rescale
+
     # ----------------------------------------------------------------------
     # Registration-order rotation: the driver's correctness gate checks the
     # FIRST 50 registered probes only (CORRECTNESS_r03 covered exactly the
@@ -4900,6 +4936,61 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(bytes - first_len) AS BIGINT) AS dup_bytes,
                MIN(min_ts) AS first_ts, MAX(max_ts) AS last_ts
         FROM v GROUP BY surt
+    """
+
+    # rendezvous winner via DuckDB list argmax: list_position of the max
+    # md5 score (scores are distinct md5 hex strings — no tie ambiguity)
+    _hrw = (
+        "list_position(l{n}, list_max(l{n})) - 1"
+    )
+    _hrw_lists = (
+        "list_transform(generate_series(0, {top}), "
+        "s -> md5(host || '|' || CAST(s AS VARCHAR))) AS l{n}"
+    )
+    o["shard_assign"] = f"""
+        WITH h AS (
+          SELECT doc_id, 'h' || CAST(doc_id % 97 AS VARCHAR) || '.example'
+                   AS host
+          FROM documents),
+        sc AS (
+          SELECT doc_id, host,
+                 {_hrw_lists.format(top=15, n=16)},
+                 {_hrw_lists.format(top=16, n=17)}
+          FROM h)
+        SELECT doc_id, host,
+               CAST({_hrw.format(n=16)} AS BIGINT) AS shard16,
+               CAST({_hrw.format(n=17)} AS BIGINT) AS shard17,
+               {_hrw.format(n=16)} <> {_hrw.format(n=17)} AS moved
+        FROM sc
+    """
+
+    o["shard_rescale"] = f"""
+        WITH hosts AS (
+          SELECT DISTINCT 'h' || CAST(doc_id % 97 AS VARCHAR) || '.example'
+                   AS host
+          FROM documents),
+        sc AS (
+          SELECT host,
+                 {_hrw_lists.format(top=15, n=16)},
+                 {_hrw_lists.format(top=16, n=17)}
+          FROM hosts),
+        a AS (
+          SELECT host, {_hrw.format(n=16)} AS o, {_hrw.format(n=17)} AS n
+          FROM sc),
+        old AS (
+          SELECT o AS shard, COUNT(*) AS old_hosts,
+                 SUM(CASE WHEN o <> n THEN 1 ELSE 0 END) AS moved_out
+          FROM a GROUP BY o),
+        nw AS (
+          SELECT n AS shard, COUNT(*) AS new_hosts,
+                 SUM(CASE WHEN o <> n THEN 1 ELSE 0 END) AS moved_in
+          FROM a GROUP BY n)
+        SELECT CAST(COALESCE(old.shard, nw.shard) AS BIGINT) AS shard,
+               CAST(COALESCE(old_hosts, 0) AS BIGINT) AS old_hosts,
+               CAST(COALESCE(new_hosts, 0) AS BIGINT) AS new_hosts,
+               CAST(COALESCE(moved_out, 0) AS BIGINT) AS moved_out,
+               CAST(COALESCE(moved_in, 0) AS BIGINT) AS moved_in
+        FROM old FULL OUTER JOIN nw ON old.shard = nw.shard
     """
 
     return o

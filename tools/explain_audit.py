@@ -819,6 +819,23 @@ def main() -> None:
                         f" — FAIL: {_n_exchanges(rvs)} exchanges",
                         rvs, sections[-1][2])
 
+    # 52. rendezvous shard assignment: in-row argmax over (score, shard)
+    # structs — no explode of hosts × shards, zero shuffle
+    from crawl4ai_spark.operators.sharding import assign_shards
+
+    aud_hosts = spark.range(0, 3000).select(
+        F.concat(F.lit("host"), F.col("id").cast("string"), F.lit(".test"))
+        .alias("host"))
+    sa_plan = plan_of(assign_shards(aud_hosts, 64))
+    sections.append((
+        "Rendezvous shard assignment (in-row argmax, zero shuffle, no "
+        "host x shard explode)",
+        sa_plan, ["Project"],
+    ))
+    if _n_exchanges(sa_plan) > 0 or "Generate" in sa_plan:
+        sections[-1] = (sections[-1][0] + " — FAIL: shuffle or explode",
+                        sa_plan, sections[-1][2])
+
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)\n"]
     out.append(
         "Generated by tools/explain_audit.py. Verdict lines check the "
