@@ -2585,6 +2585,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "old_hosts", "new_hosts", "moved_out", "moved_in")
     q["shard_rescale"] = q_shard_rescale
 
+    def q_png_metadata(spark, sf):
+        # PNG ancillary-metadata extraction (tEXt/pHYs/gAMA — the PNG-side
+        # EXIF analog) over a corpus with deterministically planted
+        # chunks; expected table from the PLANTING RECIPE, parser never
+        # consulted (ensure_png_meta)
+        from crawl4ai_spark.operators.multimodal import png_text_metadata
+
+        oracle_expected.ensure_png_meta(n_pages=280)
+        imgs = spark.read.parquet(
+            oracle_expected.expected_path("png_meta_input"))
+        return png_text_metadata(imgs)
+    q["png_metadata"] = q_png_metadata
+
     # ----------------------------------------------------------------------
     # Registration-order rotation: the driver's correctness gate checks the
     # FIRST 50 registered probes only (CORRECTNESS_r03 covered exactly the
@@ -4992,5 +5005,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(moved_in, 0) AS BIGINT) AS moved_in
         FROM old FULL OUTER JOIN nw ON old.shard = nw.shard
     """
+
+    o["png_metadata"] = (
+        "SELECT image_id, is_png, title, author, software, description, "
+        "phys_x, phys_y, phys_unit, gamma, n_text "
+        f"FROM read_parquet('{_exp('png_meta')}')"
+    )
 
     return o

@@ -1063,6 +1063,17 @@ def image_export_bench(spark, n_images: int = 20_000,
     out["png_audit_imgs_per_sec"] = round(int(r["n"]) / max(secs, 1e-9), 1)
     out["png_audit_pngs"] = int(r["pngs"])
 
+    from crawl4ai_spark.operators.multimodal import png_text_metadata
+
+    t0 = time.time()
+    r = png_text_metadata(images).agg(
+        F.count("*").alias("n"),
+        F.sum(F.coalesce("n_text", F.lit(0))).alias("texts"),
+    ).collect()[0]
+    secs = time.time() - t0
+    out["png_meta_sec"] = round(secs, 3)
+    out["png_meta_imgs_per_sec"] = round(int(r["n"]) / max(secs, 1e-9), 1)
+
     sized = images.select(
         "image_id",
         F.length("bytes").cast("long").alias("img_size"),
@@ -1140,7 +1151,7 @@ def image_export_bench(spark, n_images: int = 20_000,
     out["aest_imgs_per_sec"] = round(n_pairs / max(secs, 1e-9), 1)
 
     out["sec"] = round(out["sniff_sec"] + out["dct_phash_sec"]
-                       + out["png_audit_sec"]
+                       + out["png_audit_sec"] + out["png_meta_sec"]
                        + out["wds_sec"] + out["wds_write_sec"]
                        + out["wds_read_sec"] + out["clip_sec"]
                        + out["aest_sec"], 3)

@@ -493,6 +493,87 @@ def png_chunk_audit(images: DataFrame, bytes_col: str = "bytes",
     return images.select(id_col, bytes_col).mapInPandas(run, fields)
 
 
+_TEXT_KEYS = {"Title": "title", "Author": "author",
+              "Software": "software", "Description": "description"}
+
+
+def png_meta_walk(data: bytes) -> dict:
+    """Extract the standard ancillary metadata from one PNG payload:
+    tEXt keyword/value pairs for the spec's registered keywords
+    (Title/Author/Software/Description), pHYs pixel density, gAMA gamma.
+    The walk is total for any byte string (bad geometry just ends it);
+    unknown/private chunks are skipped, matching a conforming decoder."""
+    out = {"is_png": False, "title": None, "author": None,
+           "software": None, "description": None, "phys_x": None,
+           "phys_y": None, "phys_unit": None, "gamma": None,
+           "n_text": None}
+    if data is None or len(data) < 8 or bytes(data[:8]) != _PNG_SIG:
+        return out
+    data = bytes(data)
+    out["is_png"] = True
+    out["n_text"] = 0
+    pos, n = 8, len(data)
+    while pos < n:
+        if pos + 8 > n:
+            break
+        length = int.from_bytes(data[pos:pos + 4], "big")
+        if pos + 12 + length > n:
+            break
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        if tag == b"tEXt":
+            out["n_text"] += 1
+            key, _, val = payload.partition(b"\x00")
+            col = _TEXT_KEYS.get(key.decode("latin-1", "replace"))
+            # first occurrence wins (the spec allows repeats)
+            if col is not None and out[col] is None:
+                out[col] = val.decode("latin-1", "replace")
+        elif tag == b"pHYs" and length >= 9:
+            out["phys_x"] = int.from_bytes(payload[0:4], "big")
+            out["phys_y"] = int.from_bytes(payload[4:8], "big")
+            out["phys_unit"] = payload[8]
+        elif tag == b"gAMA" and length >= 4:
+            out["gamma"] = int.from_bytes(payload[0:4], "big")
+        pos += 12 + length
+        if tag == b"IEND":
+            break
+    return out
+
+
+def png_text_metadata(images: DataFrame, bytes_col: str = "bytes",
+                      id_col: str = "image_id") -> DataFrame:
+    """PNG ancillary-metadata extraction — the PNG-side analog of EXIF
+    for a multimodal release manifest: registered tEXt fields as typed
+    columns, pHYs density (DPI bookkeeping for print-scan corpora),
+    gAMA (×100000 int), and the tEXt chunk count.  Non-PNG rows carry
+    is_png=false and NULLs.
+
+    Scale shape: ONE Arrow ``mapInPandas`` stage (the chunk walk is
+    iterative), zero shuffle, per-file parallelism — same shape as
+    ``png_chunk_audit``, which owns integrity; this stage owns content.
+
+    Reference anchor: crawl4ai reads only HTML-side image attributes
+    (functions/images.py twins of utils.py); in-container metadata is
+    engine-native surface a 100 TB image corpus needs for provenance.
+    """
+    fields = (f"{id_col} string, is_png boolean, title string, "
+              "author string, software string, description string, "
+              "phys_x long, phys_y long, phys_unit long, gamma long, "
+              "n_text long")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, data in zip(b[id_col], b[bytes_col]):
+                rows.append({id_col: iid, **png_meta_walk(data)})
+            yield pd.DataFrame(rows, columns=[
+                id_col, "is_png", "title", "author", "software",
+                "description", "phys_x", "phys_y", "phys_unit", "gamma",
+                "n_text"])
+
+    return images.select(id_col, bytes_col).mapInPandas(run, fields)
+
+
 # ---------------------------------------------------------------------------
 # Caption quality gate (LAION/DataComp-style caption filtering)
 # ---------------------------------------------------------------------------

@@ -1153,6 +1153,87 @@ def ensure_png_audit(n_pages: int = 280) -> None:
     _done.add(key)
 
 
+def ensure_png_meta(n_pages: int = 280) -> None:
+    """png_metadata: INPUT corpus (fixture images re-encoded as PNG with
+    deterministically planted tEXt/pHYs/gAMA chunks spliced after IHDR,
+    plus a private 'prVt' chunk the extractor must skip) + expected
+    OUTPUT straight from the planting recipe — fields in == fields out,
+    the parser never consulted.
+
+    Plants, by image index i:
+      Title       'Image {image_id}'        iff i % 2 == 0
+      Author      'author {i%13}'           iff i % 3 == 0
+      Software    'synthpng 1.{i%4}'        always
+      Description 'synthetic fixture {i}'   iff i % 5 == 0
+      pHYs        (2835+(i%7)*100, 2835+(i%11)*100, unit 1) iff i%4 != 1
+      gAMA        45455 + i                 iff i % 6 == 0
+      prVt        (i%5)+1 junk bytes        always (never surfaces)
+      i % 9 == 8 and fmt != 'png' → the ORIGINAL non-PNG encoding
+                                    (is_png=false, all fields NULL)
+    """
+    key = ("png_meta", n_pages)
+    if key in _done:
+        return
+    from .. import codecs
+    from ..codecs import _png_chunk
+    from ..sources import synth
+
+    p = _graph(n_pages=n_pages)
+    in_rows, out_rows = [], []
+    for i in range(n_pages):
+        image_id, w, h, fmt = synth.image_meta_of(i, p)
+        px = synth.image_pixels(image_id, w, h, p.seed)
+        rec = {"image_id": image_id, "is_png": True, "title": None,
+               "author": None, "software": None, "description": None,
+               "phys_x": None, "phys_y": None, "phys_unit": None,
+               "gamma": None, "n_text": 0}
+        if i % 9 == 8 and fmt != "png":
+            data = codecs.encode(px, fmt)
+            rec.update({"is_png": False, "n_text": None})
+        else:
+            base = codecs.encode_png(px)
+            extra = b""
+            texts = []
+            if i % 2 == 0:
+                texts.append(("Title", f"Image {image_id}"))
+            if i % 3 == 0:
+                texts.append(("Author", f"author {i % 13}"))
+            texts.append(("Software", f"synthpng 1.{i % 4}"))
+            if i % 5 == 0:
+                texts.append(("Description", f"synthetic fixture {i}"))
+            for k, v in texts:
+                extra += _png_chunk(
+                    b"tEXt", k.encode("latin-1") + b"\x00"
+                    + v.encode("latin-1"))
+                rec[k.lower()] = v
+            rec["n_text"] = len(texts)
+            if i % 4 != 1:
+                rec["phys_x"] = 2835 + (i % 7) * 100
+                rec["phys_y"] = 2835 + (i % 11) * 100
+                rec["phys_unit"] = 1
+                extra += _png_chunk(
+                    b"pHYs", rec["phys_x"].to_bytes(4, "big")
+                    + rec["phys_y"].to_bytes(4, "big") + b"\x01")
+            if i % 6 == 0:
+                rec["gamma"] = 45455 + i
+                extra += _png_chunk(b"gAMA",
+                                    rec["gamma"].to_bytes(4, "big"))
+            extra += _png_chunk(b"prVt", b"\xa5" * ((i % 5) + 1))
+            # IHDR chunk spans [8, 33); splice the ancillary chunks there
+            data = base[:33] + extra + base[33:]
+        in_rows.append({"image_id": image_id, "bytes": data})
+        out_rows.append(rec)
+
+    _write("png_meta_input", pd.DataFrame(
+        in_rows, columns=["image_id", "bytes"]))
+    _write("png_meta", pd.DataFrame(out_rows, columns=[
+        "image_id", "is_png", "title", "author", "software", "description",
+        "phys_x", "phys_y", "phys_unit", "gamma", "n_text"]).astype({
+            "is_png": "boolean", "phys_x": "Int64", "phys_y": "Int64",
+            "phys_unit": "Int64", "gamma": "Int64", "n_text": "Int64"}))
+    _done.add(key)
+
+
 # ------------------------------------------------------------------- llm
 
 def _prompt_escape_twin(s: str) -> str:

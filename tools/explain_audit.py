@@ -836,6 +836,19 @@ def main() -> None:
         sections[-1] = (sections[-1][0] + " — FAIL: shuffle or explode",
                         sa_plan, sections[-1][2])
 
+    # 53. PNG metadata extraction: ONE Arrow stage, zero shuffle (the
+    # content twin of §40's integrity walk)
+    from crawl4ai_spark.operators.multimodal import png_text_metadata
+
+    pm_plan = plan_of(png_text_metadata(aud_images))
+    sections.append((
+        "PNG metadata extraction (one MapInPandas walk, zero shuffle)",
+        pm_plan, ["MapInPandas"],
+    ))
+    if "Exchange" in pm_plan:
+        sections[-1] = (sections[-1][0] + " — FAIL: unexpected shuffle",
+                        pm_plan, sections[-1][2])
+
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)\n"]
     out.append(
         "Generated by tools/explain_audit.py. Verdict lines check the "
