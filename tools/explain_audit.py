@@ -849,6 +849,23 @@ def main() -> None:
         sections[-1] = (sections[-1][0] + " — FAIL: unexpected shuffle",
                         pm_plan, sections[-1][2])
 
+    # 54. HTTP payload decode: ONE Arrow stage, zero shuffle
+    from crawl4ai_spark.operators.httpdecode import decode_http_payload
+
+    aud_resp = spark.range(0, 2000).select(
+        F.col("id").cast("string").alias("url"),
+        F.lit("Content-Type: text/html; charset=utf-8").alias("headers"),
+        F.concat(F.lit("body "), F.col("id").cast("string"))
+        .cast("binary").alias("payload"))
+    hd_plan = plan_of(decode_http_payload(aud_resp))
+    sections.append((
+        "HTTP payload decode (one MapInPandas stage, zero shuffle)",
+        hd_plan, ["MapInPandas"],
+    ))
+    if "Exchange" in hd_plan:
+        sections[-1] = (sections[-1][0] + " — FAIL: unexpected shuffle",
+                        hd_plan, sections[-1][2])
+
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)\n"]
     out.append(
         "Generated by tools/explain_audit.py. Verdict lines check the "
