@@ -2623,6 +2623,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "error")
     q["http_decode"] = q_http_decode
 
+    def q_url_templates(spark, sf):
+        # URL template mining over a 4-class synthetic frontier
+        # (/product/{id}/view, /blog/2024/{m}/{d}, /about, root); the
+        # oracle RE-DERIVES templates generically in SQL (split → unnest
+        # → per-position distinct counts → ordered string_agg), never
+        # reading the class labels.
+        from crawl4ai_spark.operators.urltemplates import mine_url_templates
+
+        d = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("i"))
+        i = F.col("i")
+        path = (
+            F.when(i % 4 == 0, F.concat(F.lit("/product/"),
+                                        i.cast("string"), F.lit("/view")))
+            .when(i % 4 == 1, F.concat(
+                F.lit("/blog/2024/"), (1 + i % 12).cast("string"),
+                F.lit("/"), (1 + i % 28).cast("string")))
+            .when(i % 4 == 2, F.lit("/about"))
+            .otherwise(F.lit("")))
+        urls = d.select(F.concat(
+            F.lit("https://h"), (i % 5).cast("string"), F.lit(".test"),
+            path).alias("url"))
+        return mine_url_templates(urls)
+    q["url_templates"] = q_url_templates
+
     # ----------------------------------------------------------------------
     # Registration-order rotation: the driver's correctness gate checks the
     # FIRST 50 registered probes only (CORRECTNESS_r03 covered exactly the
@@ -5062,6 +5087,48 @@ def oracle_sql() -> dict[str, str]:
           CASE doc_id % 7
             WHEN 5 THEN 'bad chunk size b''zz''' END AS error
         FROM documents
+    """
+
+    o["url_templates"] = """
+        WITH d AS (
+          SELECT doc_id AS i,
+                 'h' || CAST(doc_id % 5 AS VARCHAR) || '.test' AS host,
+                 CASE doc_id % 4
+                   WHEN 0 THEN '/product/' || CAST(doc_id AS VARCHAR)
+                               || '/view'
+                   WHEN 1 THEN '/blog/2024/'
+                               || CAST(1 + doc_id % 12 AS VARCHAR) || '/'
+                               || CAST(1 + doc_id % 28 AS VARCHAR)
+                   WHEN 2 THEN '/about'
+                   ELSE '' END AS path
+          FROM documents),
+        s AS (
+          SELECT host,
+                 list_filter(string_split(path, '/'), x -> x <> '') AS segs
+          FROM d),
+        e AS (
+          SELECT host, len(segs) AS n_seg, g.pos AS pos, segs[g.pos] AS seg
+          FROM s, unnest(generate_series(1, len(segs))) AS g(pos)
+          WHERE len(segs) > 0),
+        ps AS (
+          SELECT host, n_seg, pos, COUNT(*) AS cnt,
+                 COUNT(DISTINCT seg) AS nd, MIN(seg) AS mn
+          FROM e GROUP BY host, n_seg, pos),
+        tpl AS (
+          SELECT host, n_seg,
+                 '/' || string_agg(CASE WHEN nd > 1 THEN '*' ELSE mn END,
+                                   '/' ORDER BY pos) AS template,
+                 MAX(cnt) AS n_urls,
+                 SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_var
+          FROM ps GROUP BY host, n_seg)
+        SELECT host, CAST(n_seg AS BIGINT) AS n_seg, template,
+               CAST(n_urls AS BIGINT) AS n_urls,
+               CAST(n_var AS BIGINT) AS n_var
+        FROM tpl
+        UNION ALL
+        SELECT host, CAST(0 AS BIGINT), '/',
+               CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT)
+        FROM s WHERE len(segs) = 0 GROUP BY host
     """
 
     return o

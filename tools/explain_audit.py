@@ -866,6 +866,24 @@ def main() -> None:
         sections[-1] = (sections[-1][0] + " — FAIL: unexpected shuffle",
                         hd_plan, sections[-1][2])
 
+    # 55. URL template mining: explode (no shuffle) → ONE corpus-sized
+    # partial-agg groupBy → position-level reassembly (tiny second agg)
+    from crawl4ai_spark.operators.urltemplates import mine_url_templates
+
+    aud_turl = spark.range(0, 4000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".test/item/"), F.col("id").cast("string"),
+                 F.lit("/detail")).alias("url"))
+    ut_plan = plan_of(mine_url_templates(aud_turl))
+    sections.append((
+        "URL template mining (posexplode + two partial-agg groupBys, "
+        "no corpus window)",
+        ut_plan, ["Generate", "HashAggregate"],
+    ))
+    if "Window" in ut_plan:
+        sections[-1] = (sections[-1][0] + " — FAIL: corpus window",
+                        ut_plan, sections[-1][2])
+
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)\n"]
     out.append(
         "Generated by tools/explain_audit.py. Verdict lines check the "
