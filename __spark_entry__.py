@@ -2598,6 +2598,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return png_text_metadata(imgs)
     q["png_metadata"] = q_png_metadata
 
+    def q_jpeg_segments(spark, sf):
+        # JPEG/JFIF container walk (SOF dims, progressive flag, JFIF
+        # density, Exif Orientation in both byte orders, scan geometry,
+        # truncation/trailing) over deterministically-constructed
+        # containers; expected table tracked WHILE ASSEMBLING the bytes
+        # (ensure_jpeg_meta) — the walker is never consulted
+        from crawl4ai_spark.operators.multimodal import jpeg_segment_audit
+
+        oracle_expected.ensure_jpeg_meta(n_pages=280)
+        imgs = spark.read.parquet(
+            oracle_expected.expected_path("jpeg_meta_input"))
+        return jpeg_segment_audit(imgs)
+    q["jpeg_segments"] = q_jpeg_segments
+
     def q_http_decode(spark, sf):
         # HTTP payload decode layer (aiohttp does this for the reference
         # before crawl4ai sees a body; raw-archive replay owns it):
@@ -5060,6 +5074,14 @@ def oracle_sql() -> dict[str, str]:
         "SELECT image_id, is_png, title, author, software, description, "
         "phys_x, phys_y, phys_unit, gamma, n_text "
         f"FROM read_parquet('{_exp('png_meta')}')"
+    )
+
+    o["jpeg_segments"] = (
+        "SELECT image_id, is_jpeg, w, h, n_components, progressive, "
+        "jfif_vmaj, jfif_vmin, density_x, density_y, exif_endian, "
+        "exif_orientation, n_app, n_dqt, n_dht, n_segments, scan_bytes, "
+        "has_eoi, truncated, trailing_bytes "
+        f"FROM read_parquet('{_exp('jpeg_meta')}')"
     )
 
     # httpdecode: per-class reconstruction from the httpsynth recipe —

@@ -1074,6 +1074,53 @@ def image_export_bench(spark, n_images: int = 20_000,
     out["png_meta_sec"] = round(secs, 3)
     out["png_meta_imgs_per_sec"] = round(int(r["n"]) / max(secs, 1e-9), 1)
 
+    from crawl4ai_spark.operators.multimodal import jpeg_segment_audit
+
+    def build_jpegs(batches):
+        # deterministic JFIF containers with ~4 KB entropy scans — the
+        # walker pays for marker walking + scan traversal, not decode
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                i = int(i)
+                scan_len = 3500 + (i * 37) % 1000
+                scan = ((i * 31 + np.arange(scan_len) * 17) % 0xFE
+                        ).astype(np.uint8).tobytes()
+                data = (b"\xff\xd8"
+                        + b"\xff\xe0\x00\x10JFIF\x00\x01\x02\x01"
+                        + (72 + i % 5).to_bytes(2, "big")
+                        + (72 + i % 7).to_bytes(2, "big") + b"\x00\x00"
+                        + b"\xff\xdb\x00\x43\x00" + bytes(
+                            (i + j * 7) % 251 + 1 for j in range(64))
+                        + b"\xff\xc0\x00\x11\x08"
+                        + (16 + i % 9 * 8).to_bytes(2, "big")
+                        + (16 + i % 11 * 8).to_bytes(2, "big")
+                        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+                        + b"\xff\xc4\x00\x14\x00"
+                        + bytes([0, 1] + [0] * 14) + b"\x05"
+                        + b"\xff\xda\x00\x0c\x03\x01\x00\x02\x11\x03\x11"
+                        + b"\x00\x3f\x00"
+                        + scan
+                        + b"\xff\xd9")
+                rows.append({"image_id": f"j{i:07d}", "bytes": data})
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    n_parts0 = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    jpegs = spark.range(0, n_images, 1, n_parts0).mapInPandas(
+        build_jpegs, "image_id string, bytes binary")
+    t0 = time.time()
+    r = jpeg_segment_audit(jpegs).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("has_eoi").cast("long")).alias("eois"),
+        F.sum("scan_bytes").alias("scan"),
+    ).collect()[0]
+    secs = time.time() - t0
+    assert int(r["eois"]) == n_images
+    out["jpeg_audit_sec"] = round(secs, 3)
+    out["jpeg_audit_imgs_per_sec"] = round(
+        int(r["n"]) / max(secs, 1e-9), 1)
+    out["jpeg_scan_mb"] = round(int(r["scan"]) / 1e6, 1)
+
     sized = images.select(
         "image_id",
         F.length("bytes").cast("long").alias("img_size"),
@@ -1152,6 +1199,7 @@ def image_export_bench(spark, n_images: int = 20_000,
 
     out["sec"] = round(out["sniff_sec"] + out["dct_phash_sec"]
                        + out["png_audit_sec"] + out["png_meta_sec"]
+                       + out["jpeg_audit_sec"]
                        + out["wds_sec"] + out["wds_write_sec"]
                        + out["wds_read_sec"] + out["clip_sec"]
                        + out["aest_sec"], 3)

@@ -641,3 +641,191 @@ def caption_quality_gate(pairs: DataFrame, caption_col: str = "caption",
             .withColumn("low_alpha", low_alpha)
             .withColumn("drop_reason", reason)
             .withColumn("keep", reason.isNull()))
+
+
+# ---------------------------------------------------------------------------
+# JPEG/JFIF marker-segment walk (the JPEG twin of the PNG container tier)
+# ---------------------------------------------------------------------------
+
+_SOF_MARKERS = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+_PROGRESSIVE_SOF = {0xC2, 0xC6, 0xCA, 0xCE}
+
+
+def _exif_orientation(payload: bytes) -> tuple[str | None, int | None]:
+    """Parse the TIFF header inside an APP1 Exif payload and return
+    (endian tag, Orientation) — IFD0 entry 0x0112 only; every other tag
+    (including offset-valued ASCII entries) is skipped, matching what a
+    crawl manifest actually needs.  Total for any byte string."""
+    t = payload[6:]
+    if len(t) < 8:
+        return None, None
+    if t[:2] == b"II":
+        endian = "little"
+    elif t[:2] == b"MM":
+        endian = "big"
+    else:
+        return None, None
+    if int.from_bytes(t[2:4], endian) != 42:
+        return t[:2].decode("latin-1"), None
+    off = int.from_bytes(t[4:8], endian)
+    orient = None
+    if off + 2 <= len(t):
+        cnt = int.from_bytes(t[off:off + 2], endian)
+        for k in range(cnt):
+            e = off + 2 + 12 * k
+            if e + 12 > len(t):
+                break
+            if int.from_bytes(t[e:e + 2], endian) == 0x0112:
+                typ = int.from_bytes(t[e + 2:e + 4], endian)
+                if typ == 3:  # SHORT: value left-justified in the 4-byte slot
+                    orient = int.from_bytes(t[e + 8:e + 10], endian)
+                else:
+                    orient = int.from_bytes(t[e + 8:e + 12], endian)
+                break
+    return t[:2].decode("latin-1"), orient
+
+
+def jpeg_walk(data: bytes) -> dict:
+    """Structural walk of one JPEG/JFIF payload: marker-segment
+    inventory, SOF dims/components/progressive flag, APP0 JFIF version +
+    pixel density, APP1 Exif Orientation (both byte orders), DQT/DHT
+    counts, entropy-coded scan length (byte-stuffed 0xFF00 pairs and
+    RSTn markers counted as scan bytes), EOI/truncation/trailing-garbage
+    detection.  Pure stdlib slicing; total for any byte string.
+
+    Conventions mirror ``png_walk``: non-JPEG rows (no SOI) return all
+    NULLs; for JPEG rows dims are -1 until a SOF is seen; ``truncated``
+    means the walk ran off the buffer mid-segment (a missing EOI after a
+    complete scan is has_eoi=false, truncated=false)."""
+    out = {"is_jpeg": False, "w": None, "h": None, "n_components": None,
+           "progressive": None, "jfif_vmaj": None, "jfif_vmin": None,
+           "density_x": None, "density_y": None, "exif_endian": None,
+           "exif_orientation": None, "n_app": None, "n_dqt": None,
+           "n_dht": None, "n_segments": None, "scan_bytes": None,
+           "has_eoi": None, "truncated": None, "trailing_bytes": None}
+    if data is None or len(data) < 2 or bytes(data[:2]) != b"\xff\xd8":
+        return out
+    data = bytes(data)
+    out.update({"is_jpeg": True, "w": -1, "h": -1, "n_components": -1,
+                "progressive": False, "n_app": 0, "n_dqt": 0, "n_dht": 0,
+                "n_segments": 0, "scan_bytes": 0, "has_eoi": False,
+                "truncated": False, "trailing_bytes": 0})
+    pos, n = 2, len(data)
+    while pos < n:
+        if data[pos] != 0xFF:
+            out["truncated"] = True
+            break
+        while pos < n and data[pos] == 0xFF:  # fill bytes before a marker
+            pos += 1
+        if pos >= n:
+            out["truncated"] = True
+            break
+        m = data[pos]
+        pos += 1
+        if m == 0xD9:  # EOI
+            out["has_eoi"] = True
+            out["trailing_bytes"] = n - pos
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # TEM / stray RSTn: bare marker
+            out["n_segments"] += 1
+            continue
+        if pos + 2 > n:
+            out["truncated"] = True
+            break
+        seglen = int.from_bytes(data[pos:pos + 2], "big")
+        if seglen < 2 or pos + seglen > n:
+            out["truncated"] = True
+            break
+        payload = data[pos + 2:pos + seglen]
+        pos += seglen
+        out["n_segments"] += 1
+        if m == 0xE0:
+            out["n_app"] += 1
+            if payload[:5] == b"JFIF\x00" and len(payload) >= 12:
+                out["jfif_vmaj"] = payload[5]
+                out["jfif_vmin"] = payload[6]
+                out["density_x"] = int.from_bytes(payload[8:10], "big")
+                out["density_y"] = int.from_bytes(payload[10:12], "big")
+        elif 0xE1 <= m <= 0xEF:
+            out["n_app"] += 1
+            if m == 0xE1 and payload[:6] == b"Exif\x00\x00":
+                endian, orient = _exif_orientation(payload)
+                out["exif_endian"] = endian
+                out["exif_orientation"] = orient
+        elif m == 0xDB:
+            out["n_dqt"] += 1
+        elif m == 0xC4:
+            out["n_dht"] += 1
+        elif m in _SOF_MARKERS:
+            if len(payload) >= 6:
+                out["h"] = int.from_bytes(payload[1:3], "big")
+                out["w"] = int.from_bytes(payload[3:5], "big")
+                out["n_components"] = payload[5]
+                out["progressive"] = m in _PROGRESSIVE_SOF
+        elif m == 0xDA:  # SOS: entropy-coded scan follows the header
+            # jump over non-0xFF runs with find() — the scan is the bulk
+            # of the payload, so per-byte stepping would dominate
+            sb = 0
+            while pos < n:
+                idx = data.find(b"\xff", pos)
+                if idx == -1:
+                    sb += n - pos
+                    pos = n
+                    break
+                sb += idx - pos
+                pos = idx
+                if pos + 1 >= n:  # dangling 0xFF at end of buffer
+                    sb += 1
+                    pos = n
+                    break
+                nxt = data[pos + 1]
+                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:  # stuffing / RSTn
+                    sb += 2
+                    pos += 2
+                    continue
+                break  # a real marker ends the scan
+            out["scan_bytes"] += sb
+    return out
+
+
+def jpeg_segment_audit(images: DataFrame, bytes_col: str = "bytes",
+                       id_col: str = "image_id") -> DataFrame:
+    """JPEG container validation + metadata extraction — the JPEG twin
+    of ``png_chunk_audit`` + ``png_text_metadata`` in one pass (JPEG has
+    no per-segment CRC, so integrity and content share a walk): SOF
+    dims, baseline-vs-progressive, JFIF version/density, Exif
+    Orientation (the one tag a training pipeline must honor before
+    decoding — rotated pixels change every downstream pHash), segment
+    inventory, scan length, truncation and trailing garbage.
+
+    Scale shape: ONE Arrow ``mapInPandas`` stage (marker walking is
+    iterative — not expressible in Catalyst), zero shuffle, per-file
+    parallelism.  Per-row error isolation is inherent: the walk is total
+    for any byte string.
+
+    Reference anchor: crawl4ai trusts Content-Type/extension for images
+    and never opens the container (utils.py image handling); at 100 TB
+    the corrupt-payload and orientation-bug rates make this audit the
+    cheapest insurance in the pipeline.
+    """
+    fields = (f"{id_col} string, is_jpeg boolean, w long, h long, "
+              "n_components long, progressive boolean, jfif_vmaj long, "
+              "jfif_vmin long, density_x long, density_y long, "
+              "exif_endian string, exif_orientation long, n_app long, "
+              "n_dqt long, n_dht long, n_segments long, scan_bytes long, "
+              "has_eoi boolean, truncated boolean, trailing_bytes long")
+    cols = [id_col, "is_jpeg", "w", "h", "n_components", "progressive",
+            "jfif_vmaj", "jfif_vmin", "density_x", "density_y",
+            "exif_endian", "exif_orientation", "n_app", "n_dqt", "n_dht",
+            "n_segments", "scan_bytes", "has_eoi", "truncated",
+            "trailing_bytes"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, data in zip(b[id_col], b[bytes_col]):
+                rows.append({id_col: iid, **jpeg_walk(data)})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return images.select(id_col, bytes_col).mapInPandas(run, fields)

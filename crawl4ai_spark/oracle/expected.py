@@ -1896,3 +1896,179 @@ def ensure_semdedup_expected(sf_dir: str, threshold: float = 0.95,
     ).astype({"vec_id": "int64", "centroid": "int32", "dup_of": "int64"}),
         sf_dir)
     _done.add(key)
+
+
+def ensure_jpeg_meta(n_pages: int = 280) -> None:
+    """jpeg_segments: INPUT corpus of deterministically-constructed
+    JPEG/JFIF containers + expected OUTPUT tracked while assembling —
+    fields in == fields out, the walker never consulted.
+
+    Per index i the container carries, in order:
+      SOI; APP0 JFIF (ver 1.(i%3), density 72+12*(i%5) x 72+12*(i%7));
+      APP1 Exif iff i%2==0 (endian II iff i%4==0 else MM; IFD0 has
+        Orientation=1+(i%8) plus an offset-valued ASCII tag the walker
+        must skip); DQT (second DQT iff i%5==0); SOF0 (SOF2/progressive
+        iff i%6==0) with h=16+8*(i%9), w=16+8*(i%11),
+        ncomp=1 iff i%7==0 else 3; DHT; SOS + entropy scan of
+        20+(i%13) non-0xFF bytes (+2 stuffed 0xFF00 iff i%4==2,
+        +7 for an in-scan RST0 run iff i%11==5); EOI.
+    Special rows:
+      i%9==8 and walkable alternative → the PNG encoding of a fixture
+        image (is_jpeg=false, all fields NULL);
+      i%9==4 → stream truncated 1 byte into the first DQT payload
+        (truncated=true, dims -1, n_dqt excludes the cut segment);
+      i%8==7 (and not i%9==4) → EOI omitted: stream ends after the scan
+        (has_eoi=false, truncated=false);
+      i%10==3 (with EOI) → (i%6)+1 bytes of trailing garbage.
+    """
+    key = ("jpeg_meta", n_pages)
+    if key in _done:
+        return
+    from .. import codecs
+    from ..sources import synth
+
+    p = _graph(n_pages=n_pages)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    in_rows, out_rows = [], []
+    for i in range(n_pages):
+        image_id = f"im{i:05d}"
+        rec = {"image_id": image_id, "is_jpeg": True, "w": -1, "h": -1,
+               "n_components": -1, "progressive": False, "jfif_vmaj": None,
+               "jfif_vmin": None, "density_x": None, "density_y": None,
+               "exif_endian": None, "exif_orientation": None, "n_app": 0,
+               "n_dqt": 0, "n_dht": 0, "n_segments": 0, "scan_bytes": 0,
+               "has_eoi": False, "truncated": False, "trailing_bytes": 0}
+        if i % 9 == 8:
+            _, w, h, _ = synth.image_meta_of(i, p)
+            px = synth.image_pixels(f"im{i:05d}", w, h, p.seed)
+            data = codecs.encode_png(px)
+            rec.update({"is_jpeg": False, "w": None, "h": None,
+                        "n_components": None, "progressive": None,
+                        "n_app": None, "n_dqt": None, "n_dht": None,
+                        "n_segments": None, "scan_bytes": None,
+                        "has_eoi": None, "truncated": None,
+                        "trailing_bytes": None})
+            in_rows.append({"image_id": image_id, "bytes": data})
+            out_rows.append(rec)
+            continue
+
+        data = b"\xff\xd8"
+        # APP0 JFIF
+        rec["jfif_vmaj"], rec["jfif_vmin"] = 1, i % 3
+        rec["density_x"] = 72 + 12 * (i % 5)
+        rec["density_y"] = 72 + 12 * (i % 7)
+        app0 = (b"JFIF\x00" + bytes([1, i % 3, 1])
+                + rec["density_x"].to_bytes(2, "big")
+                + rec["density_y"].to_bytes(2, "big") + b"\x00\x00")
+        data += seg(0xE0, app0)
+        rec["n_app"] += 1
+        rec["n_segments"] += 1
+        # APP1 Exif
+        if i % 2 == 0:
+            little = i % 4 == 0
+            endian = "little" if little else "big"
+            rec["exif_endian"] = "II" if little else "MM"
+            rec["exif_orientation"] = 1 + (i % 8)
+
+            def u(v: int, nb: int) -> bytes:
+                return v.to_bytes(nb, endian)
+
+            sw = b"synthjpg\x00"
+            # IFD0 at offset 8: 2 entries, Orientation + ASCII Software
+            # whose value lives past the entry table (offset-valued)
+            ifd = u(2, 2)
+            ifd += u(0x0112, 2) + u(3, 2) + u(1, 4) \
+                + u(rec["exif_orientation"], 2) + u(0, 2)
+            val_off = 8 + 2 + 2 * 12 + 4
+            ifd += u(0x0131, 2) + u(2, 2) + u(len(sw), 4) + u(val_off, 4)
+            ifd += u(0, 4)
+            tiff = (b"II" if little else b"MM") + u(42, 2) + u(8, 4) \
+                + ifd + sw
+            data += seg(0xE1, b"Exif\x00\x00" + tiff)
+            rec["n_app"] += 1
+            rec["n_segments"] += 1
+        # DQT (possibly truncated here)
+        dqt = bytes([0]) + bytes((i + j * 7) % 251 + 1 for j in range(64))
+        if i % 9 == 4:
+            full = seg(0xDB, dqt)
+            data += full[:5]  # marker + length + 1 payload byte
+            rec["truncated"] = True
+            in_rows.append({"image_id": image_id, "bytes": data})
+            out_rows.append(rec)
+            continue
+        data += seg(0xDB, dqt)
+        rec["n_dqt"] += 1
+        rec["n_segments"] += 1
+        if i % 5 == 0:
+            dqt2 = bytes([1]) + bytes((i * 3 + j) % 251 + 1
+                                      for j in range(64))
+            data += seg(0xDB, dqt2)
+            rec["n_dqt"] += 1
+            rec["n_segments"] += 1
+        # SOF
+        rec["progressive"] = i % 6 == 0
+        rec["h"] = 16 + 8 * (i % 9)
+        rec["w"] = 16 + 8 * (i % 11)
+        rec["n_components"] = 1 if i % 7 == 0 else 3
+        sof = bytes([8]) + rec["h"].to_bytes(2, "big") \
+            + rec["w"].to_bytes(2, "big") + bytes([rec["n_components"]])
+        for c in range(rec["n_components"]):
+            sof += bytes([c + 1, 0x22 if c == 0 else 0x11,
+                          0 if c == 0 else 1])
+        data += seg(0xC2 if rec["progressive"] else 0xC0, sof)
+        rec["n_segments"] += 1
+        # DHT: one code of length 2, one symbol
+        counts = bytearray(16)
+        counts[1] = 1
+        data += seg(0xC4, bytes([0]) + bytes(counts) + bytes([0x05]))
+        rec["n_dht"] += 1
+        rec["n_segments"] += 1
+        # SOS header + entropy-coded scan
+        sos = bytes([rec["n_components"]])
+        for c in range(rec["n_components"]):
+            sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+        sos += bytes([0, 63, 0])
+        data += seg(0xDA, sos)
+        rec["n_segments"] += 1
+        scan = bytes((i * 31 + j * 17) % 0xFE for j in range(20 + i % 13))
+        rec["scan_bytes"] = len(scan)
+        if i % 4 == 2:
+            scan += b"\xff\x00"
+            rec["scan_bytes"] += 2
+        if i % 11 == 5:
+            scan += b"\xff\xd0" + bytes((i + j) % 200 for j in range(5))
+            rec["scan_bytes"] += 7
+        data += scan
+        if i % 8 == 7:
+            in_rows.append({"image_id": image_id, "bytes": data})
+            out_rows.append(rec)  # stream ends mid-scan: no EOI
+            continue
+        data += b"\xff\xd9"
+        rec["has_eoi"] = True
+        if i % 10 == 3:
+            junk = (i % 6) + 1
+            data += b"\xa5" * junk
+            rec["trailing_bytes"] = junk
+        in_rows.append({"image_id": image_id, "bytes": data})
+        out_rows.append(rec)
+
+    _write("jpeg_meta_input", pd.DataFrame(
+        in_rows, columns=["image_id", "bytes"]))
+    _write("jpeg_meta", pd.DataFrame(out_rows, columns=[
+        "image_id", "is_jpeg", "w", "h", "n_components", "progressive",
+        "jfif_vmaj", "jfif_vmin", "density_x", "density_y", "exif_endian",
+        "exif_orientation", "n_app", "n_dqt", "n_dht", "n_segments",
+        "scan_bytes", "has_eoi", "truncated", "trailing_bytes"]).astype({
+            "is_jpeg": "boolean", "w": "Int64", "h": "Int64",
+            "n_components": "Int64", "progressive": "boolean",
+            "jfif_vmaj": "Int64", "jfif_vmin": "Int64",
+            "density_x": "Int64", "density_y": "Int64",
+            "exif_orientation": "Int64", "n_app": "Int64",
+            "n_dqt": "Int64", "n_dht": "Int64", "n_segments": "Int64",
+            "scan_bytes": "Int64", "has_eoi": "boolean",
+            "truncated": "boolean", "trailing_bytes": "Int64"}))
+    _done.add(key)

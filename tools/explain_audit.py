@@ -884,6 +884,23 @@ def main() -> None:
         sections[-1] = (sections[-1][0] + " — FAIL: corpus window",
                         ut_plan, sections[-1][2])
 
+    # 56. JPEG segment audit: ONE Arrow stage, zero shuffle (same shape
+    # as the PNG container tier — marker walking is iterative)
+    from crawl4ai_spark.operators.multimodal import jpeg_segment_audit
+
+    aud_jpg = spark.range(0, 2000).select(
+        F.col("id").cast("string").alias("image_id"),
+        F.concat(F.lit(b"\xff\xd8\xff\xd9"),
+                 F.col("id").cast("string").cast("binary")).alias("bytes"))
+    jp_plan = plan_of(jpeg_segment_audit(aud_jpg))
+    sections.append((
+        "JPEG segment audit (one MapInPandas stage, zero shuffle)",
+        jp_plan, ["MapInPandas"],
+    ))
+    if "Exchange" in jp_plan:
+        sections[-1] = (sections[-1][0] + " — FAIL: unexpected shuffle",
+                        jp_plan, sections[-1][2])
+
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)\n"]
     out.append(
         "Generated by tools/explain_audit.py. Verdict lines check the "
