@@ -1129,6 +1129,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "host", "n_urls", "budget", "supersteps_to_drain", "is_critical")
     q["drain_forecast"] = q_drain_forecast
 
+    def q_ip_politeness(spark, sf):
+        # virtual-host collapse: politeness keyed by IP, not hostname —
+        # hosts h{k}.test (k%4==3 unmapped → self-keyed, default budget);
+        # mapped hosts share ip 10.0.{k%11}.1 whose budget 2+(octet%5)
+        # is split exactly (DIV + lexicographic remainder)
+        from crawl4ai_spark.operators.politeness import ip_budget_split
+
+        d = (_t(spark, sf, "documents")
+             .select((F.col("doc_id") % 53).cast("long").alias("k"))
+             .distinct())
+        k = F.col("k")
+        hosts = d.select(
+            F.concat(F.lit("h"), k.cast("string"), F.lit(".test"))
+            .alias("host"))
+        dns = d.filter(k % 4 != 3).select(
+            F.concat(F.lit("h"), k.cast("string"), F.lit(".test"))
+            .alias("host"),
+            F.concat(F.lit("10.0."), (k % 11).cast("string"), F.lit(".1"))
+            .alias("ip"))
+        budgets = dns.select("ip").distinct().withColumn(
+            "budget",
+            (F.split(F.col("ip"), "\\.").getItem(2).cast("long") % 5 + 2))
+        return ip_budget_split(hosts, dns, ip_budget=4, budgets=budgets)
+    q["ip_politeness"] = q_ip_politeness
+
+    def q_frontier_aging(spark, sf):
+        # starvation guard: priority aging over a synthetic best-first
+        # frontier — age boosts (subtracts from) priority linearly so
+        # stale URLs eventually win the ascending pop
+        from crawl4ai_spark.operators.aging import age_priorities
+
+        e = _t(spark, sf, "events")
+        fr = e.select(
+            F.concat(F.lit("h"), (F.col("user_id") % 23).cast("string"))
+            .alias("host"),
+            F.concat(F.lit("p"), F.col("event_id").cast("string"))
+            .alias("url"),
+            (F.col("event_id") % 97).cast("long").alias("priority"),
+            (F.col("event_id") % 50).cast("long").alias("enq_superstep"))
+        return age_priorities(fr, current_superstep=60, boost_per_step=2,
+                              starve_after=45)
+    q["frontier_aging"] = q_frontier_aging
+
+    def q_starvation_report(spark, sf):
+        # the rollup over the same aged frontier: per-host queue depth,
+        # starved count/share (integer basis points), oldest age
+        from crawl4ai_spark.operators.aging import (
+            age_priorities, starvation_report)
+
+        e = _t(spark, sf, "events")
+        fr = e.select(
+            F.concat(F.lit("h"), (F.col("user_id") % 23).cast("string"))
+            .alias("host"),
+            F.concat(F.lit("p"), F.col("event_id").cast("string"))
+            .alias("url"),
+            (F.col("event_id") % 97).cast("long").alias("priority"),
+            (F.col("event_id") % 50).cast("long").alias("enq_superstep"))
+        aged = age_priorities(fr, current_superstep=60, boost_per_step=2,
+                              starve_after=45)
+        return starvation_report(aged)
+    q["starvation_report"] = q_starvation_report
+
     def q_trap_report(spark, sf):
         # spider-trap diagnostics over a synthesized frontier: hosts h3
         # (all path loops) and h5 (all calendar) are traps; the rest mix
@@ -1184,6 +1246,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ((F.col("doc_id") * 37) % 250 + 1).cast("long").alias("bytes"))
         return compaction_plan(manifest, target_bytes=256, small_bytes=128)
     q["compaction_plan"] = q_compaction_plan
+
+    def q_expire_snapshots(spark, sf):
+        # Iceberg expireSnapshots-style GC plan over a synthetic
+        # snapshot-reference manifest: file j is referenced by the
+        # snapshot window [j%10, j%10 + j%3]; retain newest 3 +
+        # ts >= 165 → retained snapshots {7..11}; a file is removable
+        # iff every referencing snapshot expired
+        from crawl4ai_spark.operators.maintenance import expire_snapshots
+
+        j = F.col("j")
+        files = (_t(spark, sf, "documents")
+                 .select((F.col("doc_id") % 199).cast("long").alias("j"))
+                 .distinct())
+        refs = files.select(
+            F.concat(F.lit("f"), j.cast("string")).alias("path"),
+            ((j * 37) % 250 + 1).cast("long").alias("bytes"),
+            F.explode(F.sequence(j % 10, j % 10 + j % 3))
+            .alias("snapshot_id")
+        ).withColumn("snapshot_id", F.col("snapshot_id").cast("long"))
+        snaps = (refs.select("snapshot_id").distinct()
+                 .withColumn("ts", (100 + 10 * F.col("snapshot_id"))
+                             .cast("long")))
+        out = expire_snapshots(refs, snaps, retain_last=3, min_ts=165)
+        return out.select("path", "n_refs", "n_retained_refs", "bytes",
+                          "removable")
+    q["expire_snapshots"] = q_expire_snapshots
 
     def q_backoff_crawl(spark, sf):
         # D2: 429/503 backoff — fail-heavy graph; retry requeues carry
@@ -2745,6 +2833,69 @@ def oracle_sql() -> dict[str, str]:
         FROM j
     """
 
+    o["ip_politeness"] = """
+        WITH kk AS (SELECT DISTINCT doc_id % 53 AS k FROM documents),
+        hosts AS (SELECT 'h' || CAST(k AS VARCHAR) || '.test' AS host, k
+                  FROM kk),
+        dns AS (SELECT host,
+                       '10.0.' || CAST(k % 11 AS VARCHAR) || '.1' AS ip
+                FROM hosts WHERE k % 4 <> 3),
+        m AS (SELECT hosts.host, coalesce(dns.ip, hosts.host) AS ip
+              FROM hosts LEFT JOIN dns ON hosts.host = dns.host),
+        bud AS (SELECT DISTINCT ip,
+                       2 + (CAST(string_split(ip, '.')[3] AS BIGINT) % 5)
+                         AS budget
+                FROM dns),
+        j AS (SELECT m.host, m.ip, coalesce(b.budget, 4) AS bud
+              FROM m LEFT JOIN bud b ON m.ip = b.ip),
+        w AS (SELECT host, ip, bud,
+                     count(*) OVER (PARTITION BY ip) AS n,
+                     row_number() OVER (PARTITION BY ip ORDER BY host)
+                       AS rn
+              FROM j)
+        SELECT host, ip, CAST(n AS BIGINT) AS n_hosts_on_ip,
+               CAST(bud AS BIGINT) AS ip_budget,
+               CAST(bud // n + CASE WHEN rn <= bud % n THEN 1 ELSE 0 END
+                    AS BIGINT) AS granted,
+               (bud // n
+                + CASE WHEN rn <= bud % n THEN 1 ELSE 0 END) = 0
+                 AS starved
+        FROM w
+    """
+
+    o["frontier_aging"] = """
+        WITH fr AS (
+          SELECT 'h' || CAST(user_id % 23 AS VARCHAR) AS host,
+                 'p' || CAST(event_id AS VARCHAR) AS url,
+                 event_id % 97 AS priority,
+                 event_id % 50 AS enq
+          FROM events)
+        SELECT host, url, CAST(priority AS BIGINT) AS priority,
+               CAST(enq AS BIGINT) AS enq_superstep,
+               CAST(60 - enq AS BIGINT) AS age,
+               CAST(priority - (60 - enq) * 2 AS BIGINT) AS aged_priority,
+               (60 - enq) >= 45 AS starved,
+               CAST(row_number() OVER (
+                 PARTITION BY host
+                 ORDER BY priority - (60 - enq) * 2, url) AS BIGINT)
+                 AS host_rank
+        FROM fr
+    """
+
+    o["starvation_report"] = """
+        WITH fr AS (
+          SELECT 'h' || CAST(user_id % 23 AS VARCHAR) AS host,
+                 60 - (event_id % 50) AS age
+          FROM events)
+        SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(sum(CASE WHEN age >= 45 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_starved,
+               CAST(max(age) AS BIGINT) AS max_age,
+               CAST((10000 * sum(CASE WHEN age >= 45 THEN 1 ELSE 0 END))
+                    // count(*) AS BIGINT) AS starved_bp
+        FROM fr GROUP BY host
+    """
+
     o["trap_report"] = """
         WITH u AS (
           SELECT 'h' || CAST(doc_id % 13 AS VARCHAR) || '.test' AS host,
@@ -2953,6 +3104,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN small THEN cum - (cum // 256) * 256
                          ELSE -1 END AS BIGINT) AS grp_off
         FROM c
+    """
+
+    o["expire_snapshots"] = """
+        WITH jj AS (SELECT DISTINCT doc_id % 199 AS j FROM documents),
+        refs AS (
+          SELECT 'f' || CAST(j AS VARCHAR) AS path,
+                 (j * 37) % 250 + 1 AS bytes, t.s AS snapshot_id
+          FROM jj, unnest(generate_series(j % 10, j % 10 + j % 3))
+               AS t(s)),
+        snaps AS (SELECT DISTINCT snapshot_id,
+                         100 + 10 * snapshot_id AS ts FROM refs),
+        ranked AS (
+          SELECT snapshot_id, ts,
+                 row_number() OVER (ORDER BY ts DESC, snapshot_id DESC)
+                   AS rank
+          FROM snaps),
+        ret AS (SELECT snapshot_id, (rank <= 3 OR ts >= 165) AS retained
+                FROM ranked)
+        SELECT path, CAST(count(*) AS BIGINT) AS n_refs,
+               CAST(sum(CASE WHEN retained THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_retained_refs,
+               CAST(max(bytes) AS BIGINT) AS bytes,
+               sum(CASE WHEN retained THEN 1 ELSE 0 END) = 0 AS removable
+        FROM refs JOIN ret USING (snapshot_id)
+        GROUP BY path
     """
 
     o["incremental_dedup"] = """

@@ -1206,6 +1206,83 @@ def image_export_bench(spark, n_images: int = 20_000,
     return out
 
 
+def frontier_ops_bench(spark, n_urls: int = 1_000_000,
+                       n_hosts: int = 50_000,
+                       n_files: int = 200_000) -> dict:
+    """Round-5 crawl-ops additions at scale: priority aging + starvation
+    rollup over a best-first frontier (codegen + ONE host window),
+    IP-collocated politeness split over a host-dimension frame (ONE
+    join + ONE ip window), and Iceberg-style snapshot expiry over a
+    multi-snapshot file-reference manifest (broadcast snapshot dim + ONE
+    path groupBy)."""
+    from crawl4ai_spark.operators.aging import (
+        age_priorities, starvation_report)
+    from crawl4ai_spark.operators.maintenance import expire_snapshots
+    from crawl4ai_spark.operators.politeness import ip_budget_split
+
+    n_parts = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    out: dict = {"urls": n_urls, "hosts": n_hosts, "files": n_files}
+
+    fr = spark.range(0, n_urls, 1, n_parts).select(
+        F.concat(F.lit("h"), (F.col("id") % (n_urls // 200)).cast("string"))
+        .alias("host"),
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") % 97).cast("long").alias("priority"),
+        (F.col("id") % 50).cast("long").alias("enq_superstep"))
+    t0 = time.time()
+    aged = age_priorities(fr, current_superstep=60, boost_per_step=2,
+                          starve_after=45)
+    n_starved = starvation_report(aged).agg(
+        F.sum("n_starved").alias("s")).collect()[0]["s"]
+    secs = time.time() - t0
+    out["aging_sec"] = round(secs, 3)
+    out["aging_urls_per_sec"] = round(n_urls / max(secs, 1e-9), 1)
+    out["n_starved"] = int(n_starved)
+
+    hosts = spark.range(0, n_hosts, 1, n_parts).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".test"))
+        .alias("host"))
+    dns = spark.range(0, n_hosts, 1, n_parts).filter(
+        F.col("id") % 4 != 3).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".test"))
+        .alias("host"),
+        F.concat(F.lit("10."),
+                 ((F.col("id") % (n_hosts // 100)) % 250).cast("string"),
+                 F.lit("."),
+                 ((F.col("id") % (n_hosts // 100)) / 250).cast("long")
+                 .cast("string"),
+                 F.lit(".1")).alias("ip"))  # ~100 hosts share each IP
+    t0 = time.time()
+    granted = ip_budget_split(hosts, dns, ip_budget=8).agg(
+        F.sum("granted").alias("g")).collect()[0]["g"]
+    secs = time.time() - t0
+    out["ip_split_sec"] = round(secs, 3)
+    out["ip_split_hosts_per_sec"] = round(n_hosts / max(secs, 1e-9), 1)
+    out["ip_granted"] = int(granted)
+
+    refs = spark.range(0, n_files, 1, n_parts).select(
+        F.concat(F.lit("f"), F.col("id").cast("string")).alias("path"),
+        ((F.col("id") * 37) % 4096 + 1).cast("long").alias("bytes"),
+        F.explode(F.sequence(F.col("id") % 20,
+                             F.col("id") % 20 + F.col("id") % 4))
+        .alias("snapshot_id"))
+    snaps = spark.range(0, 24).select(
+        F.col("id").cast("long").alias("snapshot_id"),
+        (100 + 10 * F.col("id")).cast("long").alias("ts"))
+    t0 = time.time()
+    plan = expire_snapshots(refs, snaps, retain_last=4, min_ts=250)
+    freed = plan.filter("removable").agg(
+        F.sum("bytes").alias("b"), F.count("*").alias("n")).collect()[0]
+    secs = time.time() - t0
+    out["expire_sec"] = round(secs, 3)
+    out["expire_files_per_sec"] = round(n_files / max(secs, 1e-9), 1)
+    out["expire_removable"] = int(freed["n"])
+
+    out["sec"] = round(out["aging_sec"] + out["ip_split_sec"]
+                       + out["expire_sec"], 3)
+    return out
+
+
 def host_calibration(spark) -> dict:
     """Fixed micro-workloads recorded per run so round-over-round deltas
     can be normalized for host drift (this VM's per-core throughput moves
@@ -1436,6 +1513,13 @@ def main() -> None:
     section_reset(spark, drift, "curation")
     extras["curation"] = curation_bench(
         spark, n_docs=max(10_000, int(1_000_000 * sf)))
+
+    # crawl-ops tier (priority aging / IP politeness / snapshot expiry)
+    section_reset(spark, drift, "frontier_ops")
+    extras["frontier_ops"] = frontier_ops_bench(
+        spark, n_urls=max(20_000, int(2_000_000 * sf)),
+        n_hosts=max(2_000, int(200_000 * sf)),
+        n_files=max(5_000, int(500_000 * sf)))
 
     # image-payload tier (sniff / DCT pHash / WebDataset plan / CLIP gate)
     section_reset(spark, drift, "image_export")

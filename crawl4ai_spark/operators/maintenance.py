@@ -72,3 +72,76 @@ def compaction_summary(plan: DataFrame,
             .groupBy(F.col(part_col).alias("part"), "grp")
             .agg(F.count("*").cast("long").alias("n_files"),
                  F.sum(size_col).cast("long").alias("grp_bytes")))
+
+
+def snapshot_retention(snapshots: DataFrame, retain_last: int,
+                       min_ts: int | None = None,
+                       id_col: str = "snapshot_id",
+                       ts_col: str = "ts") -> DataFrame:
+    """Classify snapshots under Iceberg's ``expireSnapshots`` policy:
+    a snapshot is retained iff it is one of the newest ``retain_last``
+    (by ``ts``, snapshot id breaking ties) OR at least as new as
+    ``min_ts`` (the time-travel window).  Adds ``rank`` (1 = newest)
+    and ``retained``.
+
+    Scale shape: the snapshots table is commit-dimension sized (one row
+    per checkpoint commit — thousands, not billions), so the single
+    global rank window is over a tiny frame; downstream joins against
+    it broadcast.
+    """
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    w = Window.orderBy(F.col(ts_col).desc(), F.col(id_col).desc())
+    ranked = snapshots.withColumn(
+        "rank", F.row_number().over(w).cast("long"))
+    keep = F.col("rank") <= F.lit(int(retain_last))
+    if min_ts is not None:
+        keep = keep | (F.col(ts_col) >= F.lit(int(min_ts)))
+    return ranked.withColumn("retained", keep)
+
+
+def expire_snapshots(refs: DataFrame, snapshots: DataFrame,
+                     retain_last: int, min_ts: int | None = None,
+                     id_col: str = "snapshot_id", ts_col: str = "ts",
+                     path_col: str = "path",
+                     size_col: str = "bytes") -> DataFrame:
+    """File-level expiry plan: which data files become unreachable when
+    the non-retained snapshots are expired — Iceberg's
+    ``expireSnapshots().cleanExpiredFiles()`` decision, computed from a
+    plain (snapshot_id, path, bytes) reference manifest so a
+    checkpointed crawl (``plans/checkpoint.py`` writes one snapshot per
+    superstep) can garbage-collect without a catalog.
+
+    A file is ``removable`` iff every snapshot referencing it is
+    expired; a single retained reference keeps it (time travel to any
+    retained snapshot must still resolve every file it listed).
+
+    Emits one row per file: ``n_refs``, ``n_retained_refs``,
+    ``removable``, ``bytes``.  All integer/boolean — engine-exact.
+
+    Scale shape: the snapshot classification is broadcast
+    (commit-dimension sized); the reference manifest pays ONE
+    partial-agg groupBy on ``path``.  No window over the manifest, no
+    corpus-sized shuffle beyond the one aggregation.
+    """
+    from pyspark.sql.functions import broadcast
+
+    ret = snapshot_retention(snapshots, retain_last, min_ts,
+                             id_col=id_col, ts_col=ts_col)
+    joined = refs.join(
+        broadcast(ret.select(id_col, "retained")), id_col)
+    return (joined.groupBy(path_col)
+            .agg(F.count("*").cast("long").alias("n_refs"),
+                 F.sum(F.col("retained").cast("long")).cast("long")
+                 .alias("n_retained_refs"),
+                 F.max(size_col).cast("long").alias("bytes"))
+            .withColumn("removable", F.col("n_retained_refs") == 0))
+
+
+def expire_summary(plan: DataFrame) -> DataFrame:
+    """One row per removability class: file count + bytes — the GC
+    job's work estimate (reclaimable = the removable row's bytes).
+    One partial-agg over the file-dimension plan."""
+    return (plan.groupBy("removable")
+            .agg(F.count("*").cast("long").alias("n_files"),
+                 F.sum("bytes").cast("long").alias("total_bytes")))

@@ -222,3 +222,63 @@ def test_hot_key_report(spark):
     assert got[0] == ("a", 50, 1, 5000, 100, 4, 20000)  # 2x the mean -> 20000
     assert got[1] == ("b", 30, 2, 3000, 100, 4, 12000)
     assert len(got) == 2
+
+
+def test_snapshot_retention_rank_and_window(spark):
+    from crawl4ai_spark.operators.maintenance import snapshot_retention
+
+    snaps = spark.createDataFrame(
+        [(s, 100 + 10 * s) for s in range(6)], "snapshot_id long, ts long")
+    got = {r["snapshot_id"]: r for r in
+           snapshot_retention(snaps, retain_last=2, min_ts=120).collect()}
+    # newest 2 by ts: {5, 4}; min_ts=120 adds {2, 3}
+    assert {s for s, r in got.items() if r["retained"]} == {2, 3, 4, 5}
+    assert got[5]["rank"] == 1 and got[0]["rank"] == 6
+    # ties on ts break by snapshot_id desc
+    tied = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100)], "snapshot_id long, ts long")
+    r = {x["snapshot_id"]: x["rank"]
+         for x in snapshot_retention(tied, retain_last=1).collect()}
+    assert r == {3: 1, 2: 2, 1: 3}
+
+
+def test_expire_snapshots_file_reachability(spark):
+    from crawl4ai_spark.operators.maintenance import (
+        expire_snapshots, expire_summary)
+
+    # snapshots 0..3, retain newest 2 → retained {2, 3}
+    snaps = spark.createDataFrame(
+        [(s, 100 + s) for s in range(4)], "snapshot_id long, ts long")
+    refs = spark.createDataFrame(
+        [  # a: only old snapshots → removable
+           (0, "a", 10), (1, "a", 10),
+           # b: old + retained → kept
+           (0, "b", 20), (3, "b", 20),
+           # c: only retained → kept
+           (2, "c", 30),
+        ], "snapshot_id long, path string, bytes long")
+    plan = expire_snapshots(refs, snaps, retain_last=2)
+    got = {r["path"]: r for r in plan.collect()}
+    assert got["a"]["removable"] is True
+    assert got["a"]["n_refs"] == 2 and got["a"]["n_retained_refs"] == 0
+    assert got["b"]["removable"] is False
+    assert got["b"]["n_retained_refs"] == 1
+    assert got["c"]["removable"] is False
+    summ = {r["removable"]: r for r in expire_summary(plan).collect()}
+    assert summ[True]["n_files"] == 1 and summ[True]["total_bytes"] == 10
+    assert summ[False]["n_files"] == 2 and summ[False]["total_bytes"] == 50
+
+
+def test_expire_snapshots_min_ts_keeps_time_travel_window(spark):
+    from crawl4ai_spark.operators.maintenance import expire_snapshots
+
+    snaps = spark.createDataFrame(
+        [(s, 100 + s) for s in range(5)], "snapshot_id long, ts long")
+    refs = spark.createDataFrame(
+        [(1, "x", 5)], "snapshot_id long, path string, bytes long")
+    # retain_last=1 alone would expire snapshot 1 → x removable
+    only_rank = expire_snapshots(refs, snaps, retain_last=1)
+    assert only_rank.collect()[0]["removable"] is True
+    # min_ts=101 pulls snapshot 1 back into the window
+    with_window = expire_snapshots(refs, snaps, retain_last=1, min_ts=101)
+    assert with_window.collect()[0]["removable"] is False

@@ -306,3 +306,86 @@ def test_trap_report_signals(spark):
     assert all(r["trap_score_bp"] == max(
         r["param_share_bp"], r["repeat_share_bp"],
         r["calendar_share_bp"], r["deep_share_bp"]) for r in rep.values())
+
+
+def test_ip_budget_split_exact_and_deterministic(spark):
+    from crawl4ai_spark.operators.politeness import ip_budget_split
+
+    hosts = spark.createDataFrame(
+        [("a.test",), ("b.test",), ("c.test",), ("lone.test",)],
+        "host string")
+    dns = spark.createDataFrame(
+        [("a.test", "1.1.1.1"), ("b.test", "1.1.1.1"),
+         ("c.test", "1.1.1.1")], "host string, ip string")
+    got = {r["host"]: r for r in
+           ip_budget_split(hosts, dns, ip_budget=7).collect()}
+    # 7 across 3 hosts: 2 each + 1 extra to the lexicographic first
+    assert [got[h]["granted"] for h in ("a.test", "b.test", "c.test")] \
+        == [3, 2, 2]
+    assert got["a.test"]["n_hosts_on_ip"] == 3
+    assert sum(got[h]["granted"] for h in
+               ("a.test", "b.test", "c.test")) == 7
+    # unmapped host keys on itself and takes the whole default budget
+    assert got["lone.test"]["ip"] == "lone.test"
+    assert got["lone.test"]["granted"] == 7
+    assert not any(r["starved"] for r in got.values())
+
+
+def test_ip_budget_split_starvation_and_per_ip_budgets(spark):
+    from crawl4ai_spark.operators.politeness import ip_budget_split
+
+    hosts = spark.createDataFrame(
+        [(f"h{i}.test",) for i in range(5)], "host string")
+    dns = spark.createDataFrame(
+        [(f"h{i}.test", "2.2.2.2") for i in range(5)],
+        "host string, ip string")
+    budgets = spark.createDataFrame(
+        [("2.2.2.2", 3)], "ip string, budget long")
+    got = {r["host"]: r for r in
+           ip_budget_split(hosts, dns, ip_budget=99,
+                           budgets=budgets).collect()}
+    # 3 across 5 hosts: first 3 lexicographic get 1, the rest starve
+    grants = [got[f"h{i}.test"]["granted"] for i in range(5)]
+    assert grants == [1, 1, 1, 0, 0]
+    assert [got[f"h{i}.test"]["starved"] for i in range(5)] \
+        == [False, False, False, True, True]
+    assert all(r["ip_budget"] == 3 for r in got.values())
+
+
+def test_age_priorities_and_report(spark):
+    from crawl4ai_spark.operators.aging import (
+        age_priorities, starvation_report)
+
+    fr = spark.createDataFrame(
+        [("h1", "u_new", 5, 10),    # age 0
+         ("h1", "u_mid", 5, 6),     # age 4 → aged 5-8=-3
+         ("h1", "u_old", 50, 0),    # age 10 → aged 30, starved
+         ("h2", "v", 1, 10)],
+        "host string, url string, priority long, enq_superstep long")
+    aged = age_priorities(fr, current_superstep=10, boost_per_step=2,
+                          starve_after=10)
+    got = {r["url"]: r for r in aged.collect()}
+    assert got["u_new"]["age"] == 0 and got["u_new"]["aged_priority"] == 5
+    assert got["u_mid"]["aged_priority"] == -3
+    assert got["u_old"]["aged_priority"] == 30
+    assert got["u_old"]["starved"] is True
+    assert got["u_mid"]["starved"] is False
+    # rank within host by aged priority: mid < new < old
+    assert [got[u]["host_rank"] for u in ("u_mid", "u_new", "u_old")] \
+        == [1, 2, 3]
+    assert got["v"]["host_rank"] == 1
+    rep = {r["host"]: r for r in starvation_report(aged).collect()}
+    assert rep["h1"]["n_urls"] == 3 and rep["h1"]["n_starved"] == 1
+    assert rep["h1"]["max_age"] == 10
+    assert rep["h1"]["starved_bp"] == 3333
+    assert rep["h2"]["starved_bp"] == 0
+
+
+def test_age_priorities_clamps_future_enqueues(spark):
+    from crawl4ai_spark.operators.aging import age_priorities
+
+    fr = spark.createDataFrame(
+        [("h", "u", 7, 99)],
+        "host string, url string, priority long, enq_superstep long")
+    r = age_priorities(fr, current_superstep=10).collect()[0]
+    assert r["age"] == 0 and r["aged_priority"] == 7

@@ -901,6 +901,66 @@ def main() -> None:
         sections[-1] = (sections[-1][0] + " — FAIL: unexpected shuffle",
                         jp_plan, sections[-1][2])
 
+    # 57. Snapshot expiry: broadcast snapshot dim (commit-sized) + ONE
+    # partial-agg groupBy on path; no window over the file manifest
+    from crawl4ai_spark.operators.maintenance import expire_snapshots
+
+    aud_refs = spark.range(0, 20000).select(
+        F.concat(F.lit("f"), F.col("id").cast("string")).alias("path"),
+        (F.col("id") % 512 + 1).cast("long").alias("bytes"),
+        (F.col("id") % 8).cast("long").alias("snapshot_id"))
+    aud_snaps = spark.range(0, 8).select(
+        F.col("id").cast("long").alias("snapshot_id"),
+        (100 + F.col("id")).cast("long").alias("ts"))
+    ex_plan = plan_of(expire_snapshots(aud_refs, aud_snaps, retain_last=3))
+    sections.append((
+        "Snapshot expiry (broadcast commit-sized dim + one path groupBy; "
+        "the only Window is over the 8-row snapshot dim)",
+        ex_plan, ["BroadcastHashJoin", "HashAggregate"],
+    ))
+    if "SortMergeJoin" in ex_plan:
+        sections[-1] = (sections[-1][0] + " — FAIL: manifest-side SMJ",
+                        ex_plan, sections[-1][2])
+
+    # 58. IP politeness split: host-dimension frames only — one
+    # host-keyed join, one window partitioned by ip
+    from crawl4ai_spark.operators.politeness import ip_budget_split
+
+    aud_hosts = spark.range(0, 20000).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"))
+    aud_dns = spark.range(0, 15000).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        F.concat(F.lit("10.0."), (F.col("id") % 64).cast("string"))
+        .alias("ip"))
+    ip_plan = plan_of(ip_budget_split(aud_hosts, aud_dns, ip_budget=8))
+    sections.append((
+        "IP politeness split (host-dim join + ip-partitioned window — "
+        "never touches the frontier)",
+        ip_plan, ["Window", "hashpartitioning"],
+    ))
+
+    # 59. Frontier aging: codegen age/priority columns + the ONE
+    # host-partitioned window the pop itself already pays
+    from crawl4ai_spark.operators.aging import age_priorities
+
+    aud_fr = spark.range(0, 100000).select(
+        F.concat(F.lit("h"), (F.col("id") % 500).cast("string"))
+        .alias("host"),
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") % 97).cast("long").alias("priority"),
+        (F.col("id") % 50).cast("long").alias("enq_superstep"))
+    ag_plan = plan_of(age_priorities(aud_fr, 60, 2, 45))
+    sections.append((
+        "Frontier priority aging (codegen columns + one host-partitioned "
+        "window, same partitioning as the pop)",
+        ag_plan, ["Window", "hashpartitioning"],
+    ))
+    n_exch = ag_plan.count("Exchange hashpartitioning")
+    if n_exch > 2:  # formatted plans list each node twice
+        sections[-1] = (sections[-1][0]
+                        + f" — FAIL: {n_exch // 2} exchanges",
+                        ag_plan, sections[-1][2])
+
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)\n"]
     out.append(
         "Generated by tools/explain_audit.py. Verdict lines check the "
