@@ -1191,6 +1191,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return starvation_report(aged)
     q["starvation_report"] = q_starvation_report
 
+    def q_crawl_yield(spark, sf):
+        # per-host crawl economics from a synthetic superstep log:
+        # fetches, successes, discovered vs NEW links, integer-DIV
+        # basis-point rates — the signal a budget allocator feeds on
+        from crawl4ai_spark.operators.budget import yield_report
+
+        e = _t(spark, sf, "events")
+        log = e.select(
+            F.concat(F.lit("h"), (F.col("user_id") % 23).cast("string"))
+            .alias("host"),
+            (F.col("event_id") % 7 != 0).alias("success"),
+            (F.col("event_id") % 30).cast("long").alias("n_links"),
+            F.expr("CAST((event_id % 30) * 2 DIV 3 AS BIGINT)")
+            .alias("n_new"))
+        return yield_report(log)
+    q["crawl_yield"] = q_crawl_yield
+
+    def q_budget_apportion(spark, sf):
+        # Hamilton largest-remainder split of a 100k-fetch global budget
+        # across hosts by integer weight ((j*j*13)%997, incl. a zero);
+        # extras rank by (remainder desc, host) via the scale-safe
+        # global seq — sum(granted) == budget exactly
+        from crawl4ai_spark.operators.budget import apportion_budget
+
+        j = F.col("j")
+        weights = (_t(spark, sf, "documents")
+                   .select((F.col("doc_id") % 41).cast("long").alias("j"))
+                   .distinct()
+                   .select(F.concat(F.lit("h"), j.cast("string"))
+                           .alias("host"),
+                           ((j * j * 13) % 997).cast("long")
+                           .alias("weight")))
+        out = apportion_budget(weights, 100000)
+        return out.select("host", "weight", "base_grant", "remainder",
+                          "extra", "granted")
+    q["budget_apportion"] = q_budget_apportion
+
     def q_trap_report(spark, sf):
         # spider-trap diagnostics over a synthesized frontier: hosts h3
         # (all path loops) and h5 (all calendar) are traps; the rest mix
@@ -2894,6 +2931,54 @@ def oracle_sql() -> dict[str, str]:
                CAST((10000 * sum(CASE WHEN age >= 45 THEN 1 ELSE 0 END))
                     // count(*) AS BIGINT) AS starved_bp
         FROM fr GROUP BY host
+    """
+
+    o["crawl_yield"] = """
+        WITH log AS (
+          SELECT 'h' || CAST(user_id % 23 AS VARCHAR) AS host,
+                 event_id % 7 <> 0 AS success,
+                 event_id % 30 AS n_links,
+                 ((event_id % 30) * 2) // 3 AS n_new
+          FROM events),
+        agg AS (
+          SELECT host, count(*) AS n_fetched,
+                 sum(CASE WHEN success THEN 1 ELSE 0 END) AS n_ok,
+                 sum(n_links) AS n_links, sum(n_new) AS n_new
+          FROM log GROUP BY host)
+        SELECT host, CAST(n_fetched AS BIGINT) AS n_fetched,
+               CAST(n_ok AS BIGINT) AS n_ok,
+               CAST(n_links AS BIGINT) AS n_links,
+               CAST(n_new AS BIGINT) AS n_new,
+               CAST((10000 * n_ok) // n_fetched AS BIGINT) AS ok_bp,
+               CAST(CASE WHEN n_links = 0 THEN 0
+                    ELSE (10000 * (n_links - n_new)) // n_links END
+                    AS BIGINT) AS dup_bp,
+               CAST((10000 * n_new) // n_fetched AS BIGINT)
+                 AS new_per_10k_fetch
+        FROM agg
+    """
+
+    o["budget_apportion"] = """
+        WITH jj AS (SELECT DISTINCT doc_id % 41 AS j FROM documents),
+        w AS (SELECT 'h' || CAST(j AS VARCHAR) AS host,
+                     (j * j * 13) % 997 AS weight
+              FROM jj),
+        t AS (SELECT sum(weight) AS tw FROM w),
+        b AS (SELECT host, weight,
+                     (100000 * weight) // tw AS base_grant,
+                     (100000 * weight) % tw AS remainder
+              FROM w, t),
+        l AS (SELECT 100000 - sum(base_grant) AS leftover FROM b),
+        r AS (SELECT *, row_number() OVER (
+                ORDER BY remainder DESC, host) AS rn
+              FROM b)
+        SELECT host, CAST(weight AS BIGINT) AS weight,
+               CAST(base_grant AS BIGINT) AS base_grant,
+               CAST(remainder AS BIGINT) AS remainder,
+               rn <= leftover AS extra,
+               CAST(base_grant + CASE WHEN rn <= leftover THEN 1 ELSE 0
+                    END AS BIGINT) AS granted
+        FROM r, l
     """
 
     o["trap_report"] = """

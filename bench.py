@@ -1278,8 +1278,38 @@ def frontier_ops_bench(spark, n_urls: int = 1_000_000,
     out["expire_files_per_sec"] = round(n_files / max(secs, 1e-9), 1)
     out["expire_removable"] = int(freed["n"])
 
+    from crawl4ai_spark.operators.budget import (
+        apportion_budget, yield_report)
+
+    log = spark.range(0, n_urls, 1, n_parts).select(
+        F.concat(F.lit("h"), (F.col("id") % (n_urls // 200)).cast("string"))
+        .alias("host"),
+        (F.col("id") % 7 != 0).alias("success"),
+        (F.col("id") % 30).cast("long").alias("n_links"),
+        F.expr("CAST((id % 30) * 2 DIV 3 AS BIGINT)").alias("n_new"))
+    t0 = time.time()
+    n_hosts_seen = yield_report(log).count()
+    secs = time.time() - t0
+    out["yield_sec"] = round(secs, 3)
+    out["yield_rows_per_sec"] = round(n_urls / max(secs, 1e-9), 1)
+
+    weights = spark.range(0, n_hosts, 1, n_parts).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        ((F.col("id") * F.col("id") * 13) % 997).cast("long")
+        .alias("weight"))
+    budget = 10_000_000
+    t0 = time.time()
+    granted = apportion_budget(weights, budget).agg(
+        F.sum("granted").alias("g")).collect()[0]["g"]
+    secs = time.time() - t0
+    assert int(granted) == budget, (granted, budget)
+    out["apportion_sec"] = round(secs, 3)
+    out["apportion_hosts_per_sec"] = round(n_hosts / max(secs, 1e-9), 1)
+    out["yield_hosts"] = int(n_hosts_seen)
+
     out["sec"] = round(out["aging_sec"] + out["ip_split_sec"]
-                       + out["expire_sec"], 3)
+                       + out["expire_sec"] + out["yield_sec"]
+                       + out["apportion_sec"], 3)
     return out
 
 

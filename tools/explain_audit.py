@@ -961,6 +961,27 @@ def main() -> None:
                         + f" — FAIL: {n_exch // 2} exchanges",
                         ag_plan, sections[-1][2])
 
+    # 60. Budget apportionment: largest-remainder extras ranked by the
+    # scale-safe global seq (range partition + Arrow offsets) — NO
+    # single-partition Window over the host dimension
+    from crawl4ai_spark.operators.budget import apportion_budget
+
+    aud_w = spark.range(0, 20000).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        ((F.col("id") * F.col("id") * 13) % 997).cast("long")
+        .alias("weight"))
+    ap_plan = plan_of(apportion_budget(aud_w, 1_000_000))
+    sections.append((
+        "Budget apportionment (decimal-exact shares + global-seq extras, "
+        "no single-partition window)",
+        # the range shuffle sits upstream of with_global_seq's eager
+        # localCheckpoint, so this plan starts at the frozen RDD scan
+        ap_plan, ["MapInPandas", "Scan ExistingRDD"],
+    ))
+    if "Window" in ap_plan:
+        sections[-1] = (sections[-1][0] + " — FAIL: window crept in",
+                        ap_plan, sections[-1][2])
+
     out = ["# PLANS — physical-plan audit (`.explain(\"formatted\")`)\n"]
     out.append(
         "Generated by tools/explain_audit.py. Verdict lines check the "
