@@ -1033,6 +1033,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["bfs_crawl"] = q_bfs_crawl
 
+    def q_resume_crawl(spark, sf):
+        # T8 driver evidence (north rule "resumable from checkpoint"):
+        # the SAME bfs crawl interrupted after one committed superstep
+        # and resumed from the snapshot store must equal the
+        # uninterrupted expected crawl row-for-row
+        import tempfile
+
+        from crawl4ai_spark.plans.checkpoint import SnapshotStore
+        from crawl4ai_spark.plans.frontier import CrawlEngine
+
+        oracle_expected.ensure_crawl_expected()
+        p = _graph()
+        pages, links, _ = synth.synth_tables(spark, p)
+        pages, links = pages.cache(), links.cache()
+        seeds = [synth.url_of(0, p)]
+        cfg_full = CrawlConfig(
+            strategy="bfs", max_depth=2, max_pages=150,
+            scorer=ScorerSpec(kind="freshness", current_year=2024))
+        cfg_part = CrawlConfig(
+            strategy="bfs", max_depth=2, max_pages=150, max_supersteps=1,
+            scorer=ScorerSpec(kind="freshness", current_year=2024))
+        store = SnapshotStore(tempfile.mkdtemp(prefix="resume_probe_"))
+        CrawlEngine(spark, pages, links, cfg_part, store=store).run(seeds)
+        run = CrawlEngine(spark, pages, links, cfg_full,
+                          store=store).run(seeds, resume=True)
+        return run.results.select(
+            "superstep", "seq", "url", "depth", "parent",
+            F.round("score", 6).alias("score"), "success", "status_code",
+        )
+    q["resume_crawl"] = q_resume_crawl
+
+    def q_crawl_metrics(spark, sf):
+        # D6 driver evidence: the engine's per-superstep metric stream
+        # (popped / successes / cumulative pages) re-derived by DuckDB
+        # from the expected crawl table itself
+        oracle_expected.ensure_crawl_expected()
+        p = _graph()
+        pages, links, _ = synth.synth_tables(spark, p)
+        pages, links = pages.cache(), links.cache()
+        cfg = CrawlConfig(
+            strategy="bfs", max_depth=2, max_pages=150,
+            scorer=ScorerSpec(kind="freshness", current_year=2024))
+        run = deep_crawl(spark, [synth.url_of(0, p)], pages, links, cfg)
+        # the superstep loop has already run eagerly; metrics are final
+        rows = [(int(m["superstep"]), int(m["popped"]),
+                 int(m["successes"]), int(m["pages_crawled"]))
+                for m in run.metrics if "superstep" in m]
+        return spark.createDataFrame(
+            rows,
+            "superstep long, popped long, successes long, "
+            "pages_crawled long")
+    q["crawl_metrics"] = q_crawl_metrics
+
     def q_dfs_batched_crawl(spark, sf):
         # batched "DFS-ish" loop (VERDICT r3 missing #5): deepest stack
         # segment per superstep, children pushed reversed per parent in
@@ -3972,6 +4025,24 @@ def oracle_sql() -> dict[str, str]:
         "SELECT superstep, seq, url, depth, parent, score, success, status_code "
         f"FROM read_parquet('{_exp('bfs_crawl')}')"
     )
+    # resume == uninterrupted: the SAME expected table gates both
+    o["resume_crawl"] = (
+        "SELECT superstep, seq, url, depth, parent, score, success, status_code "
+        f"FROM read_parquet('{_exp('bfs_crawl')}')"
+    )
+    o["crawl_metrics"] = f"""
+        WITH per AS (
+          SELECT superstep, count(*) AS popped,
+                 sum(CASE WHEN success THEN 1 ELSE 0 END) AS succ
+          FROM read_parquet('{_exp('bfs_crawl')}')
+          GROUP BY superstep)
+        SELECT CAST(superstep AS BIGINT) AS superstep,
+               CAST(popped AS BIGINT) AS popped,
+               CAST(succ AS BIGINT) AS successes,
+               CAST(sum(succ) OVER (ORDER BY superstep) AS BIGINT)
+                 AS pages_crawled
+        FROM per
+    """
     o["dfs_batched_crawl"] = (
         "SELECT superstep, seq, url, depth, parent, score, success, status_code "
         f"FROM read_parquet('{_exp('dfs_batched_crawl')}')"
