@@ -696,8 +696,10 @@ def jpeg_walk(data: bytes) -> dict:
 
     Conventions mirror ``png_walk``: non-JPEG rows (no SOI) return all
     NULLs; for JPEG rows dims are -1 until a SOF is seen; ``truncated``
-    means the walk ran off the buffer mid-segment (a missing EOI after a
-    complete scan is has_eoi=false, truncated=false)."""
+    means the walk could not continue — it ran off the buffer
+    mid-segment or lost marker sync (a non-0xFF byte where a marker must
+    start).  A missing EOI after a complete scan is has_eoi=false,
+    truncated=false."""
     out = {"is_jpeg": False, "w": None, "h": None, "n_components": None,
            "progressive": None, "jfif_vmaj": None, "jfif_vmin": None,
            "density_x": None, "density_y": None, "exif_endian": None,

@@ -519,9 +519,14 @@ def ip_budget_split(hosts: DataFrame, dns: DataFrame | None = None,
     else:
         mapped = h.withColumn(ip_col, F.col(host_col))
     if budgets is not None:
+        # joined on ip WITHOUT a forced broadcast: the budgets dim is
+        # ip-dimension sized (≈ hosts / collocation factor — can be 10^7+
+        # at full scale), and a shuffle join on ip co-partitions with the
+        # ip window below, so the exchange is shared; AQE still picks a
+        # broadcast when the dim is actually small
         mapped = mapped.join(
-            F.broadcast(budgets.select(
-                ip_col, F.col("budget").alias("__ipb"))), ip_col, "left")
+            budgets.select(ip_col, F.col("budget").alias("__ipb")),
+            ip_col, "left")
         budget = F.coalesce(F.col("__ipb"), F.lit(int(ip_budget)))
     else:
         budget = F.lit(int(ip_budget))
