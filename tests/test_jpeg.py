@@ -129,3 +129,25 @@ def test_stage_matches_recipe_expected(spark):
         g = [None if pd.isna(v) else v for v in got[col].tolist()]
         e = [None if pd.isna(v) else v for v in exp[col].tolist()]
         assert g == e, col
+
+
+def test_walk_total_on_arbitrary_bytes():
+    # the walk must be total for ANY byte string (crawl payloads are
+    # adversarial); deterministic pseudo-random corpus, no hypothesis
+    # needed for a pure function
+    import hashlib
+
+    for i in range(200):
+        data = hashlib.sha256(f"fuzz{i}".encode()).digest() * (i % 7 + 1)
+        out = jpeg_walk(data)
+        assert out["is_jpeg"] in (True, False)
+        # prefix with SOI so the walker enters the marker loop
+        out2 = jpeg_walk(b"\xff\xd8" + data)
+        assert out2["is_jpeg"] is True
+        assert isinstance(out2["n_segments"], int)
+
+
+def test_walk_fill_bytes_before_marker():
+    data = b"\xff\xd8" + b"\xff\xff\xff" + b"\xd9"  # fill run then EOI
+    out = jpeg_walk(data)
+    assert out["has_eoi"] is True and out["truncated"] is False
