@@ -1038,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the SAME bfs crawl interrupted after one committed superstep
         # and resumed from the snapshot store must equal the
         # uninterrupted expected crawl row-for-row
+        import shutil
         import tempfile
 
         from crawl4ai_spark.plans.checkpoint import SnapshotStore
@@ -1054,7 +1055,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cfg_part = CrawlConfig(
             strategy="bfs", max_depth=2, max_pages=150, max_supersteps=1,
             scorer=ScorerSpec(kind="freshness", current_year=2024))
-        store = SnapshotStore(tempfile.mkdtemp(prefix="resume_probe_"))
+        # one fixed dir per machine, wiped before each run — repeated
+        # probe invocations must not accumulate checkpoint trees in /tmp
+        ckdir = os.path.join(tempfile.gettempdir(), "crawl4ai_resume_probe")
+        shutil.rmtree(ckdir, ignore_errors=True)
+        store = SnapshotStore(ckdir)
         CrawlEngine(spark, pages, links, cfg_part, store=store).run(seeds)
         run = CrawlEngine(spark, pages, links, cfg_full,
                           store=store).run(seeds, resume=True)

@@ -1078,7 +1078,13 @@ def image_export_bench(spark, n_images: int = 20_000,
 
     def build_jpegs(batches):
         # deterministic JFIF containers with ~4 KB entropy scans — the
-        # walker pays for marker walking + scan traversal, not decode
+        # walker pays for marker walking + scan traversal, not decode.
+        # seg() computes every segment length (no hand-maintained length
+        # bytes to desync from the payloads).
+        def seg(marker, payload):
+            return bytes([0xFF, marker]) \
+                + (len(payload) + 2).to_bytes(2, "big") + payload
+
         for b in batches:
             rows = []
             for i in b["id"]:
@@ -1086,22 +1092,23 @@ def image_export_bench(spark, n_images: int = 20_000,
                 scan_len = 3500 + (i * 37) % 1000
                 scan = ((i * 31 + np.arange(scan_len) * 17) % 0xFE
                         ).astype(np.uint8).tobytes()
-                data = (b"\xff\xd8"
-                        + b"\xff\xe0\x00\x10JFIF\x00\x01\x02\x01"
-                        + (72 + i % 5).to_bytes(2, "big")
-                        + (72 + i % 7).to_bytes(2, "big") + b"\x00\x00"
-                        + b"\xff\xdb\x00\x43\x00" + bytes(
-                            (i + j * 7) % 251 + 1 for j in range(64))
-                        + b"\xff\xc0\x00\x11\x08"
-                        + (16 + i % 9 * 8).to_bytes(2, "big")
-                        + (16 + i % 11 * 8).to_bytes(2, "big")
-                        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
-                        + b"\xff\xc4\x00\x14\x00"
-                        + bytes([0, 1] + [0] * 14) + b"\x05"
-                        + b"\xff\xda\x00\x0c\x03\x01\x00\x02\x11\x03\x11"
-                        + b"\x00\x3f\x00"
-                        + scan
-                        + b"\xff\xd9")
+                data = (
+                    b"\xff\xd8"
+                    + seg(0xE0, b"JFIF\x00\x01\x02\x01"
+                          + (72 + i % 5).to_bytes(2, "big")
+                          + (72 + i % 7).to_bytes(2, "big") + b"\x00\x00")
+                    + seg(0xDB, b"\x00" + bytes(
+                        (i + j * 7) % 251 + 1 for j in range(64)))
+                    + seg(0xC0, b"\x08"
+                          + (16 + i % 9 * 8).to_bytes(2, "big")
+                          + (16 + i % 11 * 8).to_bytes(2, "big")
+                          + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+                    + seg(0xC4, b"\x00" + bytes([0, 1] + [0] * 14)
+                          + b"\x05")
+                    + seg(0xDA, b"\x03\x01\x00\x02\x11\x03\x11"
+                          + b"\x00\x3f\x00")
+                    + scan
+                    + b"\xff\xd9")
                 rows.append({"image_id": f"j{i:07d}", "bytes": data})
             yield pd.DataFrame(rows, columns=["image_id", "bytes"])
 

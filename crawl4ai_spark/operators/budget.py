@@ -87,9 +87,12 @@ def apportion_budget(weights: DataFrame, total_budget: int,
 
     if total_budget < 0:
         raise ValueError("total_budget must be >= 0")
+    # freeze the (possibly expensive) upstream ONCE: the weight total,
+    # the leftover aggregate, and with_global_seq's range shuffle all
+    # read this checkpoint instead of re-evaluating the source pipeline
     w = weights.select(
         F.col(host_col).alias("host"),
-        F.col(weight_col).cast("long").alias("weight"))
+        F.col(weight_col).cast("long").alias("weight")).localCheckpoint()
     tot = w.agg(F.sum(F.col("weight").cast("decimal(38,0)"))
                 .alias("t")).collect()[0]["t"]
     if tot is None or int(tot) <= 0:

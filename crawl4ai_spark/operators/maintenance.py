@@ -116,6 +116,12 @@ def expire_snapshots(refs: DataFrame, snapshots: DataFrame,
     expired; a single retained reference keeps it (time travel to any
     retained snapshot must still resolve every file it listed).
 
+    Dangling references — rows whose ``snapshot_id`` is absent from the
+    ``snapshots`` frame (a manifest written by a commit the snapshots
+    table hasn't caught up to) — are treated as RETAINED: for a
+    deletion decision, unknown provenance must fail safe toward keeping
+    the file, never toward deleting it.
+
     Emits one row per file: ``n_refs``, ``n_retained_refs``,
     ``removable``, ``bytes``.  All integer/boolean — engine-exact.
 
@@ -129,10 +135,12 @@ def expire_snapshots(refs: DataFrame, snapshots: DataFrame,
     ret = snapshot_retention(snapshots, retain_last, min_ts,
                              id_col=id_col, ts_col=ts_col)
     joined = refs.join(
-        broadcast(ret.select(id_col, "retained")), id_col)
+        broadcast(ret.select(id_col, "retained")), id_col, "left")
+    # NULL retained = dangling ref = fail-safe retained
+    retained = F.coalesce(F.col("retained"), F.lit(True))
     return (joined.groupBy(path_col)
             .agg(F.count("*").cast("long").alias("n_refs"),
-                 F.sum(F.col("retained").cast("long")).cast("long")
+                 F.sum(retained.cast("long")).cast("long")
                  .alias("n_retained_refs"),
                  F.max(size_col).cast("long").alias("bytes"))
             .withColumn("removable", F.col("n_retained_refs") == 0))

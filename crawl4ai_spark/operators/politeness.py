@@ -513,7 +513,12 @@ def ip_budget_split(hosts: DataFrame, dns: DataFrame | None = None,
     """
     h = hosts.select(host_col).distinct()
     if dns is not None:
-        mapped = h.join(dns.select(host_col, ip_col), host_col, "left")
+        # a host with multiple A records must key on exactly ONE ip —
+        # otherwise the left join fans the host out and it collects a
+        # share from every server's budget (the hammering this operator
+        # exists to prevent).  min(ip) picks the deterministic primary.
+        primary = dns.groupBy(host_col).agg(F.min(ip_col).alias(ip_col))
+        mapped = h.join(primary, host_col, "left")
         mapped = mapped.withColumn(
             ip_col, F.coalesce(F.col(ip_col), F.col(host_col)))
     else:

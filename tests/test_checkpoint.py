@@ -282,3 +282,22 @@ def test_expire_snapshots_min_ts_keeps_time_travel_window(spark):
     # min_ts=101 pulls snapshot 1 back into the window
     with_window = expire_snapshots(refs, snaps, retain_last=1, min_ts=101)
     assert with_window.collect()[0]["removable"] is False
+
+
+def test_expire_snapshots_dangling_ref_fails_safe(spark):
+    from crawl4ai_spark.operators.maintenance import expire_snapshots
+
+    snaps = spark.createDataFrame(
+        [(s, 100 + s) for s in range(4)], "snapshot_id long, ts long")
+    refs = spark.createDataFrame(
+        [  # x: one expired ref + one ref to an UNKNOWN snapshot id
+           (0, "x", 5), (99, "x", 5),
+           # y: referenced ONLY by an unknown id
+           (98, "y", 7),
+        ], "snapshot_id long, path string, bytes long")
+    got = {r["path"]: r for r in
+           expire_snapshots(refs, snaps, retain_last=2).collect()}
+    # unknown provenance must retain, never delete
+    assert got["x"]["removable"] is False
+    assert got["x"]["n_refs"] == 2 and got["x"]["n_retained_refs"] == 1
+    assert got["y"]["removable"] is False and got["y"]["n_refs"] == 1

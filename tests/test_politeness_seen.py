@@ -389,3 +389,22 @@ def test_age_priorities_clamps_future_enqueues(spark):
         "host string, url string, priority long, enq_superstep long")
     r = age_priorities(fr, current_superstep=10).collect()[0]
     assert r["age"] == 0 and r["aged_priority"] == 7
+
+
+def test_ip_budget_split_multi_a_record_host_keys_once(spark):
+    from crawl4ai_spark.operators.politeness import ip_budget_split
+
+    hosts = spark.createDataFrame([("multi.test",), ("other.test",)],
+                                  "host string")
+    dns = spark.createDataFrame(
+        [("multi.test", "2.2.2.2"), ("multi.test", "1.1.1.1"),
+         ("other.test", "1.1.1.1")], "host string, ip string")
+    rows = ip_budget_split(hosts, dns, ip_budget=4).collect()
+    got = {r["host"]: r for r in rows}
+    # exactly one row per host; the deterministic primary ip is min(ip)
+    assert len(rows) == 2
+    assert got["multi.test"]["ip"] == "1.1.1.1"
+    # both hosts share 1.1.1.1 → budget 4 split 2/2
+    assert got["multi.test"]["n_hosts_on_ip"] == 2
+    assert got["multi.test"]["granted"] == 2
+    assert got["other.test"]["granted"] == 2
