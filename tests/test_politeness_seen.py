@@ -408,3 +408,42 @@ def test_ip_budget_split_multi_a_record_host_keys_once(spark):
     assert got["multi.test"]["n_hosts_on_ip"] == 2
     assert got["multi.test"]["granted"] == 2
     assert got["other.test"]["granted"] == 2
+
+
+def test_age_priorities_breaks_starvation_in_pop_loop(spark):
+    """The documented composition: substitute aged_priority for priority
+    in an ascending pop and a stale URL pops within bounded supersteps,
+    while the unaged pop starves it forever (a fresh better-scored URL
+    arrives every superstep)."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.operators.aging import age_priorities
+
+    def simulate(aged: bool, supersteps: int = 30) -> int | None:
+        # queue rows: (url, priority, enq); the victim has priority 50,
+        # enqueued at 0; each superstep adds one fresh priority-10 url
+        rows = [("victim", 50, 0)]
+        for step in range(supersteps):
+            rows.append((f"fresh{step}", 10, step))
+            q = spark.createDataFrame(
+                rows, "url string, priority long, enq_superstep long"
+            ).withColumn("host", F.lit("h"))
+            if aged:
+                ranked = age_priorities(q, current_superstep=step,
+                                        boost_per_step=3)
+                key = "aged_priority"
+            else:
+                ranked = q.withColumn("aged_priority", F.col("priority"))
+                key = "aged_priority"
+            # pop exactly ONE url per superstep (budget 1)
+            top = ranked.orderBy(F.col(key), "url").limit(1).collect()[0]
+            if top["url"] == "victim":
+                return step
+            rows = [r for r in rows if r[0] != top["url"]]
+        return None
+
+    assert simulate(aged=False) is None          # starves forever
+    popped_at = simulate(aged=True)
+    # priority gap 40, boost 3/superstep → pops as soon as
+    # 50 - 3*age < 10, age > 13.33 → superstep 14
+    assert popped_at == 14
