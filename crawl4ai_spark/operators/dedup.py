@@ -710,11 +710,18 @@ def incremental_dedup(batch: DataFrame, store: DataFrame,
         .when(F.col("__rn") > 1, F.lit("dup_in_batch"))
         .otherwise(F.lit("new"))
     )
+    # dup_of keeps the id column's own type (a hard cast("long") would
+    # NULL string doc ids and silently drop the dedup lineage); kept
+    # rows carry the -1 sentinel cast into that type ('-1' for strings)
+    id_type = batch.schema[id_col].dataType.simpleString()
     dup_of = (
+        # the sentinel is cast BEFORE the when-chain: a bare int -1
+        # would make Spark coerce the string branches to BIGINT (ANSI
+        # cast error on non-numeric ids), not the other way round
         F.when(F.col("__store_id").isNotNull(), F.col("__store_id"))
         .when(F.col("__rn") > 1, F.col("__win"))
-        .otherwise(F.lit(-1))
-    ).cast("long")
+        .otherwise(F.lit(-1).cast(id_type))
+    ).cast(id_type)
     return (j.withColumn("status", status)
              .withColumn("keep", F.col("status") == "new")
              .withColumn("dup_of", dup_of)
@@ -729,7 +736,7 @@ def fingerprint_store(corpus: DataFrame, text_col: str = "text",
     return (
         corpus.select(
             F.xxhash64(normalized_text(F.col(text_col))).alias("fp"),
-            F.col(id_col).cast("long").alias(id_col))
+            F.col(id_col).alias(id_col))  # id keeps its own type
         .groupBy("fp").agg(F.min(id_col).alias("keep_id"))
     )
 

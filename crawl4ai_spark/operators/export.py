@@ -108,9 +108,12 @@ def webdataset_plan(
         out_col="__cum", n_buckets=num_partitions,
     )
     before = F.col("__cum") - F.col("sample_bytes")
-    packed = packed.withColumn(
-        "shard", F.floor(before / F.lit(shard_bytes)).cast("long")
-    ).withColumn("__before", before)
+    packed = packed.withColumn("__before", before).withColumn(
+        # integer DIV, not float floor(/): at multi-PB cumulative
+        # offsets a double quotient's ulp exceeds 1/shard_bytes and a
+        # boundary sample could round into the wrong shard
+        "shard", F.expr(f"__before DIV {int(shard_bytes)}").cast("long")
+    )
     # per-shard base = cum_before of the shard's first sample (broadcast dim)
     base = packed.groupBy("shard").agg(F.min("__before").alias("__base"))
     planned = packed.join(F.broadcast(base), "shard")
@@ -155,6 +158,8 @@ def _tar_header(name: str, size: int) -> bytes:
     every field fixed so shard bytes are identical on any writer task."""
     if len(name.encode()) > 100:
         raise ValueError(f"tar member name too long: {name!r}")
+    if size < 0 or size >= 8 ** 11:  # 12-char octal field holds < 8 GiB
+        raise ValueError(f"tar member size out of range: {size}")
     buf = bytearray(512)
     buf[0:len(name.encode())] = name.encode()
     buf[100:108] = b"0000644\x00"
@@ -229,5 +234,8 @@ def write_webdataset(plan: DataFrame, outdir: str,
             "shard": shard, "path": path, "n_samples": len(pdf),
             "data_bytes": data_bytes, "archive_bytes": len(buf)}])
 
-    return plan.repartition("shard").groupBy("shard").applyInPandas(
+    # no explicit repartition: groupBy("shard") already requires (and
+    # installs) hash partitioning on the key — a second exchange of the
+    # payload-sized table would be pure waste
+    return plan.groupBy("shard").applyInPandas(
         fold, fields)

@@ -84,14 +84,21 @@ def dechunk(data: bytes) -> tuple[bytes, str | None]:
         pos = eol + 2 + size + 2  # skip the chunk's trailing CRLF
 
 
+_CHARSET_ALIASES = {"utf8": "utf-8", "utf_8": "utf-8"}
+# (bare "utf-16"/"utf-16le" etc. are NOT folded: Python's utf-16 codec
+# consumes its own BOM, and guessing an endianness here would be wrong)
+
+
 def sniff_charset(headers: str, body: bytes) -> str:
     """Charset by precedence: header charset= → BOM → meta tag in the
-    first 1024 bytes → utf-8."""
+    first 1024 bytes → utf-8.  Common aliases are folded to the
+    canonical name so the BOM strip in decode_payload matches a
+    header-declared 'utf8' the same as 'utf-8'."""
     ct = _header(headers, "content-type") or ""
     if "charset=" in ct.lower():
         cs = ct.lower().split("charset=", 1)[1].split(";")[0].strip(" \"'")
         if cs:
-            return cs
+            return _CHARSET_ALIASES.get(cs, cs)
     for bom, cs in _BOMS:
         if body[:len(bom)] == bom:
             return cs
@@ -107,7 +114,7 @@ def sniff_charset(headers: str, body: bytes) -> str:
                 else:
                     break
             if cs:
-                return cs
+                return _CHARSET_ALIASES.get(cs, cs)
     return "utf-8"
 
 

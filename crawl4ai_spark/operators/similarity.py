@@ -603,7 +603,7 @@ def ann_eval(approx: DataFrame, exact: DataFrame, k: int,
         )
     )
     bp = lambda num, den: F.when(  # noqa: E731
-        F.col(den) > 0, F.expr(f"10000 * n_hits DIV {den}")
+        F.col(den) > 0, F.expr(f"10000 * {num} DIV {den}")
     ).otherwise(F.lit(0)).cast("long")
     return (out.withColumn("recall_bp", bp("n_hits", "n_exact"))
                .withColumn("precision_bp", bp("n_hits", "n_approx")))

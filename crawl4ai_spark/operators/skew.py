@@ -44,7 +44,12 @@ def hot_key_report(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
     return (top.crossJoin(F.broadcast(totals))
             .withColumn("share_bp",
                         F.expr("10000 * n_rows DIV total_rows"))
-            .withColumn("imbalance_bp",
-                        F.expr("10000 * n_rows * n_keys DIV total_rows"))
+            # DECIMAL(38,0) product: 10000·n_rows·n_keys overflows int64
+            # at the 10^10-row / 10^8-key scale this module documents
+            .withColumn("imbalance_bp", F.expr(
+                "CAST(CAST(10000 AS DECIMAL(38,0))"
+                " * CAST(n_rows AS DECIMAL(38,0))"
+                " * CAST(n_keys AS DECIMAL(38,0))"
+                " DIV CAST(total_rows AS DECIMAL(38,0)) AS BIGINT)"))
             .select("key", "n_rows", "rank", "share_bp",
                     "total_rows", "n_keys", "imbalance_bp"))

@@ -39,8 +39,13 @@ def url_trap_signals(frontier: DataFrame, url_col: str = "url",
                      repeat_k: int = 3, deep_depth: int = 6) -> DataFrame:
     """Per-URL structural signals (adds path/depth/flag columns)."""
     after = F.substring_index(F.col(url_col), "://", -1)
+    qpos_a = F.instr(after, "?")
     slash = F.instr(after, "/")
-    path_q = F.when(slash > 0,
+    # the path starts at the first '/' only if that slash precedes any
+    # '?' — 'h.test?next=/login' has NO path, and its query must not be
+    # mistaken for one (session-id mints on the root are a trap signal)
+    has_path = (slash > 0) & ((qpos_a == 0) | (slash < qpos_a))
+    path_q = F.when(has_path,
                     after.substr(slash, F.length(after))).otherwise(F.lit("/"))
     qpos = F.instr(path_q, "?")
     path = F.when(qpos > 0,
@@ -54,7 +59,7 @@ def url_trap_signals(frontier: DataFrame, url_col: str = "url",
         frontier
         .withColumn("path", path)
         .withColumn("depth", F.size(segs).cast("long"))
-        .withColumn("has_query", qpos > 0)
+        .withColumn("has_query", qpos_a > 0)
         .withColumn("seg_repeat", seg_repeat)
         .withColumn("calendar_like", n_numeric >= 2)
         .withColumn("deep", F.size(segs) >= deep_depth)

@@ -103,12 +103,16 @@ def group_samples(members, exts: tuple[str, ...]):
         stem, dot, ext = name.rpartition(".")
         if not dot:                          # extension-less member
             stem, ext = name, ""
+        if ext not in exts:
+            # foreign sidecar (metadata.json, checksums, ...): ignored
+            # entirely — it must neither split the surrounding sample
+            # nor mint a phantom one
+            continue
         if stem != cur_key:
             if cur_key is not None:
                 yield cur_key, cur_off, cur
             cur_key, cur_off, cur = stem, off, {}
-        if ext in exts:
-            cur[ext] = payload
+        cur[ext] = payload
     if cur_key is not None:
         yield cur_key, cur_off, cur
 
@@ -132,10 +136,15 @@ def read_webdataset(
 
     ``sample_off`` is the byte offset of the sample's first member header
     within its shard — joinable back to ``webdataset_plan``'s
-    ``sample_off`` for lineage/audit.  A malformed shard contributes one
-    row with ``error`` set (key/payloads NULL) instead of failing the
-    stage.  Output batches flush at ``batch_bytes`` of accumulated
-    payload so Arrow batch size stays bounded regardless of shard size.
+    ``sample_off`` for lineage/audit.  A malformed shard SALVAGES: every
+    complete sample parsed before the corruption point is returned as
+    usual, plus one row with ``error`` set (key/payloads NULL) recording
+    the failure — so a truncated archive yields its good prefix, and a
+    consumer that must reject partial shards filters on
+    ``shard_path IN (SELECT shard_path ... WHERE error IS NOT NULL)``
+    rather than assuming an errored shard contributed nothing.  Output
+    batches flush at ``batch_bytes`` of accumulated payload so Arrow
+    batch size stays bounded regardless of shard size.
     """
     reader = spark.read.format("binaryFile")
     if "*" not in path and "?" not in path:

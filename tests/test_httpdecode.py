@@ -86,3 +86,14 @@ def test_stage_end_to_end(spark):
     assert rows[4]["content_encoding"] == "gzip"
     assert rows[1]["was_chunked"] and rows[1]["decode_ok"]
     assert rows[2]["charset"] == "utf-16-le"
+
+
+def test_bom_stripped_for_charset_alias():
+    from crawl4ai_spark.operators.httpdecode import decode_payload
+
+    hdrs = "Content-Type: text/html; charset=utf8"
+    body = b"\xef\xbb\xbfhello"
+    out = decode_payload(hdrs, body)
+    assert out["charset"] == "utf-8"
+    assert out["text"] == "hello"  # no leading U+FEFF
+    assert out["decode_ok"] is True

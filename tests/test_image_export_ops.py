@@ -510,3 +510,26 @@ def test_aesthetic_gate_rejects_bad_weights(spark):
         aesthetic_gate(df, weights=())
     with pytest.raises(ValueError):
         aesthetic_gate(df, weights=(0, 0))
+
+
+def test_group_samples_ignores_foreign_sidecars():
+    from crawl4ai_spark.sources.webdataset import group_samples
+
+    members = [("k0.img", 0, b"A"), ("metadata.json", 512, b"{}"),
+               ("k0.txt", 1024, b"cap"), ("k1.img", 2048, b"B")]
+    got = list(group_samples(members, ("img", "txt")))
+    # metadata.json neither splits k0 nor mints a phantom sample
+    assert [g[0] for g in got] == ["k0", "k1"]
+    assert got[0][2] == {"img": b"A", "txt": b"cap"}
+
+
+def test_tar_header_rejects_oversized_member():
+    import pytest
+
+    from crawl4ai_spark.operators.export import _tar_header
+
+    _tar_header("ok.bin", 8 ** 11 - 1)  # max representable
+    with pytest.raises(ValueError):
+        _tar_header("big.bin", 8 ** 11)
+    with pytest.raises(ValueError):
+        _tar_header("neg.bin", -1)

@@ -890,3 +890,24 @@ def test_revalidation_plan_actions(spark):
     # age == ttl is stale (>=)
     assert got["edge"]["action"] == "refetch"
     assert all(r["age_s"] == 7200 for r in got.values())
+
+
+def test_incremental_dedup_string_ids_keep_lineage(spark):
+    from crawl4ai_spark.operators.dedup import (
+        fingerprint_store, incremental_dedup)
+
+    corpus = spark.createDataFrame(
+        [("docA", "released text")], "doc_id string, text string")
+    store = fingerprint_store(corpus)
+    batch = spark.createDataFrame(
+        [("doc7", "released text"),      # dup_in_store → docA
+         ("doc9", "fresh text"), ("doc8", "fresh text"),  # batch twins
+         ("docZ", "unique")],
+        "doc_id string, text string")
+    got = {r["doc_id"]: r for r in
+           incremental_dedup(batch, store).collect()}
+    assert got["doc7"]["status"] == "dup_in_store"
+    assert got["doc7"]["dup_of"] == "docA"     # NOT NULL
+    assert got["doc9"]["status"] == "dup_in_batch"
+    assert got["doc9"]["dup_of"] == "doc8"     # min string id wins
+    assert got["docZ"]["dup_of"] == "-1"

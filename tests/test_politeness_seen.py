@@ -447,3 +447,21 @@ def test_age_priorities_breaks_starvation_in_pop_loop(spark):
     # priority gap 40, boost 3/superstep → pops as soon as
     # 50 - 3*age < 10, age > 13.33 → superstep 14
     assert popped_at == 14
+
+
+def test_trap_signals_query_before_any_slash(spark):
+    from crawl4ai_spark.operators.traps import url_trap_signals
+
+    fr = spark.createDataFrame(
+        [("https://h.test?next=/login/2024/11",),   # query, NO path
+         ("https://h.test/a/b?x=1",),               # path then query
+         ("https://h.test?sid=123",)],              # root session mint
+        "url string")
+    got = {r["url"]: r for r in url_trap_signals(fr).collect()}
+    r0 = got["https://h.test?next=/login/2024/11"]
+    assert r0["has_query"] is True
+    assert r0["path"] == "/" and r0["depth"] == 0
+    assert r0["calendar_like"] is False  # query text is not a path
+    r1 = got["https://h.test/a/b?x=1"]
+    assert r1["has_query"] is True and r1["path"] == "/a/b"
+    assert got["https://h.test?sid=123"]["has_query"] is True
