@@ -4,10 +4,12 @@ North_rule: "URL-seen dedup is a partitioned Bloom/cuckoo filter keyed by
 canonicalized-URL xxhash64".  Design:
 
   - **Exactness** comes from a ``left_anti`` join of candidate links against
-    the seen table on the xxhash64 key (64-bit collisions at 10^10 URLs:
-    ~3·10^-)? — we join on the full URL string, hash-partitioned by
-    ``url_hash``, so exactness is unconditional and the hash only drives
-    partitioning/bucketing.
+    the seen table.  A pure 64-bit-key join would already be near-exact
+    (birthday bound at n = 10^10: ~1 − exp(−n²/2^65) ≈ 0.93 probability of
+    at least ONE collision somewhere in the corpus — i.e. a handful of
+    false "seen" URLs), but we join on the full URL string,
+    hash-partitioned by ``url_hash``, so exactness is unconditional and
+    the hash only drives partitioning/bucketing.
   - **The Bloom sidecar** (reference experiment: deep_crawling/crazy.py:
     102-165, optimal m = −n·ln p/ln²2, k = (m/n)·ln 2) cuts the anti-join's
     probe side: candidates whose bucketed Bloom says "definitely new" skip

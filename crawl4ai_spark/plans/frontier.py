@@ -294,9 +294,15 @@ class CrawlEngine:
         materializes inside the same superstep's discovery/commit job
         instead of paying its own job launch; its lineage is two
         already-checkpointed inputs either way."""
-        seen = seen.unionByName(new_urls).localCheckpoint(eager=False)
+        # dedup before marking: the same URL can sit twice in one
+        # superstep (duplicate-URL quirk) — without this, every dup costs
+        # a redundant seen-table row AND a sidecar slot the cuckoo
+        # capacity sizing never budgeted (repeated re-adds saturate
+        # shards and flip their sticky overflow flag)
+        new = new_urls.distinct()
+        seen = seen.unionByName(new).localCheckpoint(eager=False)
         if self.bloom is not None:
-            self.bloom.add(new_urls, url_col="url")
+            self.bloom.add(new, url_col="url")
         return seen
 
     def _retry_rows(self, fetched: DataFrame, domain_state: DataFrame,
@@ -311,25 +317,10 @@ class CrawlEngine:
         pandas); the join shuffles on host — AQE broadcast-converts it
         while the state is small, and at 10^8 hosts it stays a
         distributed hash join."""
-        cfg = self.cfg
-        failed = fetched.filter(
-            F.col("status_code").isin(list(RATE_LIMIT_CODES))
-            & (F.col("attempt") < cfg.max_retries)
-        )
-        state_df = domain_state.select("host", "current_delay", "give_up")
-        j = failed.join(state_df, "host", "left")
-        j = j.filter(~F.coalesce(F.col("give_up"), F.lit(False)))
-        steps = F.greatest(
-            F.lit(1).cast("long"),
-            F.ceil(
-                F.coalesce(F.col("current_delay"), F.lit(0.0))
-                / F.lit(float(cfg.superstep_window_s))
-            ).cast("long"),
-        )
+        j, ready = self._retry_base(fetched, domain_state, superstep)
         return j.select(
             "url", "parent", "depth", "seq", "score",
-            (F.col("attempt") + 1).alias("attempt"),
-            (F.lit(superstep) + steps).alias("ready"),
+            (F.col("attempt") + 1).alias("attempt"), ready,
         )
 
     def _retry_rows_bf(self, fetched: DataFrame, domain_state: DataFrame,
@@ -337,6 +328,17 @@ class CrawlEngine:
         """D2 requeue for best-first: same rule as _retry_rows but the row
         returns to the QUEUE with its original push_seq (it re-pops in heap
         order once ready)."""
+        j, ready = self._retry_base(fetched, domain_state, superstep)
+        return j.select(
+            "score", "depth", "url", "parent", "push_seq",
+            (F.col("attempt") + 1).alias("attempt"), ready,
+        )
+
+    def _retry_base(self, fetched: DataFrame, domain_state: DataFrame,
+                    superstep: int):
+        """Shared D2 requeue core (rate-limit filter → state join →
+        give-up screen → backoff-steps arithmetic); one place so the
+        BFS and best-first rules can never silently diverge."""
         cfg = self.cfg
         failed = fetched.filter(
             F.col("status_code").isin(list(RATE_LIMIT_CODES))
@@ -352,11 +354,7 @@ class CrawlEngine:
                 / F.lit(float(cfg.superstep_window_s))
             ).cast("long"),
         )
-        return j.select(
-            "score", "depth", "url", "parent", "push_seq",
-            (F.col("attempt") + 1).alias("attempt"),
-            (F.lit(superstep) + steps).alias("ready"),
-        )
+        return j, (F.lit(superstep) + steps).alias("ready")
 
     # -------------------------------------------------------- discovery
     def _discover(
@@ -728,7 +726,14 @@ class CrawlEngine:
             # lazy checkpoint: the fused agg below is the materializing job
             # (the old eager checkpoint + separate count was two jobs)
             nxt = nxt.localCheckpoint(eager=False)
-            g = nxt.groupBy(F.lower(host_of(F.col("url"))).alias("__h")).agg(
+            # anchored host extract for the skip-split guard: host_of's
+            # bare '://([^/]+)' would pull a "host" out of a query string
+            # ('http//typo?u=https://real.com/x'), hiding a row the
+            # canonical parser maps to host '' — such rows must land in
+            # the `empty` count so the guard forces the exact split path
+            hint_host = F.lower(F.regexp_extract(
+                F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)", 1))
+            g = nxt.groupBy(hint_host.alias("__h")).agg(
                 F.count("*").alias("c"),
                 F.max("seq").alias("mx"),
                 F.min("ready").alias("mr"),
@@ -885,9 +890,14 @@ class CrawlEngine:
                 queue = rest if deferred is None else rest.unionByName(deferred)
                 queue = queue.localCheckpoint(eager=True)
                 popped.unpersist()
+                batch.unpersist()  # all-duplicate superstep: release too
                 superstep += 1
                 continue
-            seen = self._mark_seen(seen, batch.select("url"))
+            # attempt>0 rows are retries whose url was marked seen at
+            # their first pop — re-marking would re-add them to the
+            # sidecar once per retry
+            seen = self._mark_seen(
+                seen, batch.filter(F.col("attempt") == 0).select("url"))
             if budget is not None:
                 fetched = self._fetch_prepared(batch)
             else:
@@ -992,6 +1002,10 @@ class CrawlEngine:
             top = top_rows[0]
             stack = stack.filter(F.col("stack_seq") != top["stack_seq"])
             if top["url"] in visited_driver or top["depth"] > cfg.max_depth:
+                # cut lineage on the skip path too: thousands of
+                # consecutive duplicate pops would otherwise chain
+                # un-checkpointed filters into a quadratic driver plan
+                stack = stack.localCheckpoint(eager=True)
                 continue
             visited_driver.add(top["url"])
             seen = self._mark_seen(
@@ -1051,8 +1065,11 @@ class CrawlEngine:
         serializes fetches, which is why run_dfs is parity-only; this is
         the usable-at-scale DFS.  Page counting and capacity are
         level-style (remaining computed once per superstep from the
-        batch's successes), and already-seen stack entries are discarded
-        at pop without consuming batch slots."""
+        batch's successes).  Already-seen stack entries DO consume batch
+        slots: the pop takes the top ``batch_size`` entries first and the
+        visited anti-join then discards the stale ones (matching the
+        oracle twin) — a stack top dense with duplicates temporarily
+        lowers the effective fetch parallelism of a superstep."""
         cfg = self.cfg
         spark = self.spark
         stack = spark.createDataFrame(
@@ -1090,6 +1107,7 @@ class CrawlEngine:
             if not batch.take(1):
                 stack = rest.localCheckpoint(eager=True)
                 popped.unpersist()
+                batch.unpersist()  # all-duplicate superstep: release too
                 superstep += 1
                 continue
             seen = self._mark_seen(seen, batch.select("url"))
@@ -1114,6 +1132,7 @@ class CrawlEngine:
             pages_crawled += n_success
             remaining = cfg.page_budget - pages_crawled
             pushed = rest
+            links = None
             if remaining > 0:
                 links = self._discover(
                     fetched, seen,
@@ -1141,6 +1160,8 @@ class CrawlEngine:
             popped.unpersist()
             batch.unpersist()
             fetched.unpersist()
+            if links is not None:  # consumed by the stack checkpoint above
+                links.unpersist()
             superstep += 1
         return self._finish(result_parts, seen, pages_crawled, order=["seq"])
 
@@ -1218,7 +1239,12 @@ class CrawlEngine:
 
             certs = ssl_certificate_stage(
                 host_certs_df(results.select("host").distinct()))
-            results = results.join(F.broadcast(certs), "host", "left")
+            # ship only the parsed ssl_* columns — duplicating the raw
+            # ~1 KB DER blob onto every result row would inflate the
+            # results table by GBs at 10^6+ rows (the config promises
+            # cert-info columns, and ssl_pem already carries the cert)
+            results = results.join(
+                F.broadcast(certs.drop("cert_der")), "host", "left")
         return CrawlRun(
             results=results.orderBy(*order),
             seen=seen,
